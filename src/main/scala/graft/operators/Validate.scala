@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based record validation (reference: validate.py).
+  *
+  * The reference validates every record against a Schematron (a set
+  * of named assertions), then either *filters* invalid records out
+  * (writing an invalid-report CSV of id / failed-assert text / record
+  * / source file, validate.py:11-121) or *reports* on all records
+  * (validate.py:124-200). A Schematron is declarative assertions over
+  * fields — exactly what Catalyst boolean expressions are. Each rule
+  * compiles into the scan (codegen'd, map-only); the report side is
+  * the same pass, so validate-and-split is one scan, zero shuffles.
+  */
+object Validate {
+
+  /** One Schematron assertion: a name, a boolean Column that must
+    * hold, and the failed-assert message (reference: validate.py
+    * `schematron_failed_validation_text` joins assertion texts). */
+  final case class Rule(name: String, assertion: Column, message: String)
+
+  /** Failed-assert messages per record, as an array column
+    * (empty array == valid). */
+  def failures(rules: Seq[Rule]): Column =
+    filter(
+      array(rules.map(r => when(!r.assertion, lit(r.message))): _*),
+      c => c.isNotNull)
+
+  /** Valid records only (reference: validate.py:66-76 removes
+    * invalid records from the output collection). */
+  def filterValid(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.filter(rules.map(_.assertion).reduce(_ && _))
+
+  /** Invalid-records report (reference: validate.py:28-100 CSV:
+    * id, report, record, source_file). `record` mirrors
+    * `identifier_or_full_record` (validate.py:203-217): identifier
+    * when present, else the full serialized record. */
+  def invalidReport(df: DataFrame, rules: Seq[Rule], idCol: Column,
+      identifierCol: Column, fullRecordCol: Column, sourceCol: Column): DataFrame =
+    df.withColumn("__failures", failures(rules))
+      .filter(size(col("__failures")) > 0)
+      .select(
+        idCol.as("id"),
+        concat_ws("\n", col("__failures")).as("report"),
+        when(identifierCol.isNotNull && identifierCol =!= "", identifierCol)
+          .otherwise(fullRecordCol).as("record"),
+        sourceCol.as("source_file"))
+
+  /** Report mode (reference: validate.py:124-200): every record, one
+    * boolean per rule plus the failure count. */
+  def reportAll(df: DataFrame, rules: Seq[Rule], idCol: Column): DataFrame = {
+    val flags = rules.map(r => r.assertion.as(s"passed_${r.name}"))
+    val nFailed = rules.map(r => when(!r.assertion, 1).otherwise(0))
+      .reduce(_ + _).as("n_failed")
+    df.select((idCol.as("id") +: flags :+ nFailed): _*)
+  }
+
+  /** Per-source filter stats + the all-filtered guard
+    * (reference: validate.py:101-121 warns per file and raises when
+    * every record in the run is filtered). */
+  def filterStats(df: DataFrame, rules: Seq[Rule], sourceCol: Column): DataFrame = {
+    val invalid = rules.map(r => !r.assertion).reduce(_ || _)
+    df.groupBy(sourceCol.as("source_file"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        count(when(invalid, lit(1))).as("n_invalid"))
+      .withColumn("all_filtered", col("n_invalid") === col("n_records"))
+  }
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL query surface (SURVEY.md §2: h1–h7, r1–r3, v1–v4, t1–t2,
+  * x1–x3) — the tulflow capability map bound to the testdata tables.
+  * `events` plays the OAI record stream (event_id = identifier,
+  * ts = datestamp, event_type = setSpec/status), `documents` plays
+  * the harvested record corpus.
+  */
+object Etl {
+  import Validate.Rule
+
+  private val deletedStatus = "error" // the status value treated as OAI status='deleted'
+
+  /** Schematron-analog assertion set for `documents`. `min_length`
+    * genuinely fails for short docs; the rest guard consistency. */
+  private def docRules = Seq(
+    Rule("nonempty", length(col("text")) > 0, "record has no content"),
+    Rule("min_length", col("n_chars") >= 100, "record shorter than 100 chars"),
+    Rule("known_lang", col("lang").isInCollection(Seq("en", "de", "fr", "es", "zh")),
+      "unknown language code"),
+    Rule("chars_consistent", col("n_chars") === length(col("text")),
+      "n_chars does not match text length"),
+    Rule("source_present", col("source").isNotNull && col("source") =!= "",
+      "missing source"))
+
+  // ---- Harvest ----
+
+  def h1PartitionStatus(spark: SparkSession, dir: String): DataFrame =
+    Harvest.flagDeleted(Tables.events(spark, dir), col("event_type"), deletedStatus)
+      .select("event_id", "event_type", "is_deleted")
+      .orderBy("event_id")
+
+  def h2SetInclude(spark: SparkSession, dir: String): DataFrame =
+    Harvest.includeSets(Tables.events(spark, dir), col("event_type"), Seq("click", "view"))
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+
+  def h3SetExclude(spark: SparkSession, dir: String): DataFrame =
+    Harvest.excludeSets(Tables.events(spark, dir), col("event_type"), Seq("error"))
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+
+  def h4DateWindow(spark: SparkSession, dir: String): DataFrame =
+    Harvest.dateWindow(Tables.events(spark, dir), col("ts"),
+        Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-22 00:00:00")))
+      .select("event_id", "ts", "event_type")
+      .orderBy("event_id")
+
+  def h5BatchAssign(spark: SparkSession, dir: String): DataFrame =
+    Harvest.batchAssign(
+        Harvest.flagDeleted(Tables.events(spark, dir), col("event_type"), deletedStatus),
+        Seq(col("is_deleted")), col("event_id"), recordsPerFile = 1000)
+      .select("event_id", "is_deleted", "file_idx")
+      .orderBy("event_id")
+
+  def h6ContentHash(spark: SparkSession, dir: String): DataFrame =
+    Harvest.contentKey(Tables.documents(spark, dir), col("text"), "dag/ts/new-updated")
+      .select("doc_id", "s3_key")
+      .orderBy("doc_id")
+
+  def h7DedupLatest(spark: SparkSession, dir: String): DataFrame =
+    Harvest.latestPerIdentifier(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id").as("latest_event_id"))
+      .orderBy("user_id")
+
+  // ---- Records ----
+
+  def r1FieldExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        Records.extractField(col("props"), "\"k\": ([0-9]+)").as("k"))
+      .orderBy("event_id")
+
+  def r2IdQuality(spark: SparkSession, dir: String): DataFrame =
+    Records.idQuality(Tables.events(spark, dir), col("user_id"))
+      .orderBy("record_id")
+
+  def r3LookupEnrich(spark: SparkSession, dir: String): DataFrame =
+    Records.lookupEnrich(
+        Tables.lineitem(spark, dir),
+        Tables.part(spark, dir).select(col("p_partkey"), col("p_name")),
+        col("l_partkey"), col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("p_name").as("parent_name"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+
+  // ---- Validate ----
+
+  def v1ValidateFilter(spark: SparkSession, dir: String): DataFrame =
+    Validate.filterValid(Tables.documents(spark, dir), docRules)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  def v2InvalidReport(spark: SparkSession, dir: String): DataFrame =
+    Validate.invalidReport(Tables.documents(spark, dir), docRules,
+        idCol = col("doc_id"),
+        identifierCol = col("source"),
+        fullRecordCol = col("text"),
+        sourceCol = col("source"))
+      .orderBy("id")
+
+  def v3ReportAll(spark: SparkSession, dir: String): DataFrame =
+    Validate.reportAll(Tables.documents(spark, dir), docRules, col("doc_id"))
+      .orderBy("id")
+
+  def v4FilterStats(spark: SparkSession, dir: String): DataFrame =
+    Validate.filterStats(Tables.documents(spark, dir), docRules, col("source"))
+      .orderBy("source_file")
+
+  // ---- Transform ----
+
+  def t1Crosswalk(spark: SparkSession, dir: String): DataFrame =
+    Transform.crosswalk(Tables.documents(spark, dir), Seq(
+        "id" -> col("doc_id"),
+        "title" -> upper(substring(col("text"), 1, 40)),
+        "language" -> (col("lang") match { case l => // crosswalk code table
+          when(l === "en", "English").when(l === "de", "German")
+            .when(l === "fr", "French").when(l === "es", "Spanish")
+            .when(l === "zh", "Chinese").otherwise("Unknown") }),
+        "publisher" -> col("source"),
+        "extent" -> col("n_chars")))
+      .orderBy("id")
+
+  def t2Normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(Transform.normalizeText(col("text")).cast("binary")).as("norm_hash"),
+        length(Transform.normalizeText(col("text"))).as("norm_len"))
+      .orderBy("doc_id")
+
+  // ---- Indexing ----
+
+  def x1SolrDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Indexing.solrDoc(Seq(
+        "id" -> col("doc_id"),
+        "lang" -> concat(lit("\""), col("lang"), lit("\"")),
+        "source" -> concat(lit("\""), col("source"), lit("\"")),
+        "n_chars" -> col("n_chars"))).as("solr_doc"))
+      .orderBy("doc_id")
+
+  def x2LatestVersion(spark: SparkSession, dir: String): DataFrame =
+    Indexing.latestVersion(
+        Tables.documents(spark, dir)
+          .select(concat(col("source"), lit("-"), col("doc_id").cast("string")).as("cs")),
+        col("cs"))
+      .orderBy("configset")
+
+  def x3AliasResolve(spark: SparkSession, dir: String): DataFrame =
+    Indexing.filterInitCollections(
+        Tables.events(spark, dir)
+          .select(concat(col("event_type"), lit("-"),
+            when(col("user_id") % 10 === 0, "init")
+              .otherwise(col("user_id").cast("string"))).as("collection"))
+          .distinct(),
+        col("collection"))
+      .orderBy("collection")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h1_partition_status" -> (h1PartitionStatus _),
+    "h2_set_include" -> (h2SetInclude _),
+    "h3_set_exclude" -> (h3SetExclude _),
+    "h4_date_window" -> (h4DateWindow _),
+    "h5_batch_assign" -> (h5BatchAssign _),
+    "h6_content_hash" -> (h6ContentHash _),
+    "h7_dedup_latest" -> (h7DedupLatest _),
+    "r1_field_extract" -> (r1FieldExtract _),
+    "r2_id_quality" -> (r2IdQuality _),
+    "r3_lookup_enrich" -> (r3LookupEnrich _),
+    "v1_validate_filter" -> (v1ValidateFilter _),
+    "v2_invalid_report" -> (v2InvalidReport _),
+    "v3_report_all" -> (v3ReportAll _),
+    "v4_filter_stats" -> (v4FilterStats _),
+    "t1_crosswalk" -> (t1Crosswalk _),
+    "t2_normalize" -> (t2Normalize _),
+    "x1_solr_docs" -> (x1SolrDocs _),
+    "x2_latest_version" -> (x2LatestVersion _),
+    "x3_alias_resolve" -> (x3AliasResolve _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "h1_partition_status" ->
+      """SELECT event_id, event_type, (event_type = 'error') AS is_deleted
+         FROM events ORDER BY event_id""",
+    "h2_set_include" ->
+      """SELECT event_id, event_type, user_id FROM events
+         WHERE event_type IN ('click','view') ORDER BY event_id""",
+    "h3_set_exclude" ->
+      """SELECT event_id, event_type, user_id FROM events
+         WHERE event_type IN (
+           SELECT DISTINCT event_type FROM events
+           WHERE event_type NOT IN ('error'))
+         ORDER BY event_id""",
+    "h4_date_window" ->
+      """SELECT event_id, ts, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+         ORDER BY event_id""",
+    "h5_batch_assign" ->
+      """SELECT event_id, is_deleted,
+           CAST(floor((row_number() OVER (PARTITION BY is_deleted ORDER BY event_id) - 1) / 1000.0) AS BIGINT) AS file_idx
+         FROM (SELECT event_id, (event_type = 'error') AS is_deleted FROM events)
+         ORDER BY event_id""",
+    "h6_content_hash" ->
+      """SELECT doc_id, concat('dag/ts/new-updated/', md5(text)) AS s3_key
+         FROM documents ORDER BY doc_id""",
+    "h7_dedup_latest" ->
+      """SELECT user_id, event_id AS latest_event_id FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "r1_field_extract" ->
+      """SELECT event_id,
+           CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+    "r2_id_quality" ->
+      """SELECT user_id AS record_id, count(*) AS n_records,
+           CASE WHEN user_id IS NULL THEN 'missing'
+                WHEN count(*) > 1 THEN 'duplicate'
+                ELSE 'ok' END AS status
+         FROM events GROUP BY user_id ORDER BY record_id""",
+    "r3_lookup_enrich" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name AS parent_name
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey""",
+    "v1_validate_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE length(text) > 0 AND n_chars >= 100
+           AND lang IN ('en','de','fr','es','zh')
+           AND n_chars = length(text)
+           AND source IS NOT NULL AND source <> ''
+         ORDER BY doc_id""",
+    "v2_invalid_report" ->
+      """SELECT doc_id AS id,
+           concat_ws(chr(10),
+             CASE WHEN NOT (length(text) > 0) THEN 'record has no content' END,
+             CASE WHEN NOT (n_chars >= 100) THEN 'record shorter than 100 chars' END,
+             CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 'unknown language code' END,
+             CASE WHEN NOT (n_chars = length(text)) THEN 'n_chars does not match text length' END,
+             CASE WHEN NOT (source IS NOT NULL AND source <> '') THEN 'missing source' END
+           ) AS report,
+           CASE WHEN source IS NOT NULL AND source <> '' THEN source ELSE text END AS record,
+           source AS source_file
+         FROM documents
+         WHERE NOT (length(text) > 0) OR NOT (n_chars >= 100)
+            OR NOT (lang IN ('en','de','fr','es','zh'))
+            OR NOT (n_chars = length(text))
+            OR NOT (source IS NOT NULL AND source <> '')
+         ORDER BY id""",
+    "v3_report_all" ->
+      """SELECT doc_id AS id,
+           (length(text) > 0) AS passed_nonempty,
+           (n_chars >= 100) AS passed_min_length,
+           (lang IN ('en','de','fr','es','zh')) AS passed_known_lang,
+           (n_chars = length(text)) AS passed_chars_consistent,
+           (source IS NOT NULL AND source <> '') AS passed_source_present,
+           (CASE WHEN NOT (length(text) > 0) THEN 1 ELSE 0 END
+            + CASE WHEN NOT (n_chars >= 100) THEN 1 ELSE 0 END
+            + CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 1 ELSE 0 END
+            + CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END
+            + CASE WHEN NOT (source IS NOT NULL AND source <> '') THEN 1 ELSE 0 END) AS n_failed
+         FROM documents ORDER BY id""",
+    "v4_filter_stats" ->
+      """SELECT source AS source_file, count(*) AS n_records,
+           count(CASE WHEN NOT (length(text) > 0) OR NOT (n_chars >= 100)
+             OR NOT (lang IN ('en','de','fr','es','zh'))
+             OR NOT (n_chars = length(text))
+             OR NOT (source IS NOT NULL AND source <> '') THEN 1 END) AS n_invalid,
+           (count(*) = count(CASE WHEN NOT (length(text) > 0) OR NOT (n_chars >= 100)
+             OR NOT (lang IN ('en','de','fr','es','zh'))
+             OR NOT (n_chars = length(text))
+             OR NOT (source IS NOT NULL AND source <> '') THEN 1 END)) AS all_filtered
+         FROM documents GROUP BY source ORDER BY source_file""",
+    "t1_crosswalk" ->
+      """SELECT doc_id AS id, upper(substr(text, 1, 40)) AS title,
+           CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'
+             WHEN 'fr' THEN 'French' WHEN 'es' THEN 'Spanish'
+             WHEN 'zh' THEN 'Chinese' ELSE 'Unknown' END AS language,
+           source AS publisher, n_chars AS extent
+         FROM documents ORDER BY id""",
+    "t2_normalize" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_hash,
+           length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_len
+         FROM documents ORDER BY doc_id""",
+    "x1_solr_docs" ->
+      """SELECT doc_id,
+           concat('{"id":', CAST(doc_id AS VARCHAR),
+                  ',"lang":"', lang,
+                  '","source":"', source,
+                  '","n_chars":', CAST(n_chars AS VARCHAR), '}') AS solr_doc
+         FROM documents ORDER BY doc_id""",
+    "x2_latest_version" ->
+      """SELECT configset, concat(configset, '-', CAST(max(version) AS VARCHAR)) AS latest
+         FROM (
+           SELECT regexp_extract(cs, '^(.*)-([0-9]+)$', 1) AS configset,
+                  CAST(regexp_extract(cs, '^(.*)-([0-9]+)$', 2) AS BIGINT) AS version
+           FROM (SELECT concat(source, '-', CAST(doc_id AS VARCHAR)) AS cs
+                 FROM documents))
+         GROUP BY configset ORDER BY configset""",
+    "x3_alias_resolve" ->
+      """SELECT DISTINCT concat(event_type, '-',
+             CASE WHEN user_id % 10 = 0 THEN 'init'
+                  ELSE CAST(user_id AS VARCHAR) END) AS collection
+         FROM events
+         WHERE NOT (concat(event_type, '-',
+             CASE WHEN user_id % 10 = 0 THEN 'init'
+                  ELSE CAST(user_id AS VARCHAR) END)) LIKE '%-init'
+         ORDER BY collection""",
+  )
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EtlSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("h1 splits the stream without losing records") {
+    val df = SparkEntry.queries("h1_partition_status")(spark, sf)
+    val total = Tables.events(spark, sf).count()
+    assert(df.count() == total)
+    val deleted = df.filter(col("is_deleted")).count()
+    assert(deleted > 0 && deleted < total)
+  }
+
+  test("h3 exclude-sets removes exactly the excluded set") {
+    val df = SparkEntry.queries("h3_set_exclude")(spark, sf)
+    assert(df.filter(col("event_type") === "error").count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("h5 batch indexes are dense from 0 within each group") {
+    val df = SparkEntry.queries("h5_batch_assign")(spark, sf)
+    val maxIdx = df.agg(max("file_idx")).head.getLong(0)
+    val n = df.count()
+    assert(maxIdx == (n / 2 - 1) / 1000 || maxIdx <= n / 1000)
+  }
+
+  test("h7 keeps exactly one record per identifier") {
+    val df = SparkEntry.queries("h7_dedup_latest")(spark, sf)
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("r3 lookup uses a broadcast join (no shuffle of the child stream)") {
+    val plan = SparkEntry.queries("r3_lookup_enrich")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("v1+v2 partition the corpus: valid + invalid = all") {
+    val valid = SparkEntry.queries("v1_validate_filter")(spark, sf).count()
+    val invalid = SparkEntry.queries("v2_invalid_report")(spark, sf).count()
+    val all = Tables.documents(spark, sf).count()
+    assert(valid + invalid == all)
+    assert(invalid > 0, "expected some short docs to fail min_length")
+  }
+
+  test("v2 report carries the failed-assert message") {
+    val row = SparkEntry.queries("v2_invalid_report")(spark, sf)
+      .filter(col("report").contains("shorter than 100")).head
+    assert(row.getAs[String]("report").nonEmpty)
+  }
+
+  test("t2 normalization is idempotent") {
+    val once = operators.Transform.normalizeText(col("text"))
+    val twice = operators.Transform.normalizeText(once)
+    val diff = Tables.documents(spark, sf)
+      .filter(once =!= twice).count()
+    assert(diff == 0)
+  }
+
+  test("x2 latest-version picks the max per configset base") {
+    val df = SparkEntry.queries("x2_latest_version")(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf)
+      .select("source").distinct().count())
+  }
+
+  test("x3 filters -init collections") {
+    val df = SparkEntry.queries("x3_alias_resolve")(spark, sf)
+    assert(df.filter(col("collection").endsWith("-init")).count() == 0)
+  }
+
+  test("validation is map-only: no shuffle in v1's plan") {
+    val plan = SparkEntry.queries("v1_validate_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // only the final orderBy may exchange; the filter itself must sit
+    // on the scan. Check filters were pushed.
+    assert(plan.contains("PushedFilters"), plan.take(1000))
+  }
+}
