@@ -7,9 +7,11 @@ object SparkEntry {
     graft.queries.Core.q2Join(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries ++ graft.queries.Etl.queries
+    graft.queries.Core.queries ++ graft.queries.Etl.queries ++
+      graft.queries.TextEvents.queries ++ graft.queries.DedupSim.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracleSql ++ graft.queries.Etl.oracleSql
+    graft.queries.Core.oracleSql ++ graft.queries.Etl.oracleSql ++
+      graft.queries.TextEvents.oracleSql ++ graft.queries.DedupSim.oracleSql
 }

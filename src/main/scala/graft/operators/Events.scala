@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the batch table; the streaming module
+  * (graft.streaming) runs the same logical shapes incrementally with
+  * watermarks. Each operator is a single shuffle on its natural key.
+  */
+object Events {
+
+  /** Tumbling-window aggregation: one hash shuffle on
+    * (window, type); partial aggregation happens map-side. */
+  def tumbling(df: DataFrame, tsCol: Column, unit: String, keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy((date_trunc(unit, tsCol).as("window_start") +: keys): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapSeconds`.
+    * Exactly one shuffle (on the key); both windows share it.
+    * Time math in integer microseconds — never floating epoch. */
+  def sessionize(df: DataFrame, keyCol: Column, tsCol: Column, tieBreak: Column,
+      gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
+    val prev = lag(tsCol, 1).over(order)
+    val isNew = when(prev.isNull ||
+      (unix_micros(tsCol) - unix_micros(prev)) > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Session roll-up on top of sessionize: bounds + size per session. */
+  def sessionStats(sessions: DataFrame, keyCol: Column, tsCol: Column): DataFrame =
+    sessions.groupBy(keyCol, col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(tsCol).as("session_start"),
+        max(tsCol).as("session_end"))
+}

@@ -28,7 +28,11 @@ object Core {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        // explicit sum/count (not avg()): the sum of integral doubles
+        // is exact and order-independent, so both engines divide the
+        // same bits — engine-internal avg() streaming accumulation
+        // order would not be guaranteed to match
+        round(sum("l_quantity") / count(lit(1)), 4).as("avg_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -168,7 +172,7 @@ object Core {
          round(sum(l_quantity),2) AS sum_qty,
          round(sum(l_extendedprice),2) AS sum_base,
          round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(avg(l_quantity),4) AS avg_qty,
+         round(sum(l_quantity)/count(*),4) AS avg_qty,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
     "q2_join" ->

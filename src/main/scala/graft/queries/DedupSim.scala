@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{Dedup, SimHash}
+import graft.functions.Vectors
+import graft.similarity.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup (d1–d5) and similarity-search (s1–s2) query surface
+  * (SURVEY.md §2). d1/d2/d3/d5 and s1 are oracle-checked; d4 and s2
+  * are approximate/bit-level ops checked rows-only here and
+  * recall-checked against their exact counterparts in DedupSpec.
+  */
+object DedupSim {
+
+  /** Augmented embeddings: originals plus a deterministically
+    * perturbed copy (vec_id + 1000000): v'_i = v_i + 0.05 * v_{(i+1) mod 64}.
+    * Mirrored in the d5 oracle. */
+  def augmentedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+    e.unionByName(e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      col("label"),
+      transform(sequence(lit(0), lit(63)), i =>
+        try_element_at(col("v"), i + 1)
+          + lit(0.05) * try_element_at(col("v"), pmod(i + 1, lit(64)) + 1)).as("v")))
+  }
+
+  def d1Exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Dedup.augmentedDocs(spark, dir))
+      .orderBy("keep_id")
+
+  def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Dedup.augmentedDocs(spark, dir), threshold = 0.8, charWindow = 25)
+      .orderBy("a_id", "b_id")
+
+  def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Dedup.augmentedDocs(spark, dir), k = 8, bands = 4, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  def d4Simhash(spark: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(Dedup.augmentedDocs(spark, dir), maxHamming = 6)
+      .orderBy("a_id", "b_id")
+
+  def d5EmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(
+        augmentedEmbeddings(spark, dir).select(col("vec_id"), col("label"), col("v").as("embedding")),
+        vecCol = "embedding", blockCol = "label", threshold = 0.9)
+      .orderBy("a_id", "b_id")
+
+  def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    Knn.bruteForce(e.filter(col("id") < 10), e.filter(col("id") >= 10), k = 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  def s2KnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    Knn.lshBucketed(e.filter(col("id") < 10), e.filter(col("id") >= 10),
+        k = 5, nPlanes = 8, dim = 64)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact" -> (d1Exact _),
+    "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_embed_cosine" -> (d5EmbedCosine _),
+    "s1_knn_brute" -> (s1KnnBrute _),
+    "s2_knn_lsh" -> (s2KnnLsh _),
+  )
+
+  /** Shared oracle CTE fragments. */
+  private val augBase =
+    """SELECT doc_id, text, lang, n_chars FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000, substr(text, 21), lang, length(substr(text, 21)) FROM documents
+       UNION ALL
+       SELECT doc_id + 2000000, text, lang, n_chars FROM documents"""
+
+  private val shingleCte =
+    s"""base AS ($augBase),
+       toks AS (
+         SELECT doc_id, lang, n_chars,
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tks
+         FROM base),
+       sh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+         FROM toks)"""
+
+  private def h32sql(seed: Int, e: String): String =
+    s"CAST(concat('0x', substr(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
+
+  private val augEmb =
+    """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       UNION ALL
+       SELECT vec_id + 1000000, label,
+         list_transform(range(1, 65),
+           i -> CAST(embedding[i] AS DOUBLE) + 0.05 * CAST(embedding[(i % 64) + 1] AS DOUBLE))
+       FROM embeddings"""
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 4)"
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact" ->
+      s"""WITH base AS ($augBase)
+         SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM base GROUP BY md5(text) ORDER BY keep_id""",
+    "d2_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 25)
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+    "d3_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         sig AS (SELECT doc_id,
+             min(${h32sql(0, "s")}) AS m0, min(${h32sql(1, "s")}) AS m1,
+             min(${h32sql(2, "s")}) AS m2, min(${h32sql(3, "s")}) AS m3,
+             min(${h32sql(4, "s")}) AS m4, min(${h32sql(5, "s")}) AS m5,
+             min(${h32sql(6, "s")}) AS m6, min(${h32sql(7, "s")}) AS m7
+           FROM ex GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR)) AS bv FROM sig
+           UNION ALL SELECT doc_id, 1, concat(CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) FROM sig
+           UNION ALL SELECT doc_id, 2, concat(CAST(m4 AS VARCHAR), '_', CAST(m5 AS VARCHAR)) FROM sig
+           UNION ALL SELECT doc_id, 3, concat(CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id, jaccard FROM (
+           SELECT a_id, b_id,
+             round(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
+           FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+    "d5_embed_cosine" ->
+      s"""WITH aug AS ($augEmb)
+         SELECT a_id, b_id, cos FROM (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
+           FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.9 ORDER BY a_id, b_id""",
+    "s1_knn_brute" ->
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 10),
+         n AS (SELECT vec_id AS n_id, v AS nv FROM d WHERE vec_id >= 10),
+         scored AS (SELECT q_id, n_id, ${cosSql("qv", "nv")} AS cos FROM q CROSS JOIN n)
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+  )
+}

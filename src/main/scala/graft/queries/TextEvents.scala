@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Events, Records, Transform}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis (ta1–ta4) and event-analytics (e1–e3) query surface
+  * (SURVEY.md §2).
+  */
+object TextEvents {
+
+  // ---- Text analysis ----
+
+  def ta1Tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        TextAnalysis.nWordTokens(col("text")).as("n_word_tokens"))
+      .orderBy("doc_id")
+
+  def ta2Quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  def ta3LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.langScore(t, TextAnalysis.LangMarkers(0)._2).as("en_score"),
+        TextAnalysis.langScore(t, TextAnalysis.LangMarkers(1)._2).as("de_score"),
+        TextAnalysis.langScore(t, TextAnalysis.LangMarkers(2)._2).as("es_score"),
+        TextAnalysis.langScore(t, TextAnalysis.LangMarkers(3)._2).as("fr_score"),
+        TextAnalysis.predictedLang(t).as("predicted_lang"),
+        col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def ta4Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = Transform.normalizeText(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(norm).as("fp_md5"),
+        TextAnalysis.fingerprintShingleMin(norm).as("fp_shingle_min"))
+      .orderBy("doc_id")
+  }
+
+  // ---- Events ----
+
+  def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
+    Events.tumbling(Tables.events(spark, dir), col("ts"), "hour",
+        keys = Seq(col("event_type")),
+        aggs = Seq(count(lit(1)).as("n"), round(sum("value"), 2).as("total")))
+      .orderBy("window_start", "event_type")
+
+  def e2Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(
+        Events.sessionize(Tables.events(spark, dir),
+          col("user_id"), col("ts"), col("event_id"), gapSeconds = 1800),
+        col("user_id"), col("ts"))
+      .orderBy("user_id", "session_id")
+
+  def e3JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(Records.extractField(col("props"), "\"k\": ([0-9]+)").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        // exact integer cents: the sum is order-independent, so the
+        // final double division is bit-identical on any engine — no
+        // rounding needed (round(avg(double)) is engine-fragile when
+        // the true mean sits on a rounding boundary)
+        (sum(round(col("value") * 100).cast("long")) / (count(lit(1)) * 100.0))
+          .as("avg_value"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("k")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta1_tokens" -> (ta1Tokens _),
+    "ta2_quality" -> (ta2Quality _),
+    "ta3_langid" -> (ta3LangId _),
+    "ta4_fingerprint" -> (ta4Fingerprint _),
+    "e1_tumbling" -> (e1Tumbling _),
+    "e2_sessionize" -> (e2Sessionize _),
+    "e3_json_props" -> (e3JsonProps _),
+  )
+
+  private val stopList = "('the','a','of','and','in','to','is')"
+
+  val oracleSql: Map[String, String] = Map(
+    "ta1_tokens" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens
+         FROM documents ORDER BY doc_id""",
+    "ta2_quality" ->
+      s"""SELECT doc_id, n_chars,
+           round(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN $stopList))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '\\s', '', 'g'))
+             / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "ta3_langid" ->
+      """SELECT doc_id, en_score, de_score, es_score, fr_score,
+           CASE WHEN greatest(en_score, de_score, es_score, fr_score) = 0 THEN 'und'
+                WHEN en_score = greatest(en_score, de_score, es_score, fr_score) THEN 'en'
+                WHEN de_score = greatest(en_score, de_score, es_score, fr_score) THEN 'de'
+                WHEN es_score = greatest(en_score, de_score, es_score, fr_score) THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           lang
+         FROM (
+           SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('the','a','of','and'))) AS en_score,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('der','die','das','und'))) AS de_score,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('el','la','los','y'))) AS es_score,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t IN ('le','la','les','et'))) AS fr_score
+           FROM documents)
+         ORDER BY doc_id""",
+    "ta4_fingerprint" ->
+      """SELECT doc_id,
+           md5(norm) AS fp_md5,
+           list_aggregate(list_transform(
+             range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> md5(concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))), 'min') AS fp_shingle_min
+         FROM (
+           SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents)
+         ORDER BY doc_id""",
+    "e1_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e2_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+             FROM events))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e3_json_props" ->
+      """SELECT k, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0) AS avg_value,
+           round(sum(value), 2) AS total
+         FROM (SELECT CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k,
+                 value FROM events)
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: token
+  * counting, quality scoring, language ID, fingerprinting. All are
+  * codegen'd expressions (no UDFs), map-only — at 100 TB these run at
+  * scan speed with zero shuffles.
+  *
+  * The reference corpus operations (tulflow) stop at validation and
+  * crosswalks; these extend the same record-stream model to the
+  * filtering/scoring stages an LLM data pipeline adds.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the cheap count). */
+  def nTokens(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Word tokens via a BPE-ish regex ([a-z0-9]+ runs) — robust to
+    * punctuation, the count a tokenizer budget estimate wants. */
+  def nWordTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
+
+  /** Ratio of non-alphanumeric-non-space characters. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-z0-9\\s]", "")) / length(text), 4)
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Fraction of tokens that are stopwords — a fluency signal:
+    * natural text sits in a band, keyword-stuffed or boilerplate
+    * text falls outside it. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(Stopwords))
+    round(size(stops) / size(toks), 4)
+  }
+
+  /** Mean token length over word tokens. */
+  def avgTokenLen(text: Column): Column =
+    round(length(regexp_replace(text, "\\s", "")) / nTokens(text), 4)
+
+  /** Marker-token language scores: occurrences of each language's
+    * high-frequency function words. A real pipeline would use
+    * character n-gram profiles; marker counting is the deterministic,
+    * shuffle-free heuristic and the shape is identical. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(split(trim(text), "\\s+"), t => t.isInCollection(markers)))
+
+  /** argmax over marker scores; earlier entry in LangMarkers wins
+    * ties (deterministic, mirrored in the oracle's CASE chain). */
+  def predictedLang(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // fold from the right so the leftmost max wins
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (l, s)) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Whole-document fingerprint: md5 of normalized text. */
+  def fingerprintMd5(norm: Column): Column = md5(norm.cast("binary"))
+
+  /** Rolling shingle fingerprint: lexicographic min of md5 over
+    * 3-token shingles — a 1-permutation MinHash; stable under small
+    * edits anywhere except at the minimal shingle. Precondition:
+    * ≥3 tokens (shorter docs fall back to a partial shingle). */
+  def fingerprintShingleMin(norm: Column): Column = {
+    val tks = split(trim(norm), "\\s+")
+    val idx = sequence(lit(0), greatest(size(tks) - 3, lit(0)))
+    // try_element_at: OOB yields null (concat_ws skips it) instead of
+    // an ANSI error for <3-token docs
+    val shingles = transform(idx, i =>
+      md5(concat_ws(" ",
+        try_element_at(tks, i + 1), try_element_at(tks, i + 2), try_element_at(tks, i + 3))
+        .cast("binary")))
+    array_min(shingles)
+  }
+}
