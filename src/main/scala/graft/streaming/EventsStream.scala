@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the same logical
+  * shapes as the batch operators (graft.operators.Events), run
+  * incrementally with watermarks bounding state.
+  *
+  * At scale this reads a file/kafka source; here the parquet dir
+  * drives it (file source), and `runTumblingOnce` drains it
+  * synchronously into a memory sink for tests.
+  */
+object EventsStream {
+
+  /** events.parquet schema with ts as raw nanos (the file stores
+    * TIMESTAMP(NANOS); the stream reads it as long + converts, same
+    * as graft.Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with a proper timestamp column. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .format("parquet")
+      .load(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation: counts and sums per
+    * (1-hour window, event_type). The 2-hour watermark bounds state:
+    * windows older than max(event time) - 2h are finalized and
+    * evicted — this is what keeps a 100 TB/day stream's state O(1). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Drain the stream synchronously into an in-memory table and
+    * return the result (complete mode: all windows). */
+  def runTumblingOnce(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val q: StreamingQuery = tumblingAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamMultiSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("streaming tumbling agg matches the batch e1 result") {
+    // the file source wants a directory: stage the single parquet
+    // file behind a symlink
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val streamed = EventsStream.runTumblingOnce(spark,
+      dir.toString, "stream_e1_test")
+    val batch = SparkEntry.queries("e1_tumbling")(spark, sf)
+    // same (window, type) keys, same counts
+    val s = streamed.select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    val b = batch.select(col("window_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(s == b, s"stream-batch mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
+  }
+
+  test("stub decoder pipeline: deterministic, payload-local, batch-shaped") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id").as("id"),
+        col("text").cast("binary").as("payload"),
+        lit("image").as("kind"))
+      .as[Multimodal.BinaryRecord]
+    val decoded = Multimodal.decodeBatch(docs, Multimodal.StubDecoder)
+    val rows = decoded.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.width >= 64 && r.width < 256))
+    assert(rows.forall(_.features.length == 8))
+    // deterministic: same input → same output
+    val again = Multimodal.decodeBatch(docs, Multimodal.StubDecoder).collect()
+    assert(rows.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+
+  test("frame sampling multiplies rows map-side") {
+    // filter, not limit: a global limit plans its own exchange and
+    // would mask the no-shuffle assertion below
+    val df = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .withColumn("n_frames", lit(100))
+    val sampled = Multimodal.sampleFrames(df, "n_frames", stride = 10, maxFrames = 5)
+    assert(sampled.count() == 50) // 5 frames per record
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frame sampling must not shuffle")
+  }
+
+  test("m1 binary meta runs and hashes match t2-style md5") {
+    val df = SparkEntry.queries("m1_binary_meta")(spark, sf)
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.columns.toSeq == Seq("doc_id", "n_bytes", "magic", "content_md5"))
+  }
+}
