@@ -1,0 +1,56 @@
+package graft
+
+import graft.plans.{DotProduct, IntersectCount}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two registration paths:
+  *  - `withExtensions(new GraftExtensions)` at session build time
+  *    (the SparkSessionExtensions route — what a deployment sets via
+  *    `spark.sql.extensions=graft.GraftExtensions`);
+  *  - `GraftExtensions.register(spark)` on a live session (what
+  *    Verify/tests use, since the driver owns session creation).
+  *
+  * After either, SQL users get `graft_dot(a, b)` and
+  * `graft_intersect_count(a, b)` with full codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.dotEntry)
+    e.injectFunction(GraftExtensions.intersectEntry)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def binary(name: String)(mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { args =>
+    if (args.length != 2) throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${args.length}")
+    mk(args(0), args(1))
+  }
+
+  private[graft] val dotEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double> columns"),
+      binary("graft_dot")(DotProduct))
+
+  private[graft] val intersectEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - |A∩B| for sorted distinct array<long> columns"),
+      binary("graft_intersect_count")(IntersectCount))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", binary("graft_dot")(DotProduct), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_intersect_count", binary("graft_intersect_count")(IntersectCount), "scala_udf")
+  }
+}
