@@ -55,9 +55,11 @@ object Dedup {
     * cost of every dedup operator. One tight UDF call per document
     * is ~50× cheaper and the UDF boundary sits at a map-only stage,
     * so nothing downstream loses codegen. */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   private[dedup] def shingleStrings(text: String): Array[String] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
-    val tks = norm.split("\\s+")
+    val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
+    val tks = wsPattern.split(norm)
     val n = math.max(tks.length - 2, 1)
     val out = new Array[String](n)
     var i = 0
@@ -76,8 +78,7 @@ object Dedup {
   /** 32-bit seeded shingle hash, JVM-side: first 8 hex chars of
     * md5("<seed>:<s>") — the exact formula of
     * graft.functions.Hashing.h32, which the oracle mirrors. */
-  private[dedup] def h32jvm(seed: Int, s: String): Long =
-    java.lang.Long.parseLong(Hashing.md5Hex(s"$seed:$s").substring(0, 8), 16)
+  private[dedup] def h32jvm(seed: Int, s: String): Long = Hashing.h32jvm(seed, s)
 
   private val hashedShinglesUdf = udf((text: String) =>
     shingleStrings(text).map(h32jvm(0, _)).distinct.sorted)

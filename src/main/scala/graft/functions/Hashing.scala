@@ -17,11 +17,36 @@ object Hashing {
     conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
-  /** JVM-side md5 hex (for driver-side constants, e.g. LSH plane
-    * derivation) — same function the SQL side uses. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue() = java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** JVM-side md5 hex — same function the SQL side uses. Thread-local
+    * digest + manual hex: this sits under every shingle hash, so no
+    * per-call allocation beyond the output. */
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** First 8 hex chars of md5("<seed>:<s>") as an unsigned 32-bit
+    * value — JVM twin of h32, one digest, no substring parse. */
+  def h32jvm(seed: Int, s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s"$seed:$s".getBytes("UTF-8"))
+    ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
   }
 
   /** Deterministic pseudo-uniform double in [-1, 1) from a string key

@@ -145,8 +145,12 @@ object Core {
     * agg + broadcast join-back (the brand agg is tiny). */
   def q10Correlated(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
+    // exact-cents mean (see e3): the comparison below must see
+    // bit-identical b_avg on every engine, or a part priced exactly
+    // at its brand mean could flip in/out of the result
     val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
-      .agg(avg("p_retailprice").as("b_avg"))
+      .agg((sum(round(col("p_retailprice") * 100).cast("long"))
+        / (count(lit(1)) * 100.0)).as("b_avg"))
     p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
       .filter(col("p_retailprice") > col("b_avg"))
       .select("p_partkey", "p_brand", "p_retailprice")
@@ -233,7 +237,8 @@ object Core {
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q10_correlated" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part p
-         JOIN (SELECT p_brand AS b_brand, avg(p_retailprice) AS b_avg
+         JOIN (SELECT p_brand AS b_brand,
+                 sum(CAST(round(p_retailprice*100) AS BIGINT)) / (count(*)*100.0) AS b_avg
                FROM part GROUP BY 1) b
            ON p.p_brand = b.b_brand
          WHERE p_retailprice > b_avg

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture behaviors: skew salting, approximate distinct. */
+class ScaleSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sf)
+    val part = Tables.part(spark, sf).select(col("p_partkey"), col("p_name"))
+    val plain = li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)), sum("l_quantity")).head
+    val salted = Skew.saltedJoin(li, part,
+        col("l_partkey"), col("p_partkey"),
+        discriminator = col("l_orderkey") * 10 + col("l_linenumber"), salt = 8)
+      .agg(count(lit(1)), sum("l_quantity")).head
+    assert(plain == salted)
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    // all rows share one key — the pathological case
+    val big = spark.range(10000).select(lit(1L).as("k"), col("id"))
+    val small = spark.range(1).select(lit(1L).as("k2"), lit("dim").as("v"))
+    val joined = Skew.saltedJoin(big, small, col("k"), col("k2"),
+      discriminator = col("id"), salt = 8)
+    assert(joined.count() == 10000)
+    // the salt column distributed rows over 8 sub-keys pre-join
+    val buckets = big.withColumn("__salt", pmod(hash(col("id")), lit(8)))
+      .groupBy("__salt").count().count()
+    assert(buckets == 8)
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5% (100 TB path for q7)") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+}
