@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale soak: runs the dedup scale paths on a 10× corpus (150k docs
+  * built by replicating sf0.1 with id offsets and deterministic text
+  * perturbation) to demonstrate the candidate-generation operators
+  * scale linearly where the naive pairwise baseline cannot.
+  * Prints one JSON line; not part of the driver contract.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val base = Tables.documents(spark, dir).select("doc_id", "text", "lang", "n_chars")
+    val replicas = (0 until 10).map { i =>
+      // shift ids; perturb text per replica by dropping i leading chars
+      // so replicas are near- but not exact dups of each other
+      base.select(
+        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        substring(col("text"), i + 1, Int.MaxValue).as("text"),
+        col("lang"),
+        length(substring(col("text"), i + 1, Int.MaxValue)).as("n_chars"))
+    }
+    val corpus = replicas.reduce(_ unionByName _).cache()
+    val n = corpus.count()
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val (tExact, nExact) = time(dedup.Dedup.exact(corpus).count())
+    val (tLsh, nLsh) = time(dedup.Dedup.minhashLsh(corpus, k = 8, bands = 4, threshold = 0.8).count())
+    val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"simhash_s":$tSim,"simhash_pairs":$nSim}""")
+    spark.stop()
+  }
+}

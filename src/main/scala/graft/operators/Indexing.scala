@@ -44,4 +44,17 @@ object Indexing {
     * bootstrapped with. */
   def filterInitCollections(df: DataFrame, collectionCol: Column): DataFrame =
     df.filter(!collectionCol.endsWith("-init"))
+
+  /** Index endpoint URL construction (reference: tasks.py:76-103
+    * `get_solr_url`): host may or may not carry a scheme, optional
+    * port, then /solr/<core>. Pure function — the sink config side
+    * of the lifecycle. */
+  def solrUrl(host: String, port: Option[Int], scheme: Option[String],
+      core: String): String = {
+    val base =
+      if (host.startsWith("http")) host
+      else s"${scheme.getOrElse("http")}://$host"
+    val withPort = port.map(p => s"$base:$p").getOrElse(base)
+    s"$withPort/solr/$core"
+  }
 }
