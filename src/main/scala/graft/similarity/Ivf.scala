@@ -1,0 +1,54 @@
+package graft.similarity
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF-style ANN: partition the corpus into inverted lists by
+  * nearest centroid; a query scans only its `nProbe` closest lists.
+  *
+  * Centroids here are per-partition mean vectors computed with one
+  * explode + (partition, dim) aggregation — at 100 TB this is the
+  * k-means-lite bootstrap; a production index would iterate the
+  * assignment a few times (same two plan shapes per iteration).
+  * Search cost per query: |corpus| * nProbe / nLists instead of
+  * |corpus|; recall is tested against the brute-force baseline.
+  */
+object Ivf {
+
+  /** Mean vector per list key (e.g. label): explode to
+    * (key, dim, value), aggregate, reassemble ordered arrays. */
+  def centroids(data: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    data.select(col(keyCol).as("list_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("list_id", "dim")
+      .agg(avg("x").as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("list_id"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+
+  /** Assign each query to its `nProbe` closest centroids. */
+  def probeLists(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val scored = queries.crossJoin(broadcast(cents))
+      .select(col("id").as("q_id"), col("v").as("q_v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("list_id").asc)
+    scored.withColumn("p", row_number().over(w)).filter(col("p") <= nProbe)
+      .select("q_id", "q_v", "list_id")
+  }
+
+  /** Top-k cosine neighbors per query, searching only probed lists.
+    * `data`: (id, v, <listKey>). */
+  def search(queries: DataFrame, data: DataFrame, listKey: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(data, listKey, "v")
+    val probes = probeLists(queries, cents, nProbe)
+    val lists = data.select(col("id").as("n_id"), col("v").as("n_v"),
+      col(listKey).as("list_id"))
+    val scored = probes.join(lists, "list_id")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
