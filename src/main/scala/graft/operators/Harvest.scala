@@ -65,6 +65,37 @@ object Harvest {
       floor((row_number().over(w) - lit(1)) / lit(recordsPerFile)).cast("long"))
   }
 
+  /** The 100 TB form of batchAssign: instead of one global
+    * row_number per group (a single sort partition per group — the
+    * h5 correctness spec), rank within (group, hash-bucket of the
+    * order column) and add per-bucket offsets from a tiny cumsum
+    * table. The heavy shuffle key space is groups × `buckets`, so no
+    * single group serializes; batch boundaries still hold exactly
+    * `recordsPerFile` records per (group, file_idx). Buckets derive
+    * from the data (hash of orderCol), not the physical layout —
+    * spark_partition_id would differ between the rank branch and the
+    * count branch of the plan. Same contract as batchAssign,
+    * different (still deterministic) record-to-file tie-breaking. */
+  def batchAssignScalable(df: DataFrame, groupCols: Seq[Column], orderCol: Column,
+      recordsPerFile: Int, buckets: Int = 64): DataFrame = {
+    val names = groupCols.map(_.toString)
+    val withB = df.withColumn("__bkt", pmod(hash(orderCol), lit(buckets)))
+    val wLocal = Window.partitionBy((groupCols :+ col("__bkt")): _*).orderBy(orderCol)
+    val local = withB.withColumn("__lidx", row_number().over(wLocal) - lit(1))
+    // per-(group, bucket) counts: tiny (groups × buckets rows)
+    val counts = withB.groupBy((groupCols :+ col("__bkt")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("__off",
+      coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .drop("__cnt")
+    local.join(broadcast(offsets), names :+ "__bkt")
+      .withColumn("file_idx",
+        floor((col("__off") + col("__lidx")) / recordsPerFile).cast("long"))
+      .drop("__bkt", "__lidx", "__off")
+  }
+
   /** md5 content-addressed output key (reference: harvest.py:253-261
     * `dag_write_string_to_s3` names each object md5(content) under a
     * `dag_id/timestamp` prefix). Codegen'd md5, map-only. */
