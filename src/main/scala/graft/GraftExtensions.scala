@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, IntersectCount}
+import graft.plans.{DotProduct, HllSketch, IntersectCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotEntry)
     e.injectFunction(GraftExtensions.intersectEntry)
+    e.injectFunction(GraftExtensions.hllEntry)
   }
 }
 
@@ -46,11 +47,24 @@ object GraftExtensions {
         "graft_intersect_count(a, b) - |A∩B| for sorted distinct array<long> columns"),
       binary("graft_intersect_count")(IntersectCount))
 
+  private val hllBuilder: Seq[Expression] => Expression = { args =>
+    if (args.length != 1) throw new IllegalArgumentException(
+      s"graft_hll expects exactly 1 argument, got ${args.length}")
+    HllSketch(args.head).toAggregateExpression(isDistinct = false)
+  }
+
+  private[graft] val hllEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_hll"),
+      info("graft_hll", "graft_hll(c) - HyperLogLog approximate distinct count of c"),
+      hllBuilder)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", binary("graft_dot")(DotProduct), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_intersect_count", binary("graft_intersect_count")(IntersectCount), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hll", hllBuilder, "scala_udf")
   }
 }

@@ -33,6 +33,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(buckets == 8)
   }
 
+  test("graft_hll sketch tracks exact distinct within 5% per group") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      graft.plans.HllSketch.hll(col("l_partkey")).as("hll"))
+    r.collect().foreach { row =>
+      val exact = row.getLong(1).toDouble
+      val est = row.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"group ${row.get(0)}: exact=$exact hll=$est")
+    }
+    // and on strings
+    val r2 = Tables.documents(spark, sf).agg(
+      countDistinct(col("text")).as("exact"),
+      graft.plans.HllSketch.hll(col("text")).as("hll")).head
+    assert(math.abs(r2.getLong(1).toDouble - r2.getLong(0)) / r2.getLong(0) < 0.05)
+  }
+
   test("approx_count_distinct tracks exact distinct within 5% (100 TB path for q7)") {
     val li = Tables.lineitem(spark, sf)
     val r = li.agg(

@@ -91,6 +91,11 @@ class SourcesStreamSpec extends AnyFunSuite {
                                       CAST(array(2, 5, 9) AS array<long>)) AS i""").head
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
+    // the HLL aggregate is SQL-callable too
+    Tables.lineitem(spark, sf).createOrReplaceTempView("li_sql")
+    val h = spark.sql(
+      "SELECT graft_hll(l_partkey) AS h, count(DISTINCT l_partkey) AS e FROM li_sql").head
+    assert(math.abs(h.getLong(0).toDouble - h.getLong(1)) / h.getLong(1) < 0.05)
   }
 
   // NOTE: the withExtensions build-time route can't be exercised in
