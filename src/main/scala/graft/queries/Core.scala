@@ -157,7 +157,22 @@ object Core {
       .orderBy("p_partkey")
   }
 
+  /** q11: cube over (priority, status) — all grouping-set combos in
+    * one Expand + single shuffle. */
+  def q11Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("g11_base")
+    // temp-view route for the same DetectAmbiguousSelfJoin quirk as q8
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+         round(sum(o_totalprice),2) AS total, count(*) AS n
+         FROM g11_base GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_cube" -> (q11Cube _),
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
     "q3_topk" -> (q3TopK _),
@@ -171,6 +186,11 @@ object Core {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q11_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         round(sum(o_totalprice),2) AS total, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

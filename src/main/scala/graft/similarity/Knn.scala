@@ -50,14 +50,28 @@ object Knn {
     (0 until nPlanes).map(p => (0 until dim).map(i => Hashing.uniformFromKey(s"$p:$i")))
 
   /** LSH-bucketed ANN: both sides bucketed by signature; candidate
-    * neighbors share the query's bucket; exact cosine + top-k within.
-    * Recall < 1 by construction (tested against bruteForce); cost is
-    * |bucket| per query instead of |data|. */
+    * neighbors share one of the query's probed buckets; exact cosine
+    * + top-k within. `nProbes=1` scans only the query's own bucket;
+    * higher values also probe buckets at Hamming distance 1 in
+    * signature space (flip one plane bit) — the standard multi-probe
+    * trade: recall rises with probe count while cost stays
+    * |bucket| × probes per query instead of |data|. */
   def lshBucketed(queries: DataFrame, data: DataFrame, k: Int,
-      nPlanes: Int, dim: Int): DataFrame = {
+      nPlanes: Int, dim: Int, nProbes: Int = 1): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nPlanes + 1,
+      "nProbes ranges over the home bucket + one per flippable plane bit")
     val planes = derivePlanes(nPlanes, dim)
-    val q = queries.select(col("id").as("q_id"), col("v").as("q_v"),
-      hyperplaneBucket(col("v"), planes).as("bucket"))
+    val qBase = queries.select(col("id").as("q_id"), col("v").as("q_v"),
+      hyperplaneBucket(col("v"), planes).as("home"))
+    // probe buckets: home, then home with bit i flipped (i < nProbes-1)
+    val probeCols = col("home") +: (0 until nProbes - 1).map { i =>
+      concat(
+        substring(col("home"), 1, i),
+        when(substring(col("home"), i + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("home"), i + 2, nPlanes))
+    }
+    val q = qBase.select(col("q_id"), col("q_v"),
+      explode(array(probeCols: _*)).as("bucket"))
     val d = data.select(col("id").as("n_id"), col("v").as("n_v"),
       hyperplaneBucket(col("v"), planes).as("bucket"))
     val scored = q.join(d, "bucket")

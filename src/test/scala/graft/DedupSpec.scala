@@ -78,6 +78,24 @@ class DedupSpec extends AnyFunSuite {
     assert(s1Top.nonEmpty)
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("id") < 20)
+    val d = e.filter(col("id") >= 20)
+    val brute = graft.similarity.Knn.bruteForce(q, d, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbes: Int): Double = {
+      val got = graft.similarity.Knn.lshBucketed(q, d, 5, 8, 64, nProbes)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val r1 = recall(1); val r5 = recall(5)
+    assert(r5 >= r1, s"multi-probe recall $r5 < single-probe $r1")
+    assert(r5 > 0)
+  }
+
   test("dedup shuffle keys are hashes, not raw text (scale posture)") {
     val plan = SparkEntry.queries("d1_exact")(spark, sf)
       .queryExecution.executedPlan.toString
