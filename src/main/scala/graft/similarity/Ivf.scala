@@ -27,6 +27,41 @@ object Ivf {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("list_id"), transform(col("dm"), s => s.getField("m")).as("centroid"))
 
+  /** One Lloyd step: re-assign every vector to its nearest current
+    * centroid, then recompute the means. Iterating this pair of plan
+    * shapes is k-means — each step is one broadcast (centroids are
+    * tiny) plus one (list, dim) shuffle, so an iteration costs the
+    * same at any corpus size per pass. */
+  def lloydStep(data: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+    val scored = data.crossJoin(broadcast(cents))
+      .select(col("id"), col(vecCol).as("v"), col("list_id"),
+        Vectors.cosine4(col(vecCol), col("centroid")).as("c_cos"))
+    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
+    val assigned = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("list_id"))
+    centroids(assigned, "list_id", "v")
+  }
+
+  /** k-means-refined lists: seed from an existing coarse key (or any
+    * partition), run `iters` Lloyd steps, return the final
+    * assignment (id, v, list_id) ready for `search`. */
+  def kmeansAssign(data: DataFrame, seedKey: String, vecCol: String,
+      iters: Int): DataFrame = {
+    var cents = centroids(data.select(col("id"), col(vecCol).as("v"),
+      col(seedKey)), seedKey, "v")
+    (0 until iters).foreach { _ =>
+      cents = lloydStep(data.select(col("id"), col(vecCol).as("v")), "v", cents)
+    }
+    val scored = data.select(col("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select("id", "v", "list_id")
+  }
+
   /** Assign each query to its `nProbe` closest centroids. */
   def probeLists(queries: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
     val scored = queries.crossJoin(broadcast(cents))

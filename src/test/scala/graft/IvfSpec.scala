@@ -37,6 +37,17 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == brute, s"diff ${(ivf diff brute).take(3)} / ${(brute diff ivf).take(3)}")
   }
 
+  test("k-means refinement keeps all vectors assigned and improves within-list cohesion") {
+    val d = embeddings.filter(col("id") >= 10)
+    val assigned = Ivf.kmeansAssign(d, "label", "v", iters = 2)
+    assert(assigned.count() == d.count())
+    assert(assigned.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    // refined lists are usable by search directly
+    val q = embeddings.filter(col("id") < 5)
+    val res = Ivf.search(q, assigned, "list_id", k = 3, nProbe = 3)
+    assert(res.count() > 0)
+  }
+
   test("IVF partial probe achieves reasonable recall at a fraction of the scan") {
     val q = embeddings.filter(col("id") < 10)
     val d = embeddings.filter(col("id") >= 10)
