@@ -48,6 +48,16 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming re-harvest dedup (OAI semantics: the same identifier
+    * re-appears across harvests; keep one). State is bounded by the
+    * watermark — identifiers older than the horizon are evicted,
+    * which is what makes exactly-once-per-identifier feasible on an
+    * unbounded stream. */
+  def dedupedByIdentifier(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Drain the stream synchronously into an in-memory table and
     * return the result (complete mode: all windows). */
   def runTumblingOnce(spark: SparkSession, dir: String,

@@ -26,6 +26,26 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(s == b, s"stream-batch mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
   }
 
+  test("streaming dedup keeps one row per identifier under duplicate input") {
+    // stage the same events file twice: the stream sees every record
+    // duplicated, like a re-harvest
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("a.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("b.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val q = EventsStream.dedupedByIdentifier(
+        EventsStream.readEvents(spark, dir.toString), "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dd_test")
+    val expected = Tables.events(spark, sf).count()
+    assert(got.count() == expected,
+      s"expected $expected deduped rows, got ${got.count()}")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("stub decoder pipeline: deterministic, payload-local, batch-shaped") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
