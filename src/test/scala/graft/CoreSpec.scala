@@ -54,6 +54,12 @@ class CoreSpec extends AnyFunSuite {
     assert(plan.contains("l_discount"), "discount filter should be pushed")
   }
 
+  test("GraftSession.tune applies defaults and registers SQL functions") {
+    GraftSession.tune(spark)
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(spark.sql("SELECT graft_dot(CAST(array(1.0) AS array<double>), CAST(array(4.0) AS array<double>))").head.getDouble(0) == 4.0)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
