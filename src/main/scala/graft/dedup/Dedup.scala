@@ -181,6 +181,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fuzzy name matching by edit distance: candidates block on a
+    * coarse key (brand), verified with Levenshtein. The classic
+    * entity-resolution step for short strings where token sets are
+    * too coarse; `levenshtein` is codegen'd and identical in the
+    * oracle engine. At scale, block on a phonetic/prefix key from
+    * the string itself instead of metadata. */
+  def editDistancePairs(df: DataFrame, idCol: Column, nameCol: Column,
+      blockCol: Column, maxDist: Int): DataFrame = {
+    val a = df.select(idCol.as("a_id"), nameCol.as("a_name"), blockCol.as("a_blk"))
+    val b = df.select(idCol.as("b_id"), nameCol.as("b_name"), blockCol.as("b_blk"))
+    a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id")
+        // cheap length prefilter: |len(a)-len(b)| ≤ d is necessary
+        && abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Embedding near-dup pairs: block on a coarse cluster key (here
     * the label column, playing the IVF-centroid role), exact cosine
     * within blocks, threshold on the rounded value. Cosine runs on

@@ -50,6 +50,11 @@ object DedupSim {
         vecCol = "embedding", blockCol = "label", threshold = 0.9)
       .orderBy("a_id", "b_id")
 
+  def d6EditDist(spark: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.part(spark, dir),
+        col("p_partkey"), col("p_name"), col("p_brand"), maxDist = 4)
+      .orderBy("a_id", "b_id")
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -73,6 +78,7 @@ object DedupSim {
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_embed_cosine" -> (d5EmbedCosine _),
+    "d6_editdist" -> (d6EditDist _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
   )
@@ -160,6 +166,14 @@ object DedupSim {
            SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cos
            FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.9 ORDER BY a_id, b_id""",
+    "d6_editdist" ->
+      """SELECT a_id, b_id, dist FROM (
+           SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+             levenshtein(a.p_name, b.p_name) AS dist
+           FROM part a JOIN part b
+             ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 4)
+         WHERE dist <= 4 ORDER BY a_id, b_id""",
     "s1_knn_brute" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 10),

@@ -80,7 +80,21 @@ object TextEvents {
         round(sum("value"), 2).as("total"))
       .orderBy("k")
 
+  /** e4: exact percentiles per type — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so
+    * the (rounded) results hash-match. At 100 TB swap for
+    * percentile_approx (t-digest) — same query shape. */
+  def e4Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e4_percentiles" -> (e4Percentiles _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
@@ -93,6 +107,12 @@ object TextEvents {
   private val stopList = "('the','a','of','and','in','to','is')"
 
   val oracleSql: Map[String, String] = Map(
+    "e4_percentiles" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
     "ta1_tokens" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
