@@ -33,6 +33,21 @@ object Events {
       .drop("__new")
   }
 
+  /** As-of attribution: for every row, the id of the most recent
+    * prior row (same key) satisfying `sourcePred` — e.g. last-click
+    * attribution for purchases. One shuffle on the key; the carry is
+    * a last(ignoreNulls) running window, which is how an as-of join
+    * against the same stream collapses into a single pass (no
+    * per-row range probe). */
+  def asOfAttribute(df: DataFrame, keyCol: Column, tsCol: Column,
+      tieBreak: Column, idCol: Column, sourcePred: Column,
+      outName: String): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(outName,
+      last(when(sourcePred, idCol), ignoreNulls = true).over(order))
+  }
+
   /** Session roll-up on top of sessionize: bounds + size per session. */
   def sessionStats(sessions: DataFrame, keyCol: Column, tsCol: Column): DataFrame =
     sessions.groupBy(keyCol, col("session_id"))

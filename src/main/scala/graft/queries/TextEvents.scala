@@ -93,8 +93,32 @@ object TextEvents {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** e5: last-click attribution — every purchase attributed to the
+    * user's most recent prior click (an as-of join against the same
+    * stream, collapsed to one window pass). */
+  def e5Attribution(spark: SparkSession, dir: String): DataFrame =
+    Events.asOfAttribute(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_id"),
+        col("event_type") === "click", "last_click_id")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "last_click_id")
+      .orderBy("event_id")
+
+  /** e6: pivot event types to columns per day — Expand-free pivot
+    * with a fixed column list (the scalable form: explicit values,
+    * no driver-side distinct pass). */
+  def e6Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e4_percentiles" -> (e4Percentiles _),
+    "e5_attribution" -> (e5Attribution _),
+    "e6_pivot" -> (e6Pivot _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
@@ -107,6 +131,22 @@ object TextEvents {
   private val stopList = "('the','a','of','and','in','to','is')"
 
   val oracleSql: Map[String, String] = Map(
+    "e5_attribution" ->
+      """SELECT event_id, user_id, last_click_id FROM (
+           SELECT event_id, user_id, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_id
+           FROM events)
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "e6_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
     "e4_percentiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
