@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dotEntry)
     e.injectFunction(GraftExtensions.intersectEntry)
     e.injectFunction(GraftExtensions.hllEntry)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
