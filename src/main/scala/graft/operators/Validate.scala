@@ -57,6 +57,28 @@ object Validate {
     df.select((idCol.as("id") +: flags :+ nFailed): _*)
   }
 
+  /** Column profile: the pre-validation survey step every ETL run
+    * wants before writing rules — one scan, one row per profiled
+    * column with null rate, distinct count, and bounds. At 100 TB
+    * swap count_distinct for the HLL sketch (graft.plans.HllSketch);
+    * the query shape is identical. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stats = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, lit(1))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c).cast("string")).as("min_str"),
+        max(col(c).cast("string")).as("max_str"))
+    }
+    df.agg(stats.head.as("s0"), stats.tail.zipWithIndex.map {
+      case (s, i) => s.as(s"s${i + 1}") }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("p"))
+      .select("p.col_name", "p.n_rows", "p.n_null", "p.n_distinct",
+        "p.min_str", "p.max_str")
+  }
+
   /** Per-source filter stats + the all-filtered guard
     * (reference: validate.py:101-121 warns per file and raises when
     * every record in the run is filtered). */

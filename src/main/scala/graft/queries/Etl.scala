@@ -110,6 +110,11 @@ object Etl {
     Validate.reportAll(Tables.documents(spark, dir), docRules, col("doc_id"))
       .orderBy("id")
 
+  def v5Profile(spark: SparkSession, dir: String): DataFrame =
+    Validate.profile(Tables.documents(spark, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
   def v4FilterStats(spark: SparkSession, dir: String): DataFrame =
     Validate.filterStats(Tables.documents(spark, dir), docRules, col("source"))
       .orderBy("source_file")
@@ -178,6 +183,7 @@ object Etl {
     "v2_invalid_report" -> (v2InvalidReport _),
     "v3_report_all" -> (v3ReportAll _),
     "v4_filter_stats" -> (v4FilterStats _),
+    "v5_profile" -> (v5Profile _),
     "t1_crosswalk" -> (t1Crosswalk _),
     "t2_normalize" -> (t2Normalize _),
     "x1_solr_docs" -> (x1SolrDocs _),
@@ -279,6 +285,23 @@ object Etl {
              OR NOT (n_chars = length(text))
              OR NOT (source IS NOT NULL AND source <> '') THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
+    "v5_profile" ->
+      """SELECT col_name, n_rows, n_null, n_distinct, min_str, max_str FROM (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+             count(CASE WHEN doc_id IS NULL THEN 1 END) AS n_null,
+             count(DISTINCT doc_id) AS n_distinct,
+             min(CAST(doc_id AS VARCHAR)) AS min_str, max(CAST(doc_id AS VARCHAR)) AS max_str
+           FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(CASE WHEN lang IS NULL THEN 1 END),
+             count(DISTINCT lang), min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(CASE WHEN source IS NULL THEN 1 END),
+             count(DISTINCT source), min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(CASE WHEN n_chars IS NULL THEN 1 END),
+             count(DISTINCT n_chars), min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM documents)
+         ORDER BY col_name""",
     "t1_crosswalk" ->
       """SELECT doc_id AS id, upper(substr(text, 1, 40)) AS title,
            CASE lang WHEN 'en' THEN 'English' WHEN 'de' THEN 'German'

@@ -67,7 +67,12 @@ object TextEvents {
 
   def e3JsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(Records.extractField(col("props"), "\"k\": ([0-9]+)").as("k"),
+      // idiomatic JSON extraction: schema-checked from_json (the
+      // oracle reaches the same value via regexp — both yield the
+      // bare integer under key k)
+      .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"),
         col("value"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
