@@ -45,6 +45,20 @@ object Indexing {
   def filterInitCollections(df: DataFrame, collectionCol: Column): DataFrame =
     df.filter(!collectionCol.endsWith("-init"))
 
+  /** Apply a harvest batch to an index/base table — the maintenance
+    * step the reference performs against Solr with its new-updated
+    * and deleted record sets (harvest.py:185-208 writes them;
+    * indexing consumes them): SCD-1 upsert = base rows not replaced
+    * or deleted, plus all updates. Anti-joins on the id; at scale
+    * this is the MERGE-shaped single shuffle per side (or a
+    * Delta/Iceberg MERGE INTO with the same semantics). */
+  def applyChanges(base: DataFrame, updates: DataFrame, deletes: DataFrame,
+      idCol: String): DataFrame = {
+    val removed = updates.select(idCol).unionByName(deletes.select(idCol))
+    base.join(removed, Seq(idCol), "left_anti")
+      .unionByName(updates)
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

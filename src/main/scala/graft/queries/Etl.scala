@@ -168,7 +168,20 @@ object Etl {
         col("collection"))
       .orderBy("collection")
 
+  /** x4: index maintenance — apply an update batch (docs with id%3=1,
+    * re-titled) and a delete batch (id%10=0) to the document base. */
+  def x4ApplyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val updates = base.filter(col("doc_id") % 3 === 1)
+      .withColumn("source", concat(lit("updated-"), col("source")))
+    val deletes = base.filter(col("doc_id") % 10 === 0).select("doc_id")
+    Indexing.applyChanges(base, updates, deletes, "doc_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
     "h2_set_include" -> (h2SetInclude _),
     "h3_set_exclude" -> (h3SetExclude _),
@@ -285,6 +298,17 @@ object Etl {
              OR NOT (n_chars = length(text))
              OR NOT (source IS NOT NULL AND source <> '') THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
+    "x4_apply_changes" ->
+      """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         updates AS (SELECT doc_id, lang, concat('updated-', source) AS source, n_chars
+                     FROM base WHERE doc_id % 3 = 1),
+         deletes AS (SELECT doc_id FROM base WHERE doc_id % 10 = 0)
+         SELECT doc_id, lang, source, n_chars FROM base
+         WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+           AND doc_id NOT IN (SELECT doc_id FROM deletes)
+         UNION ALL
+         SELECT * FROM updates
+         ORDER BY doc_id""",
     "v5_profile" ->
       """SELECT col_name, n_rows, n_null, n_distinct, min_str, max_str FROM (
            SELECT 'doc_id' AS col_name, count(*) AS n_rows,
