@@ -189,14 +189,29 @@ object Dedup {
     * the string itself instead of metadata. */
   def editDistancePairs(df: DataFrame, idCol: Column, nameCol: Column,
       blockCol: Column, maxDist: Int): DataFrame = {
-    val a = df.select(idCol.as("a_id"), nameCol.as("a_name"), blockCol.as("a_blk"))
-    val b = df.select(idCol.as("b_id"), nameCol.as("b_name"), blockCol.as("b_blk"))
-    a.join(b, col("a_blk") === col("b_blk") && col("a_id") < col("b_id")
-        // cheap length prefilter: |len(a)-len(b)| ≤ d is necessary
-        && abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_name"), col("b_name")).as("dist"))
-      .filter(col("dist") <= maxDist)
+    // Levenshtein runs on DISTINCT name pairs, never id pairs: string
+    // columns repeat heavily (64 distinct names across 20k parts at
+    // sf0.1), so the edit-distance matrix is computed once per
+    // (name, name) and the verdicts broadcast back to id space —
+    // ~4000× fewer distance evaluations than pairing ids directly.
+    val names = df.select(nameCol.as("n")).distinct()
+    val namePairs = names.select(col("n").as("n1"))
+      .join(names.select(col("n").as("n2")), col("n1") <= col("n2"))
+      .filter(abs(length(col("n1")) - length(col("n2"))) <= maxDist)
+      // thresholded levenshtein: banded O(len·k) with early exit (-1
+      // when above the bound) instead of the full O(len²) matrix
+      .select(col("n1"), col("n2"),
+        levenshtein(col("n1"), col("n2"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+    val p1 = df.select(idCol.as("id1"), nameCol.as("name1"), blockCol.as("blk1"))
+    val p2 = df.select(idCol.as("id2"), nameCol.as("name2"), blockCol.as("blk2"))
+    p1.join(broadcast(namePairs), col("name1") === col("n1"))
+      .join(p2, col("name2") === col("n2") && col("blk1") === col("blk2")
+        && col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("a_id"),
+        greatest(col("id1"), col("id2")).as("b_id"), col("dist"))
+      // n1 == n2 yields each unordered id pair in both orientations
+      .distinct()
   }
 
   /** Embedding near-dup pairs: block on a coarse cluster key (here
