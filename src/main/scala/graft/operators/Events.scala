@@ -48,6 +48,26 @@ object Events {
       last(when(sourcePred, idCol), ignoreNulls = true).over(order))
   }
 
+  /** Range join: match point events to [start, end] intervals of the
+    * same key. The scalable plan is NOT a theta join (which Spark
+    * executes as BroadcastNestedLoop): intervals explode into the
+    * time buckets they cover, points map to their bucket, and an
+    * equi-join on (key, bucket) + a residual BETWEEN filter does the
+    * rest. Bucket width should approximate the median interval
+    * length so the explosion factor stays small. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, key: String,
+      ptTs: String, startTs: String, endTs: String,
+      bucketSeconds: Long): DataFrame = {
+    val us = bucketSeconds * 1000000L
+    val p = points.withColumn("__bkt", expr(s"unix_micros($ptTs) div $us"))
+    val iv = intervals.withColumn("__bkt",
+      explode(sequence(expr(s"unix_micros($startTs) div $us"),
+        expr(s"unix_micros($endTs) div $us"))))
+    p.join(iv, Seq(key, "__bkt"))
+      .filter(col(ptTs) >= col(startTs) && col(ptTs) <= col(endTs))
+      .drop("__bkt")
+  }
+
   /** Session roll-up on top of sessionize: bounds + size per session. */
   def sessionStats(sessions: DataFrame, keyCol: Column, tsCol: Column): DataFrame =
     sessions.groupBy(keyCol, col("session_id"))

@@ -120,7 +120,27 @@ object TextEvents {
       .na.fill(0L)
       .orderBy("day")
 
+  /** e7: range join — assign every event to its session's
+    * [start, end] interval (intervals derived by e2's logic, so the
+    * oracle rebuilds them identically). Each event lands in exactly
+    * one session. */
+  def e7RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val sessions = Events.sessionStats(
+      Events.sessionize(events, col("user_id"), col("ts"), col("event_id"), 1800),
+      col("user_id"), col("ts"))
+    Events.rangeJoin(
+        events.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_id", "session_start", "session_end"),
+        key = "user_id", ptTs = "ts",
+        startTs = "session_start", endTs = "session_end",
+        bucketSeconds = 3600)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_range_join" -> (e7RangeJoin _),
     "e4_percentiles" -> (e4Percentiles _),
     "e5_attribution" -> (e5Attribution _),
     "e6_pivot" -> (e6Pivot _),
@@ -136,6 +156,25 @@ object TextEvents {
   private val stopList = "('the','a','of','and','in','to','is')"
 
   val oracleSql: Map[String, String] = Map(
+    "e7_range_join" ->
+      """WITH sess AS (
+           SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+           FROM (
+             SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+               FROM events))
+           GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, s.session_id
+         FROM events e JOIN sess s
+           ON e.user_id = s.user_id
+           AND e.ts BETWEEN s.session_start AND s.session_end
+         ORDER BY e.event_id""",
     "e5_attribution" ->
       """SELECT event_id, user_id, last_click_id FROM (
            SELECT event_id, user_id, event_type,
