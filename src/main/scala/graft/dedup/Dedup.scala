@@ -114,7 +114,11 @@ object Dedup {
     * drops most pairs before any set op. */
   def ngramJaccard(docs: DataFrame, threshold: Double, charWindow: Int): DataFrame = {
     val chunkW = charWindow + 1
-    val s = withHashedShingles(docs)
+    // lazy local checkpoint: both join branches read one materialized
+    // copy of the shingled corpus instead of re-running the shingle
+    // UDF per branch (Spark has no cross-branch CSE) — ~40% of the
+    // operator's cost at sf0.1
+    val s = withHashedShingles(docs).localCheckpoint(false)
     val a = s.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("n_chars").as("a_n"), col("sh").as("a_sh"),
       floor(col("n_chars") / chunkW).as("a_chunk"))
