@@ -171,7 +171,25 @@ object Core {
          ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
   }
 
+  /** q12: frame windows — per customer, running total and 3-order
+    * moving average over order history (rowsBetween frames; one
+    * shuffle on the key shared by both windows). */
+  def q12MovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_total"),
+        // exact-cents mean over the 3-row frame (engine-stable, see §5)
+        (sum(round(col("o_totalprice") * 100).cast("long"))
+          .over(w.rowsBetween(-2, 0))
+          / (count(lit(1)).over(w.rowsBetween(-2, 0)) * 100.0)).as("moving_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_moving_window" -> (q12MovingWindow _),
     "q11_cube" -> (q11Cube _),
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -186,6 +204,18 @@ object Core {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q12_moving_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           / (count(*) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0) AS moving_avg
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "q11_cube" ->
       """SELECT o_orderpriority, o_orderstatus,
          round(sum(o_totalprice),2) AS total, count(*) AS n

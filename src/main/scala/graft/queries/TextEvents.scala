@@ -50,6 +50,22 @@ object TextEvents {
       .orderBy("doc_id")
   }
 
+  /** ta5: corpus n-gram statistics — top-5 tokens per language by
+    * frequency (explode → count → windowed top-k; at scale the
+    * count is the only real shuffle and TopKPerKey replaces the
+    * window). */
+  def ta5NgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("token"))
+    val counts = tokens.groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("int").as("rank"), col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   // ---- Events ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -145,6 +161,7 @@ object TextEvents {
     "e5_attribution" -> (e5Attribution _),
     "e6_pivot" -> (e6Pivot _),
     "ta1_tokens" -> (ta1Tokens _),
+    "ta5_ngram_freq" -> (ta5NgramFreq _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -197,6 +214,17 @@ object TextEvents {
            round(quantile_cont(value, 0.9), 4) AS p90,
            round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ta5_ngram_freq" ->
+      """SELECT lang, rank, token, n FROM (
+           SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, token ASC) AS INT) AS rank
+           FROM (
+             SELECT lang, token, count(*) AS n FROM (
+               SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+               FROM documents)
+             GROUP BY 1, 2))
+         WHERE rank <= 5 ORDER BY lang, rank""",
     "ta1_tokens" ->
       """SELECT doc_id,
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

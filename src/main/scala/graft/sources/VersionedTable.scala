@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table with atomic latest-pointer swap — the data-plane
+  * form of the reference's collection/alias lifecycle
+  * (solr_api_utils.py:14-60: build a fresh collection, then swap the
+  * serving alias to it; readers never see a half-built collection).
+  *
+  * Layout: `<dir>/v=<N>/` parquet per version; `<dir>/_LATEST` holds
+  * the serving version number and is replaced atomically (write
+  * temp + ATOMIC_MOVE), so concurrent readers resolve either the old
+  * or the new version, never a torn state. Old versions stay for
+  * rollback — `swapTo` is the alias CRUD analog.
+  */
+object VersionedTable {
+
+  private def pointerPath(dir: String) = Paths.get(dir, "_LATEST")
+
+  def listVersions(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  def latestVersion(dir: String): Option[Long] = {
+    val p = pointerPath(dir)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Write `df` as the next version and atomically swap the pointer
+    * to it. Returns the new version number. */
+  def write(df: DataFrame, dir: String): Long = {
+    val next = listVersions(dir).lastOption.getOrElse(0L) + 1
+    df.write.mode("errorifexists").parquet(s"$dir/v=$next")
+    swapTo(dir, next)
+    next
+  }
+
+  /** Point the alias at an existing version (swap / rollback). */
+  def swapTo(dir: String, version: Long): Unit = {
+    require(listVersions(dir).contains(version),
+      s"version $version does not exist under $dir")
+    val tmp = Paths.get(dir, s"_LATEST.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, pointerPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read through the alias: whatever version the pointer serves. */
+  def readLatest(spark: SparkSession, dir: String): DataFrame = {
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no serving version under $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+}

@@ -49,6 +49,23 @@ class SourcesStreamSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(is_deleted"), scan.take(1500))
   }
 
+  test("versioned table: write, alias swap, rollback (solr collection lifecycle analog)") {
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt").toString
+    val v1 = VersionedTable.write(Tables.region(spark, sf), dir)
+    assert(v1 == 1 && VersionedTable.latestVersion(dir).contains(1L))
+    val v2 = VersionedTable.write(Tables.nation(spark, sf), dir)
+    assert(v2 == 2)
+    // alias now serves v2
+    assert(VersionedTable.readLatest(spark, dir).count() == 25)
+    // rollback = swap the alias back; v2 stays on disk
+    VersionedTable.swapTo(dir, 1)
+    assert(VersionedTable.readLatest(spark, dir).count() == 5)
+    assert(VersionedTable.listVersions(dir) == Seq(1L, 2L))
+    // swapping to a missing version refuses
+    intercept[IllegalArgumentException] { VersionedTable.swapTo(dir, 99) }
+  }
+
   test("csv lookup source feeds the broadcast enrich") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(tmp.resolve("lookup.csv"),
