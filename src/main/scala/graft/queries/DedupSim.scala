@@ -72,7 +72,21 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s3: hybrid lexical+vector retrieval over the joined
+    * documents⋈embeddings corpus (shared id space). */
+  def s3Hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v")), "id")
+    graft.similarity.Hybrid.search(
+        corpus.filter(col("id") < 5), corpus.filter(col("id") >= 5),
+        k = 5, alpha = 0.5)
+      .select("q_id", "n_id", "score", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_hybrid" -> (s3Hybrid _),
     "d1_exact" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -174,6 +188,28 @@ object DedupSim {
              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              AND abs(length(a.p_name) - length(b.p_name)) <= 4)
          WHERE dist <= 4 ORDER BY a_id, b_id""",
+    "s3_hybrid" ->
+      s"""WITH corpus AS (
+           SELECT d.doc_id AS id,
+             list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS toks,
+             CAST(e.embedding AS DOUBLE[]) AS v
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         q AS (SELECT id AS q_id, toks AS q_toks, v AS q_v FROM corpus WHERE id < 5),
+         c AS (SELECT id AS n_id, toks AS n_toks, v AS n_v FROM corpus WHERE id >= 5),
+         scored AS (
+           SELECT q_id, n_id,
+             round(0.5 * (list_inner_product(q_v, n_v)
+                 / (sqrt(list_inner_product(q_v, q_v)) * sqrt(list_inner_product(n_v, n_v))))
+               + 0.5 * (len(list_intersect(q_toks, n_toks))
+                 / CAST(len(q_toks) + len(n_toks) - len(list_intersect(q_toks, n_toks)) AS DOUBLE)),
+             4) AS score
+           FROM q CROSS JOIN c)
+         SELECT q_id, n_id, score, rank FROM (
+           SELECT q_id, n_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "s1_knn_brute" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 10),
