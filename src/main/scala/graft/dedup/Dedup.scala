@@ -185,6 +185,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: count, per corpus document, the
+    * hashed 3-shingles it shares with a benchmark/eval set, and flag
+    * documents at or above the contamination threshold. The
+    * benchmark shingle vocabulary is small and broadcast; the corpus
+    * side explodes map-side and aggregates once on doc_id — at
+    * 100 TB this is a broadcast semi-join, never a pairwise op. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minSharedShingles: Int): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(hashedShingles(col("text"))).as("s")).distinct()
+    val corpusEx = corpus
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("s"))
+    val hits = corpusEx.join(broadcast(benchSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minSharedShingles).as("contaminated"))
+  }
+
   /** Fuzzy name matching by edit distance: candidates block on a
     * coarse key (brand), verified with Levenshtein. The classic
     * entity-resolution step for short strings where token sets are

@@ -55,6 +55,16 @@ object DedupSim {
         col("p_partkey"), col("p_name"), col("p_brand"), maxDist = 4)
       .orderBy("a_id", "b_id")
 
+  /** d7: benchmark decontamination — docs 0–9 play the eval set. */
+  def d7Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminate(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        minSharedShingles = 3)
+      .orderBy("doc_id")
+  }
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -93,6 +103,7 @@ object DedupSim {
     "d4_simhash" -> (d4Simhash _),
     "d5_embed_cosine" -> (d5EmbedCosine _),
     "d6_editdist" -> (d6EditDist _),
+    "d7_decontaminate" -> (d7Decontaminate _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
   )
@@ -188,6 +199,27 @@ object DedupSim {
              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
              AND abs(length(a.p_name) - length(b.p_name)) <= 4)
          WHERE dist <= 4 ORDER BY a_id, b_id""",
+    "d7_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+           FROM toks),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+           FROM sh0),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id < 10),
+         cex AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id >= 10),
+         hits AS (SELECT doc_id, count(*) AS n_hits FROM cex JOIN bench USING (s) GROUP BY 1)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           (coalesce(h.n_hits, 0) >= 3) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+         LEFT JOIN hits h USING (doc_id)
+         ORDER BY doc_id""",
     "s3_hybrid" ->
       s"""WITH corpus AS (
            SELECT d.doc_id AS id,

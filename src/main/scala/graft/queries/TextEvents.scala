@@ -66,6 +66,16 @@ object TextEvents {
       .orderBy("lang", "rank")
   }
 
+  /** ta6: quality gate — keep/drop + audit reasons per document. */
+  def ta6QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val (keep, reasons) = TextAnalysis.qualityGate(col("text"),
+      minTokens = 20, maxTokens = 500,
+      minAvgTokLen = 3.0, maxAvgTokLen = 12.0, maxPunctRatio = 0.1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), keep.as("keep"), reasons.as("reasons"))
+      .orderBy("doc_id")
+  }
+
   // ---- Events ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -162,6 +172,7 @@ object TextEvents {
     "e6_pivot" -> (e6Pivot _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta5_ngram_freq" -> (ta5NgramFreq _),
+    "ta6_quality_filter" -> (ta6QualityFilter _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -214,6 +225,24 @@ object TextEvents {
            round(quantile_cont(value, 0.9), 4) AS p90,
            round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ta6_quality_filter" ->
+      """SELECT doc_id,
+           (ntok >= 20 AND ntok <= 500 AND atl >= 3.0 AND atl <= 12.0 AND pr <= 0.1) AS keep,
+           concat_ws('; ',
+             CASE WHEN NOT (ntok >= 20) THEN 'fewer than 20 tokens' END,
+             CASE WHEN NOT (ntok <= 500) THEN 'more than 500 tokens' END,
+             CASE WHEN NOT (atl >= 3.0) THEN 'avg token len under 3.0' END,
+             CASE WHEN NOT (atl <= 12.0) THEN 'avg token len over 12.0' END,
+             CASE WHEN NOT (pr <= 0.1) THEN 'punct ratio over 0.1' END) AS reasons
+         FROM (
+           SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS ntok,
+             round(length(regexp_replace(text, '\s', '', 'g'))
+               / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS atl,
+             round(length(regexp_replace(text, '[a-z0-9\s]', '', 'g'))
+               / CAST(length(text) AS DOUBLE), 4) AS pr
+           FROM documents)
+         ORDER BY doc_id""",
     "ta5_ngram_freq" ->
       """SELECT lang, rank, token, n FROM (
            SELECT lang, token, n,

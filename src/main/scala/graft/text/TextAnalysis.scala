@@ -66,6 +66,26 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style quality gate: the composite keep/drop decision an
+    * LLM-data pipeline applies before training, with the failed-rule
+    * reasons carried for auditability (same report shape as
+    * Validate.invalidReport). All component signals are the map-only
+    * expressions above. */
+  def qualityGate(text: Column, minTokens: Int, maxTokens: Int,
+      minAvgTokLen: Double, maxAvgTokLen: Double,
+      maxPunctRatio: Double): (Column, Column) = {
+    val checks = Seq(
+      (nTokens(text) >= minTokens, s"fewer than $minTokens tokens"),
+      (nTokens(text) <= maxTokens, s"more than $maxTokens tokens"),
+      (avgTokenLen(text) >= minAvgTokLen, s"avg token len under $minAvgTokLen"),
+      (avgTokenLen(text) <= maxAvgTokLen, s"avg token len over $maxAvgTokLen"),
+      (punctRatio(text) <= maxPunctRatio, s"punct ratio over $maxPunctRatio"))
+    val keep = checks.map(_._1).reduce(_ && _)
+    val reasons = concat_ws("; ",
+      checks.map { case (c, msg) => when(!c, lit(msg)) }: _*)
+    (keep, reasons)
+  }
+
   /** Whole-document fingerprint: md5 of normalized text. */
   def fingerprintMd5(norm: Column): Column = md5(norm.cast("binary"))
 
