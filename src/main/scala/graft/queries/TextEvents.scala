@@ -76,6 +76,22 @@ object TextEvents {
       .orderBy("doc_id")
   }
 
+  /** ta7: repetition ratio — the fraction of a document's 3-token
+    * shingles that are duplicates (Gopher's repetition signal:
+    * boilerplate and degenerate text repeat themselves). distinct
+    * shingle count over total shingle positions, both map-only. */
+  def ta7Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = TextAnalysis.nTokens(col("text"))
+    val total = greatest(nTok - 2, lit(1))
+    val distinctSh = size(graft.dedup.Dedup.hashedShingles(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        total.cast("long").as("n_shingles"),
+        distinctSh.cast("long").as("n_distinct"),
+        round(lit(1.0) - distinctSh / total.cast("double"), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
   // ---- Events ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -173,6 +189,7 @@ object TextEvents {
     "ta1_tokens" -> (ta1Tokens _),
     "ta5_ngram_freq" -> (ta5NgramFreq _),
     "ta6_quality_filter" -> (ta6QualityFilter _),
+    "ta7_repetition" -> (ta7Repetition _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -225,6 +242,21 @@ object TextEvents {
            round(quantile_cont(value, 0.9), 4) AS p90,
            round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ta7_repetition" ->
+      """SELECT doc_id, n_shingles, n_distinct,
+           round(1.0 - n_distinct / CAST(n_shingles AS DOUBLE), 4) AS rep_ratio
+         FROM (
+           SELECT doc_id,
+             CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) AS BIGINT) AS n_shingles,
+             CAST(len(list_distinct(list_transform(
+               list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+                 i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2])),
+               s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT)))) AS BIGINT) AS n_distinct
+           FROM (
+             SELECT doc_id, text,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+             FROM documents))
+         ORDER BY doc_id""",
     "ta6_quality_filter" ->
       """SELECT doc_id,
            (ntok >= 20 AND ntok <= 500 AND atl >= 3.0 AND atl <= 12.0 AND pr <= 0.1) AS keep,
