@@ -102,6 +102,15 @@ object Harvest {
   def contentKey(df: DataFrame, contentCol: Column, prefix: String): DataFrame =
     df.withColumn("s3_key", concat(lit(prefix), lit("/"), md5(contentCol.cast("binary"))))
 
+  /** Stamp run provenance on every record (reference: harvest.py
+    * OaiXml sets dag-id/dag-timestamp attributes on each output
+    * collection, and every record carries airflow-record-id).
+    * Columnar form: two constant columns the sink can partition or
+    * audit by — free at scan time, pruned like any other column. */
+  def stampRun(df: DataFrame, runId: String, timestamp: String): DataFrame =
+    df.withColumn("run_id", lit(runId))
+      .withColumn("run_ts", lit(timestamp))
+
   /** Latest record per identifier (OAI re-harvest semantics: a record
     * re-appears with a newer datestamp; the newest wins). Single
     * shuffle on the identifier. */

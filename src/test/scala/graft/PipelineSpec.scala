@@ -26,11 +26,15 @@ class PipelineSpec extends AnyFunSuite {
       Harvest.flagDeleted(harvested, col("event_type"), "error"),
       Seq(col("is_deleted")), col("event_id"), recordsPerFile = 250)
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
-    Sources.writeBatched(batched, "is_deleted", "file_idx", out)
+    // stamp run provenance like OaiXml's dag-id/dag-timestamp
+    val stamped = Harvest.stampRun(batched, "dag-test", "2024-01-31T00:00:00")
+    Sources.writeBatched(stamped, "is_deleted", "file_idx", out)
     // the "updated" side read back, pruned
     val updated = Sources.readStatus(spark, out, "is_deleted", false)
     val expected = harvested.filter(col("event_type") =!= "error").count()
     assert(updated.count() == expected)
+    // provenance survives the round trip on every record
+    assert(updated.filter(col("run_id") === "dag-test").count() == expected)
     assert(updated.count() > 0)
     // totals reported like oai_to_s3's return dict
     val deleted = Sources.readStatus(spark, out, "is_deleted", true).count()
