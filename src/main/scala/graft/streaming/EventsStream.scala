@@ -58,6 +58,27 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming index maintenance: every micro-batch lands as a new
+    * version of a VersionedTable with an atomic alias swap — the
+    * streaming form of the reference's rebuild-collection-then-swap
+    * cycle (readers always see a complete version, never a
+    * half-written batch). foreachBatch gives the batch-DataFrame
+    * bridge; exactly-once comes from the version-per-batch layout
+    * (re-processed batch ids could be deduplicated by recording
+    * batchId → version, omitted here). */
+  def maintainIndex(events: DataFrame, tableDir: String)(
+      transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = transform(batch)
+        if (!out.isEmpty) {
+          graft.sources.VersionedTable.write(out, tableDir)
+          ()
+        }
+      }
+      .start()
+
   /** Drain the stream synchronously into an in-memory table and
     * return the result (complete mode: all windows). */
   def runTumblingOnce(spark: SparkSession, dir: String,

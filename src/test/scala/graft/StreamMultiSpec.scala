@@ -46,6 +46,44 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("streaming foreachBatch maintains a versioned index with atomic swaps") {
+    import graft.sources.VersionedTable
+    val src = java.nio.file.Files.createTempDirectory("graft_im_src")
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val table = java.nio.file.Files.createTempDirectory("graft_im_tbl").toString + "/idx"
+    val q = EventsStream.maintainIndex(
+      EventsStream.readEvents(spark, src.toString), table) { batch =>
+      batch.groupBy("event_type").count()
+    }
+    q.processAllAvailable(); q.stop()
+    // at least one version landed and the alias serves it
+    assert(VersionedTable.listVersions(table).nonEmpty)
+    val served = VersionedTable.readLatest(spark, table)
+    assert(served.count() == 5) // one row per event type
+  }
+
+  test("corrupt records quarantine instead of failing the ingest") {
+    // PERMISSIVE csv read: bad rows land in _corrupt_record, good
+    // rows flow on — the ingest-robustness behavior an unattended
+    // harvest needs
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.writeString(tmp.resolve("in.csv"),
+      "id,n\n1,10\n2,notanumber\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp.toString).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    df.unpersist()
+  }
+
   test("stub decoder pipeline: deterministic, payload-local, batch-shaped") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
