@@ -140,19 +140,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures without re-hashing every shingle instance:
-    * hash the (small) distinct-shingle vocabulary once, broadcast it,
-    * and take per-document mins over the join. k md5 evaluations per
-    * *unique* shingle instead of k per occurrence. */
-  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
-    val vocab = exploded.select(col("shingle")).distinct()
-      .select((col("shingle") +:
-        (0 until k).map(i => Hashing.h32(i, col("shingle")).as(s"h$i"))): _*)
-    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"m$i"))
-    exploded.join(broadcast(vocab), "shingle")
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  /** MinHash permutation constants: m_i = min over hashed shingles h
+    * of (A_i·h + B_i) mod P. Products stay < 2^52 (A < 2^20,
+    * h < 2^32), so the arithmetic is exact in any engine's 64-bit
+    * integers — the oracle mirrors the same literals. */
+  val MinhashA: Array[Long] = Array(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
+  val MinhashB: Array[Long] = Array(12345L, 23456L, 34567L, 45678L,
+    56789L, 67890L, 78901L, 89012L)
+  val MinhashP: Long = 2147483647L
+
+  private val minhash8Udf = udf { (sh: Seq[Long]) =>
+    Array.tabulate(8) { i =>
+      if (sh.isEmpty) Long.MaxValue
+      else {
+        var m = Long.MaxValue
+        val a = MinhashA(i); val b = MinhashB(i)
+        sh.foreach { h => val v = (a * h + b) % MinhashP; if (v < m) m = v }
+        m
+      }
+    }
+  }
+
+  /** MinHash signatures as k arithmetic permutations of the (already
+    * computed) seed-0 hashed shingles — no string re-hashing, no
+    * vocabulary join, map-only over `shingled` = (doc_id, sh). */
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    require(k <= 8, "8 permutation constants defined")
+    shingled.select(col("doc_id"), minhash8Udf(col("sh")).as("mh"))
+      .select((col("doc_id") +:
+        (0 until k).map(i => element_at(col("mh"), i + 1).as(s"m$i"))): _*)
   }
 
   /** MinHash + LSH banding: k hashes in `bands` bands of k/bands
@@ -165,7 +182,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = minhashSignatures(docs, k)
+    // one shingle pass total: signatures AND both verify sides read
+    // the same materialized hashed-shingle corpus
+    val s = withHashedShingles(docs).localCheckpoint(false)
+    val sig = minhashSignatures(s, k)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until r).map(i => col(s"m${b * r + i}").cast("string"))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("bv"))
@@ -177,7 +197,6 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val s = withHashedShingles(docs)
     cands
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")

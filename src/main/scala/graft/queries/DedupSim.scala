@@ -164,13 +164,11 @@ object DedupSim {
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte,
-         ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
          sig AS (SELECT doc_id,
-             min(${h32sql(0, "s")}) AS m0, min(${h32sql(1, "s")}) AS m1,
-             min(${h32sql(2, "s")}) AS m2, min(${h32sql(3, "s")}) AS m3,
-             min(${h32sql(4, "s")}) AS m4, min(${h32sql(5, "s")}) AS m5,
-             min(${h32sql(6, "s")}) AS m6, min(${h32sql(7, "s")}) AS m7
-           FROM ex GROUP BY doc_id),
+             ${(0 until 8).map(i =>
+               s"coalesce(list_min(list_transform(sh, h -> (${graft.dedup.Dedup.MinhashA(i)}*h + ${graft.dedup.Dedup.MinhashB(i)}) % ${graft.dedup.Dedup.MinhashP})), 9223372036854775807) AS m$i")
+               .mkString(",\n             ")}
+           FROM shh),
          bands AS (
            SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR)) AS bv FROM sig
            UNION ALL SELECT doc_id, 1, concat(CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) FROM sig
