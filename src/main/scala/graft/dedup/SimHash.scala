@@ -21,20 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit shingle hash: first 8 md5 bytes, big-endian. JVM-side,
-    * matching graft.functions.Hashing's md5 convention. */
-  def h64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    java.nio.ByteBuffer.wrap(d.digest(s.getBytes("UTF-8")), 0, 8).getLong
+  /** 64-bit shingle hash: splitmix64 finalizer over the 32-bit
+    * seed-0 shingle hash the dedup pipeline already carries — no
+    * per-shingle string digest. */
+  def mix64(h: Long): Long = {
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  private val h64Udf = udf((s: String) => h64(s))
+  private def foldVotes(hashes: Iterator[Long]): Long = {
+    val votes = new Array[Int](64)
+    hashes.foreach { h0 =>
+      val h = mix64(h0)
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((sh: Seq[Long]) => foldVotes(sh.iterator))
 
   /** Aggregator: pre-hashed shingles in, per-bit ±1 votes, signed
     * majority sign-vector out as a packed Long. */
   private object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     def zero: Array[Int] = new Array[Int](64)
-    def reduce(buf: Array[Int], h: Long): Array[Int] = {
+    def reduce(buf: Array[Int], h0: Long): Array[Int] = {
+      val h = mix64(h0)
       var j = 0
       while (j < 64) {
         buf(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -64,18 +84,22 @@ object SimHash {
   /** Column form of the aggregator, usable in groupBy().agg(). */
   def simhashAgg(hashedShingle: Column): Column = udaf(SimHashAgg).apply(hashedShingle)
 
-  /** doc_id -> 64-bit simhash over its shingle set. One explode, a
-    * broadcast join against the hashed vocabulary, one shuffle on
-    * doc_id with map-side partial aggregation. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
-    val vocab = exploded.select("shingle").distinct()
-      .select(col("shingle"), h64Udf(col("shingle")).as("h"))
-    exploded.join(broadcast(vocab), "shingle")
+  /** doc_id -> 64-bit simhash, single map pass over the hashed
+    * shingle arrays (the default path). */
+  def signatures(docs: DataFrame): DataFrame =
+    Dedup.withHashedShingles(docs)
+      .select(col("doc_id"), simhashUdf(col("sh")).as("simhash"))
+
+  /** Same signature via the typed Aggregator over exploded shingle
+    * hashes — the distributed-aggregate form for inputs that arrive
+    * as a row stream rather than per-document arrays. Must produce
+    * identical signatures to `signatures` (cross-checked in
+    * DedupSpec). */
+  def signaturesAgg(docs: DataFrame): DataFrame =
+    Dedup.withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(simhashAgg(col("h")).as("simhash"))
-  }
 
   /** Near-dup pairs by pigeonhole chunk blocking: the 64-bit
     * signature splits into 7 chunks of ≤10 bits; hamming ≤ 6 flips

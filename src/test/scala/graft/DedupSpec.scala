@@ -96,6 +96,16 @@ class DedupSpec extends AnyFunSuite {
     assert(r5 > 0)
   }
 
+  test("simhash UDF and Aggregator paths produce identical signatures") {
+    val docs = graft.dedup.Dedup.augmentedDocs(spark, sf)
+    val a = graft.dedup.SimHash.signatures(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = graft.dedup.SimHash.signaturesAgg(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, s"diff on ${a.keySet.count(k => a(k) != b.getOrElse(k, -1L))} docs")
+    assert(a.nonEmpty)
+  }
+
   test("dedup shuffle keys are hashes, not raw text (scale posture)") {
     val plan = SparkEntry.queries("d1_exact")(spark, sf)
       .queryExecution.executedPlan.toString
