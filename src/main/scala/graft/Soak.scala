@@ -18,15 +18,16 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    val nReplicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val base = Tables.documents(spark, dir).select("doc_id", "text", "lang", "n_chars")
-    val replicas = (0 until 10).map { i =>
+    val replicas = (0 until nReplicas).map { i =>
       // shift ids; perturb text per replica by dropping i leading chars
       // so replicas are near- but not exact dups of each other
       base.select(
         (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        substring(col("text"), i + 1, Int.MaxValue).as("text"),
+        substring(col("text"), (i % 40) + 1, Int.MaxValue).as("text"),
         col("lang"),
-        length(substring(col("text"), i + 1, Int.MaxValue)).as("n_chars"))
+        length(substring(col("text"), (i % 40) + 1, Int.MaxValue)).as("n_chars"))
     }
     val corpus = replicas.reduce(_ unionByName _).cache()
     val n = corpus.count()

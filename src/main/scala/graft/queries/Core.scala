@@ -188,7 +188,23 @@ object Core {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q13: set operations — customers holding BUILDING-segment
+    * accounts INTERSECT customers with any filed order, then the
+    * EXCEPT complement. Both distinct-set ops plan as aggregates. */
+  def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val withF = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    building.intersect(withF).withColumn("relation", lit("both"))
+      .unionByName(building.except(withF).withColumn("relation", lit("building_only")))
+      .orderBy("custkey", "relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_setops" -> (q13SetOps _),
     "q12_moving_window" -> (q12MovingWindow _),
     "q11_cube" -> (q11Cube _),
     "q1_agg" -> (q1Agg _),
@@ -204,6 +220,18 @@ object Core {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q13_setops" ->
+      """SELECT custkey, relation FROM (
+           SELECT custkey, 'both' AS relation FROM (
+             SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+           UNION ALL
+           SELECT custkey, 'building_only' FROM (
+             SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+         ORDER BY custkey, relation""",
     "q12_moving_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
