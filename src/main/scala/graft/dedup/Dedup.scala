@@ -136,6 +136,14 @@ object Dedup {
           // (prefilter-free) oracle keeps
           && (least(size(col("a_sh")), size(col("b_sh")))
               >= greatest(size(col("a_sh")), size(col("b_sh"))) * (threshold - 0.001)))
+      // fused early-exit prefilter: J ≥ t ⟺ |A∩B| ≥ t(|A|+|B|)/(1+t);
+      // with t' = τ-0.001 this is a pure necessary condition for
+      // round(J,4) ≥ τ, and the merge bails as soon as a pair is
+      // provably in or out — most candidates never finish the pass
+      .filter(graft.plans.IntersectAtLeast.intersectAtLeast(
+        col("a_sh"), col("b_sh"),
+        ceil((size(col("a_sh")) + size(col("b_sh"))) * (threshold - 0.001)
+          / (1.0 + threshold - 0.001)).cast("int")))
       .select(col("a_id"), col("b_id"), jaccard4(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
