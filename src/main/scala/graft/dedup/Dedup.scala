@@ -257,13 +257,21 @@ object Dedup {
       .filter(col("dist") >= 0)
     val p1 = df.select(idCol.as("id1"), nameCol.as("name1"), blockCol.as("blk1"))
     val p2 = df.select(idCol.as("id2"), nameCol.as("name2"), blockCol.as("blk2"))
-    p1.join(broadcast(namePairs), col("name1") === col("n1"))
-      .join(p2, col("name2") === col("n2") && col("blk1") === col("blk2")
-        && col("id1") =!= col("id2"))
+    // split the cases so no dedup shuffle is needed:
+    //  - distinct names (n1 < n2): each unordered id pair matches the
+    //    join exactly once (only one name assignment fits) — just
+    //    normalize the id order;
+    //  - identical names: id1 < id2 directly.
+    val diffName = p1
+      .join(broadcast(namePairs.filter(col("n1") < col("n2"))), col("name1") === col("n1"))
+      .join(p2, col("name2") === col("n2") && col("blk1") === col("blk2"))
       .select(least(col("id1"), col("id2")).as("a_id"),
         greatest(col("id1"), col("id2")).as("b_id"), col("dist"))
-      // n1 == n2 yields each unordered id pair in both orientations
-      .distinct()
+    val sameName = p1
+      .join(p2, col("name1") === col("name2") && col("blk1") === col("blk2")
+        && col("id1") < col("id2"))
+      .select(col("id1").as("a_id"), col("id2").as("b_id"), lit(0).as("dist"))
+    diffName.unionByName(sameName)
   }
 
   /** Embedding near-dup pairs: block on a coarse cluster key (here
