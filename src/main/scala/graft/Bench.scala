@@ -10,9 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: one tiny job so session/codegen/scan init isn't charged
-    // to whichever query happens to run first
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warmup: tiny jobs exercising the scan, window, broadcast-join
+    // and native vector codegen paths, so JIT/codegen init isn't
+    // charged to whichever query happens to run first
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("r_regionkey").orderBy("r_name")
+      r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1).count()
+      r.join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
+        col("r_regionkey") === col("n_regionkey")).count()
+      spark.range(1000).select(graft.functions.Vectors.cosine4(
+        expr("CAST(array(1.0, 2.0) AS array<double>)"),
+        expr("CAST(array(2.0, 1.0) AS array<double>)"))).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
