@@ -22,9 +22,13 @@ object Bench {
       r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1).count()
       r.join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
         col("r_regionkey") === col("n_regionkey")).count()
-      spark.range(1000).select(graft.functions.Vectors.cosine4(
+      // agg over the expression, not select(...).count(): count()
+      // would let Catalyst prune the unused projection and skip the
+      // DotProduct codegen path entirely — the JIT cost this warmup
+      // exists to absorb
+      spark.range(1000).agg(sum(graft.functions.Vectors.cosine4(
         expr("CAST(array(1.0, 2.0) AS array<double>)"),
-        expr("CAST(array(2.0, 1.0) AS array<double>)"))).count()
+        expr("CAST(array(2.0, 1.0) AS array<double>)")))).collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -21,17 +21,26 @@ object Validate {
     * `schematron_failed_validation_text` joins assertion texts). */
   final case class Rule(name: String, assertion: Column, message: String)
 
+  /** NULL normalization: an assertion that evaluates to NULL (e.g. a
+    * comparison on a null field) uniformly means *failed*. Without
+    * this, filterValid would drop the record (x AND NULL is not true)
+    * while the report side would treat it as passing (NOT NULL is
+    * NULL) — the record would vanish without ever being reported,
+    * breaking the valid+invalid partition the reference guarantees
+    * (every filtered record lands in the invalid CSV, validate.py:70-99). */
+  private def holds(r: Rule): Column = coalesce(r.assertion, lit(false))
+
   /** Failed-assert messages per record, as an array column
     * (empty array == valid). */
   def failures(rules: Seq[Rule]): Column =
     filter(
-      array(rules.map(r => when(!r.assertion, lit(r.message))): _*),
+      array(rules.map(r => when(!holds(r), lit(r.message))): _*),
       c => c.isNotNull)
 
   /** Valid records only (reference: validate.py:66-76 removes
     * invalid records from the output collection). */
   def filterValid(df: DataFrame, rules: Seq[Rule]): DataFrame =
-    df.filter(rules.map(_.assertion).reduce(_ && _))
+    df.filter(rules.map(holds).reduce(_ && _))
 
   /** Invalid-records report (reference: validate.py:28-100 CSV:
     * id, report, record, source_file). `record` mirrors
@@ -51,8 +60,8 @@ object Validate {
   /** Report mode (reference: validate.py:124-200): every record, one
     * boolean per rule plus the failure count. */
   def reportAll(df: DataFrame, rules: Seq[Rule], idCol: Column): DataFrame = {
-    val flags = rules.map(r => r.assertion.as(s"passed_${r.name}"))
-    val nFailed = rules.map(r => when(!r.assertion, 1).otherwise(0))
+    val flags = rules.map(r => holds(r).as(s"passed_${r.name}"))
+    val nFailed = rules.map(r => when(!holds(r), 1).otherwise(0))
       .reduce(_ + _).as("n_failed")
     df.select((idCol.as("id") +: flags :+ nFailed): _*)
   }
@@ -83,7 +92,7 @@ object Validate {
     * (reference: validate.py:101-121 warns per file and raises when
     * every record in the run is filtered). */
   def filterStats(df: DataFrame, rules: Seq[Rule], sourceCol: Column): DataFrame = {
-    val invalid = rules.map(r => !r.assertion).reduce(_ || _)
+    val invalid = rules.map(r => !holds(r)).reduce(_ || _)
     df.groupBy(sourceCol.as("source_file"))
       .agg(
         count(lit(1)).as("n_records"),

@@ -45,6 +45,10 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
+    // defense in depth with the rewrite rule's k >= 1 guard: a
+    // directly-constructed k <= 0 plan is an empty result, not a
+    // pq.head crash on an empty heap
+    if (kLocal <= 0) return child.execute().mapPartitions(_ => Iterator.empty)
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output

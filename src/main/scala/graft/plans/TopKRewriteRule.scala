@@ -25,8 +25,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         a @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)), _)),
         _, _, child, _)) =>
       cond match {
+        // k >= 1 guard: rn <= 0 is a legal empty-result query; it must
+        // stay a (no-op) window filter, not become a k=0 heap
         case LessThanOrEqual(attr: AttributeReference, Literal(k: Int, _))
-            if attr.exprId == a.exprId && part.nonEmpty && order.nonEmpty =>
+            if attr.exprId == a.exprId && part.nonEmpty && order.nonEmpty && k >= 1 =>
           Some((TopKPerKeyPlan(part, order, k, child), a.toAttribute))
         case LessThan(attr: AttributeReference, Literal(k: Int, _))
             if attr.exprId == a.exprId && part.nonEmpty && order.nonEmpty && k > 1 =>

@@ -257,46 +257,48 @@ object Etl {
            AND n_chars = length(text)
            AND source IS NOT NULL AND source <> ''
          ORDER BY doc_id""",
+    // NULL assertions uniformly mean failed-and-reported (mirrors
+    // Validate.holds): every failure test is NOT coalesce(a, FALSE).
     "v2_invalid_report" ->
       """SELECT doc_id AS id,
            concat_ws(chr(10),
-             CASE WHEN NOT (length(text) > 0) THEN 'record has no content' END,
-             CASE WHEN NOT (n_chars >= 100) THEN 'record shorter than 100 chars' END,
-             CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 'unknown language code' END,
-             CASE WHEN NOT (n_chars = length(text)) THEN 'n_chars does not match text length' END,
-             CASE WHEN NOT (source IS NOT NULL AND source <> '') THEN 'missing source' END
+             CASE WHEN NOT coalesce(length(text) > 0, FALSE) THEN 'record has no content' END,
+             CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 'record shorter than 100 chars' END,
+             CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE) THEN 'unknown language code' END,
+             CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 'n_chars does not match text length' END,
+             CASE WHEN NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 'missing source' END
            ) AS report,
            CASE WHEN source IS NOT NULL AND source <> '' THEN source ELSE text END AS record,
            source AS source_file
          FROM documents
-         WHERE NOT (length(text) > 0) OR NOT (n_chars >= 100)
-            OR NOT (lang IN ('en','de','fr','es','zh'))
-            OR NOT (n_chars = length(text))
-            OR NOT (source IS NOT NULL AND source <> '')
+         WHERE NOT coalesce(length(text) > 0, FALSE) OR NOT coalesce(n_chars >= 100, FALSE)
+            OR NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+            OR NOT coalesce(n_chars = length(text), FALSE)
+            OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE)
          ORDER BY id""",
     "v3_report_all" ->
       """SELECT doc_id AS id,
-           (length(text) > 0) AS passed_nonempty,
-           (n_chars >= 100) AS passed_min_length,
-           (lang IN ('en','de','fr','es','zh')) AS passed_known_lang,
-           (n_chars = length(text)) AS passed_chars_consistent,
-           (source IS NOT NULL AND source <> '') AS passed_source_present,
-           (CASE WHEN NOT (length(text) > 0) THEN 1 ELSE 0 END
-            + CASE WHEN NOT (n_chars >= 100) THEN 1 ELSE 0 END
-            + CASE WHEN NOT (lang IN ('en','de','fr','es','zh')) THEN 1 ELSE 0 END
-            + CASE WHEN NOT (n_chars = length(text)) THEN 1 ELSE 0 END
-            + CASE WHEN NOT (source IS NOT NULL AND source <> '') THEN 1 ELSE 0 END) AS n_failed
+           coalesce(length(text) > 0, FALSE) AS passed_nonempty,
+           coalesce(n_chars >= 100, FALSE) AS passed_min_length,
+           coalesce(lang IN ('en','de','fr','es','zh'), FALSE) AS passed_known_lang,
+           coalesce(n_chars = length(text), FALSE) AS passed_chars_consistent,
+           coalesce(source IS NOT NULL AND source <> '', FALSE) AS passed_source_present,
+           (CASE WHEN NOT coalesce(length(text) > 0, FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(n_chars >= 100, FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(n_chars = length(text), FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 ELSE 0 END) AS n_failed
          FROM documents ORDER BY id""",
     "v4_filter_stats" ->
       """SELECT source AS source_file, count(*) AS n_records,
-           count(CASE WHEN NOT (length(text) > 0) OR NOT (n_chars >= 100)
-             OR NOT (lang IN ('en','de','fr','es','zh'))
-             OR NOT (n_chars = length(text))
-             OR NOT (source IS NOT NULL AND source <> '') THEN 1 END) AS n_invalid,
-           (count(*) = count(CASE WHEN NOT (length(text) > 0) OR NOT (n_chars >= 100)
-             OR NOT (lang IN ('en','de','fr','es','zh'))
-             OR NOT (n_chars = length(text))
-             OR NOT (source IS NOT NULL AND source <> '') THEN 1 END)) AS all_filtered
+           count(CASE WHEN NOT coalesce(length(text) > 0, FALSE) OR NOT coalesce(n_chars >= 100, FALSE)
+             OR NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+             OR NOT coalesce(n_chars = length(text), FALSE)
+             OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 END) AS n_invalid,
+           (count(*) = count(CASE WHEN NOT coalesce(length(text) > 0, FALSE) OR NOT coalesce(n_chars >= 100, FALSE)
+             OR NOT coalesce(lang IN ('en','de','fr','es','zh'), FALSE)
+             OR NOT coalesce(n_chars = length(text), FALSE)
+             OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
     "x4_apply_changes" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),

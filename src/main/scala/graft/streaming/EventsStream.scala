@@ -62,19 +62,28 @@ object EventsStream {
     * version of a VersionedTable with an atomic alias swap — the
     * streaming form of the reference's rebuild-collection-then-swap
     * cycle (readers always see a complete version, never a
-    * half-written batch). foreachBatch gives the batch-DataFrame
-    * bridge; exactly-once comes from the version-per-batch layout
-    * (re-processed batch ids could be deduplicated by recording
-    * batchId → version, omitted here). */
+    * half-written batch). Exactly-once per batch id: a
+    * `_batch-<id>` marker records batchId → version, so a replayed
+    * micro-batch (restart between version write and checkpoint
+    * commit) is skipped instead of writing a duplicate version. The
+    * transformed batch is persisted so the emptiness probe and the
+    * version write run the transform once, not twice. */
   def maintainIndex(events: DataFrame, tableDir: String)(
       transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val out = transform(batch)
-        if (!out.isEmpty) {
-          graft.sources.VersionedTable.write(out, tableDir)
-          ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val marker = Paths.get(tableDir, s"_batch-$batchId")
+        if (!Files.exists(marker)) {
+          val out = transform(batch).persist()
+          try {
+            val version =
+              if (out.isEmpty) -1L
+              else graft.sources.VersionedTable.write(out, tableDir)
+            Files.createDirectories(Paths.get(tableDir))
+            Files.writeString(marker, version.toString)
+          } finally { out.unpersist(); () }
         }
       }
       .start()

@@ -39,7 +39,12 @@ object SessionStream {
                 closed += Session(uid, o.start_us, o.end_us, o.n)
                 open = Some(Open(e.ts_us, e.ts_us, 1))
               case Some(o) =>
-                open = Some(Open(o.start_us, e.ts_us, o.n + 1))
+                // min/max, not plain e.ts_us: an out-of-order event
+                // from a later micro-batch (events within one batch
+                // are sorted above) must not regress the open
+                // session's end and corrupt later gap comparisons
+                open = Some(Open(math.min(o.start_us, e.ts_us),
+                  math.max(o.end_us, e.ts_us), o.n + 1))
               case None =>
                 open = Some(Open(e.ts_us, e.ts_us, 1))
             }
