@@ -82,9 +82,19 @@ object EventsStream {
               if (out.isEmpty) -1L
               else graft.sources.VersionedTable.write(out, tableDir)
             Files.createDirectories(Paths.get(tableDir))
-            Files.writeString(marker, version.toString)
+            // Atomic marker publish (same temp+ATOMIC_MOVE pattern as
+            // VersionedTable's _LATEST pointer): a reader/replay never
+            // observes a half-written marker. A crash between the
+            // version write and this move can still replay the batch
+            // once — at most one duplicate version, with identical
+            // content, invisible behind the _LATEST pointer.
+            val tmp = Paths.get(tableDir, s"_batch-$batchId.tmp")
+            Files.writeString(tmp, version.toString)
+            Files.move(tmp, marker,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           } finally { out.unpersist(); () }
         }
+        ()
       }
       .start()
 
