@@ -237,8 +237,7 @@ object Dedup {
     * coarse key (brand), verified with Levenshtein. The classic
     * entity-resolution step for short strings where token sets are
     * too coarse; `levenshtein` is codegen'd and identical in the
-    * oracle engine. At scale, block on a phonetic/prefix key from
-    * the string itself instead of metadata. */
+    * oracle engine. */
   def editDistancePairs(df: DataFrame, idCol: Column, nameCol: Column,
       blockCol: Column, maxDist: Int): DataFrame = {
     // Levenshtein runs on DISTINCT name pairs, never id pairs: string
@@ -246,10 +245,28 @@ object Dedup {
     // sf0.1), so the edit-distance matrix is computed once per
     // (name, name) and the verdicts broadcast back to id space —
     // ~4000× fewer distance evaluations than pairing ids directly.
-    val names = df.select(nameCol.as("n")).distinct()
-    val namePairs = names.select(col("n").as("n1"))
-      .join(names.select(col("n").as("n2")), col("n1") <= col("n2"))
-      .filter(abs(length(col("n1")) - length(col("n2"))) <= maxDist)
+    //
+    // Pair generation is an EQUI-join, never names × names: lev ≤ k
+    // implies |len(a) - len(b)| ≤ k, and the length constraint turns
+    // into a join key — chunk = len/(k+1), probe side exploded to
+    // {chunk-1, chunk, chunk+1} (the d2 chunking trick, lossless by
+    // the same ±k containment argument). The shuffle distributes over
+    // length chunks and each name only meets names of similar length:
+    // O(Σ |chunk|²) instead of O(distinct²). For name-heavy corpora
+    // where one length dominates, compose a caller-side phonetic/
+    // prefix key into `nameCol`'s table before calling (the verify
+    // step is unchanged); the chunk join stays exact regardless.
+    val chunkW = maxDist + 1
+    val names = df.select(nameCol.as("n")).distinct().localCheckpoint(false)
+    val n1 = names.select(col("n").as("n1"),
+      floor(length(col("n")) / chunkW).as("c1"))
+    val n2 = names.select(col("n").as("n2"),
+      explode(array(floor(length(col("n")) / chunkW) - 1,
+        floor(length(col("n")) / chunkW),
+        floor(length(col("n")) / chunkW) + 1)).as("c2"))
+    val namePairs = n1
+      .join(n2, col("c1") === col("c2") && col("n1") <= col("n2")
+        && abs(length(col("n1")) - length(col("n2"))) <= maxDist)
       // thresholded levenshtein: banded O(len·k) with early exit (-1
       // when above the bound) instead of the full O(len²) matrix
       .select(col("n1"), col("n2"),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 import scala.collection.mutable
 
@@ -28,20 +28,29 @@ import scala.collection.mutable
   * `TopKPerKey.topKPerKey`.
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan, partial: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyPlan =
     copy(child = c)
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of a key must co-locate; Spark inserts the hash
-    * exchange (or reuses an existing compatible partitioning). */
+  /** All rows of a key must co-locate — unless this is the PARTIAL
+    * form, which (like a partial aggregate) runs on whatever
+    * partitioning the child already has and truncates each partition
+    * to k rows per key before the shuffle. A partial+final pair is
+    * the map-side-combine of top-k: only ≤ partitions·keys·k rows
+    * ever cross the wire instead of the full scored input. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(keys)) :: Nil
+
+  /** Row-filtering operator: partitioning passes through, so the
+    * final top-k (and a downstream window on the same keys) reuses
+    * the exchange instead of inserting a new one. */
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -82,8 +91,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case TopKPerKeyPlan(keys, order, k, child, partial) =>
+      TopKPerKeyExec(keys, order, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -96,7 +105,8 @@ object TopKPerKey {
     * descend into. Row order within the result is unspecified —
     * sort downstream if needed. */
   def topKPerKey(df: DataFrame, keyNames: Seq[String],
-      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderBy: Seq[(String, Boolean)], k: Int,
+      partial: Boolean = false): DataFrame = {
     val child = df.queryExecution.analyzed
     def attr(name: String) = child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
@@ -112,6 +122,6 @@ object TopKPerKey {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     }
-    GraftShims.ofRows(spark, TopKPerKeyPlan(keyExprs, sortOrders, k, child))
+    GraftShims.ofRows(spark, TopKPerKeyPlan(keyExprs, sortOrders, k, child, partial))
   }
 }

@@ -83,14 +83,18 @@ object DedupSim {
   }
 
   /** s3: hybrid lexical+vector retrieval over the joined
-    * documents⋈embeddings corpus (shared id space). */
+    * documents⋈embeddings corpus (shared id space), routed through
+    * the LSH-bucket candidate generator (4 hyperplanes → 16 buckets;
+    * a query only scores its own bucket). The oracle mirrors the
+    * bucketing with the same md5-derived plane literals. */
+  val S3Planes = 4
   def s3Hybrid(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
       .join(Tables.embeddings(spark, dir)
         .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v")), "id")
-    graft.similarity.Hybrid.search(
+    graft.similarity.Hybrid.searchBucketed(
         corpus.filter(col("id") < 5), corpus.filter(col("id") >= 5),
-        k = 5, alpha = 0.5)
+        k = 5, alpha = 0.5, nPlanes = S3Planes, dim = 64)
       .select("q_id", "n_id", "score", "rank")
       .orderBy("q_id", "rank")
   }
@@ -146,6 +150,17 @@ object DedupSim {
 
   private def cosSql(a: String, b: String): String =
     s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 4)"
+
+  /** DuckDB twin of Knn.hyperplaneBucket: the plane values are exact
+    * k/1000 decimals (Hashing.uniformFromKey), so the literals
+    * round-trip to identical doubles in both engines. */
+  private def bucketSql(vExpr: String, nPlanes: Int, dim: Int): String = {
+    val planes = graft.similarity.Knn.derivePlanes(nPlanes, dim)
+    planes.map { p =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product($vExpr, CAST($lits AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ",\n             ", ")")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "d1_exact" ->
@@ -224,8 +239,11 @@ object DedupSim {
              list_distinct(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS toks,
              CAST(e.embedding AS DOUBLE[]) AS v
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-         q AS (SELECT id AS q_id, toks AS q_toks, v AS q_v FROM corpus WHERE id < 5),
-         c AS (SELECT id AS n_id, toks AS n_toks, v AS n_v FROM corpus WHERE id >= 5),
+         bkt AS (SELECT id, toks, v,
+             ${bucketSql("v", S3Planes, 64)} AS bucket
+           FROM corpus),
+         q AS (SELECT id AS q_id, toks AS q_toks, v AS q_v, bucket FROM bkt WHERE id < 5),
+         c AS (SELECT id AS n_id, toks AS n_toks, v AS n_v, bucket FROM bkt WHERE id >= 5),
          scored AS (
            SELECT q_id, n_id,
              round(0.5 * (list_inner_product(q_v, n_v)
@@ -233,7 +251,7 @@ object DedupSim {
                + 0.5 * (len(list_intersect(q_toks, n_toks))
                  / CAST(len(q_toks) + len(n_toks) - len(list_intersect(q_toks, n_toks)) AS DOUBLE)),
              4) AS score
-           FROM q CROSS JOIN c)
+           FROM q JOIN c USING (bucket))
          SELECT q_id, n_id, score, rank FROM (
            SELECT q_id, n_id, score,
              CAST(row_number() OVER (PARTITION BY q_id

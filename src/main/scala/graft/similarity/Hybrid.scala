@@ -27,24 +27,58 @@ object Hybrid {
     i / (size(a) + size(b) - i).cast("double")
   }
 
-  /** `corpus`: (id, text, v: array<double>). Returns top-k candidates
-    * per query by `alpha·cosine + (1-alpha)·jaccard`, rounded to 4 dp
-    * for engine-stable ranking, ties broken by id. */
+  private def fusedScore(alpha: Double): Column =
+    round(
+      lit(alpha) * (Vectors.dot(col("q_v"), col("n_v"))
+        / (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v"))))
+        + lit(1.0 - alpha) * tokenJaccard(col("q_toks"), col("n_toks")),
+      4).as("score")
+
+  /** Fused score + per-query top-k over an already-joined
+    * (q_id, q_toks, q_v, n_id, n_toks, n_v) candidate set. Partial
+    * top-k heaps truncate each partition before the only shuffle. */
+  private def rankCandidates(pairs: DataFrame, k: Int, alpha: Double): DataFrame = {
+    val scored = pairs.select(col("q_id"), col("n_id"), fusedScore(alpha))
+    val ord = Seq(("score", true), ("n_id", false))
+    val local = graft.plans.TopKPerKey.topKPerKey(
+      scored, Seq("q_id"), ord, k, partial = true)
+    val global = graft.plans.TopKPerKey.topKPerKey(local, Seq("q_id"), ord, k)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    global.withColumn("rank", row_number().over(w).cast("int"))
+  }
+
+  /** Exact form: every query scores every candidate. The (small)
+    * QUERY side broadcasts; the corpus streams map-only and is never
+    * broadcast or shuffled — per-partition top-k heaps bound the one
+    * shuffle at partitions·|q|·k rows (same shape as Knn.bruteForce).
+    * `queries`/`candidates`: (id, text, v: array<double>). Returns
+    * top-k per query by `alpha·cosine + (1-alpha)·jaccard`, rounded
+    * to 4 dp for engine-stable ranking, ties broken by id. */
   def search(queries: DataFrame, candidates: DataFrame, k: Int,
       alpha: Double): DataFrame = {
     val q = queries.select(col("id").as("q_id"),
       tokenSet(col("text")).as("q_toks"), col("v").as("q_v"))
     val c = candidates.select(col("id").as("n_id"),
       tokenSet(col("text")).as("n_toks"), col("v").as("n_v"))
-    val scored = q.join(broadcast(c), lit(true))
-      .select(col("q_id"), col("n_id"),
-        round(
-          lit(alpha) * (Vectors.dot(col("q_v"), col("n_v"))
-            / (Vectors.norm(col("q_v")) * Vectors.norm(col("n_v"))))
-            + lit(1.0 - alpha) * tokenJaccard(col("q_toks"), col("n_toks")),
-          4).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    rankCandidates(c.join(broadcast(q), lit(true)), k, alpha)
+  }
+
+  /** Scale form: an LSH candidate generator in front of the same
+    * fused scoring. Both sides bucket by random-hyperplane signature
+    * (Knn.hyperplaneBucket — deterministic md5-derived planes, so the
+    * oracle can mirror the buckets); a query only scores candidates
+    * in its own bucket, an equi-join on the bucket key. Cost per
+    * query is |bucket| instead of |corpus|, and there is no cross
+    * join and no corpus broadcast anywhere in the plan. */
+  def searchBucketed(queries: DataFrame, candidates: DataFrame, k: Int,
+      alpha: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = Knn.derivePlanes(nPlanes, dim)
+    val q = queries.select(col("id").as("q_id"),
+      tokenSet(col("text")).as("q_toks"), col("v").as("q_v"),
+      Knn.hyperplaneBucket(col("v"), planes).as("bucket"))
+    val c = candidates.select(col("id").as("n_id"),
+      tokenSet(col("text")).as("n_toks"), col("v").as("n_v"),
+      Knn.hyperplaneBucket(col("v"), planes).as("bucket"))
+    rankCandidates(q.join(c, "bucket"), k, alpha)
   }
 }

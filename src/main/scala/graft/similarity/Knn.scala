@@ -21,17 +21,26 @@ import org.apache.spark.sql.expressions.Window
 object Knn {
 
   /** Exact top-k cosine neighbors per query vector.
-    * `queries`/`data`: (id, v: array<double>). */
+    * `queries`/`data`: (id, v: array<double>).
+    *
+    * Scale shape: the QUERY set (small by contract) broadcasts; the
+    * corpus streams map-only through its own partitions and is never
+    * shuffled or broadcast. Per-partition k-bounded heaps (partial
+    * TopKPerKey) truncate before the only shuffle, so at most
+    * partitions·|q|·k survivor rows cross the wire — the q×n score
+    * matrix never does. The final window ranks ≤ |q|·k rows. */
   def bruteForce(queries: DataFrame, data: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("q_id"), col("v").as("q_v"))
     val d = data.select(col("id").as("n_id"), col("v").as("n_v"))
-    val scored = q.join(broadcast(d).hint("broadcast"), lit(true))
+    val scored = d.join(broadcast(q), lit(true))
       .select(col("q_id"), col("n_id"), Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
-    // queries are few: broadcast DATA against queries would invert at
-    // scale; the cross join here broadcasts the smaller side chosen
-    // by Catalyst. Rank on the rounded cosine for determinism.
+    val ord = Seq(("cos", true), ("n_id", false))
+    val local = graft.plans.TopKPerKey.topKPerKey(
+      scored, Seq("q_id"), ord, k, partial = true)
+    val global = graft.plans.TopKPerKey.topKPerKey(local, Seq("q_id"), ord, k)
+    // rank on the rounded cosine for determinism; ties broken by id
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    global.withColumn("rank", row_number().over(w))
   }
 
   /** Random-hyperplane signature: `planes` rows of the same dim as

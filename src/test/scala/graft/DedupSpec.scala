@@ -111,4 +111,45 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("md5"), "exact dedup must group on md5(text)")
   }
+
+  /** Broadcast-side output columns from a formatted explain: each
+    * `(n) BroadcastExchange` node's `Input [..]: [cols]` line. */
+  private def broadcastInputs(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    raw"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]".r
+      .findAllMatchIn(fmt).map(_.group(1)).toSeq
+  }
+
+  test("s1 broadcasts the query side, never the corpus (scale posture)") {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    val df = graft.similarity.Knn.bruteForce(
+      e.filter(col("id") < 10), e.filter(col("id") >= 10), 5)
+    val bc = broadcastInputs(df)
+    assert(bc.nonEmpty, "query side must broadcast")
+    bc.foreach { cols =>
+      assert(cols.contains("q_id") && !cols.contains("n_v"),
+        s"corpus-side broadcast found: [$cols]")
+    }
+    // the q×n score matrix must be truncated per-partition BEFORE the
+    // shuffle: partial + final TopKPerKey pair in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "partial top-k missing")
+  }
+
+  test("s3 bucketed hybrid plans an equi-join — no cartesian, no corpus broadcast") {
+    val df = SparkEntry.queries("s3_hybrid")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in s3 plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "non-equi join in s3 plan")
+  }
+
+  test("d6 name-pair generation is an equi-join — no cartesian") {
+    val df = SparkEntry.queries("d6_editdist")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in d6 plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "names x names theta-join in d6 plan")
+  }
 }
