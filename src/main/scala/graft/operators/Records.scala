@@ -34,6 +34,38 @@ object Records {
         .otherwise("ok"))
   }
 
+  /** All text values of a MARC21-style control field, parsed from a
+    * serialized XML record column with Spark's native xpath (codegen
+    * boundary only at the expression — no per-record Python, unlike
+    * the reference's lxml loop). */
+  def controlFieldValues(xml: Column, tag: String): Column =
+    xpath(xml, lit(s"/record/controlfield[@tag='$tag']/text()"))
+
+  /** The 001 record identifier with the reference's exact semantics
+    * (process.py:66-81 `get_record_001`): present exactly once →
+    * its text; missing OR multiple → null (the reference returns
+    * None and logs in both cases). */
+  def record001(xml: Column): Column = {
+    val ids = controlFieldValues(xml, "001")
+    when(size(ids) === 1, element_at(ids, 1))
+  }
+
+  /** Why a record's 001 was rejected — the classification the
+    * reference logs (process.py:70-79). */
+  def record001Status(xml: Column): Column = {
+    val n = size(controlFieldValues(xml, "001"))
+    when(n === 0, "missing").when(n > 1, "multiple").otherwise("ok")
+  }
+
+  /** Boundwith parent datafield (reference: process.py:83-92
+    * `generate_bw_parent_field`): the ADF/a datafield inserted into
+    * child records, serialized exactly as lxml would emit it. */
+  def bwParentField(parentId: Column): Column =
+    concat(
+      lit("<datafield xmlns=\"http://www.loc.gov/MARC21/slim\" ind1=\" \" ind2=\" \" tag=\"ADF\"><subfield code=\"a\">"),
+      parentId,
+      lit("</subfield></datafield>"))
+
   /** Boundwith parent enrichment (reference: harvest.py:203-236
     * `perform_xml_lookup_with_cache`: a CSV of child_id → parent_xml
     * is fetched once, cached, and each child record gets its parent

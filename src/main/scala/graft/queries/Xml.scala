@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Records, Validate}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native XML record surface (SURVEY.md §2 r4/r5/v6).
+  *
+  * The reference's records ARE MARC21/XML (process.py:66-92 works on
+  * lxml elements; validate.py runs Schematron over them). graft
+  * parses serialized XML with Spark's native xpath expressions —
+  * map-only, no per-record Python — and validates with the same
+  * Validate.Rule machinery as the field-level rules.
+  *
+  * The testdata has no XML column, so each query synthesizes a
+  * MARC21-style record deterministically from `documents` columns;
+  * the oracle builds the identical string and extracts with regexp,
+  * which keeps the extraction itself (xpath vs regexp) independently
+  * implemented on the two engines.
+  */
+object Xml {
+
+  /** doc_id % 7 == 3 → no 001 (missing); == 5 → two 001s
+    * (multiple); else exactly one — exercising every branch of
+    * get_record_001 (process.py:66-81). */
+  private def cf001: Column = {
+    def cf(v: Column) = concat(lit("<controlfield tag=\"001\">"),
+      v.cast("string"), lit("</controlfield>"))
+    when(col("doc_id") % 7 === 3, lit(""))
+      .when(col("doc_id") % 7 === 5, concat(cf(col("doc_id")), cf(col("doc_id") + 1)))
+      .otherwise(cf(col("doc_id")))
+  }
+
+  private def df(tag: String, code: String, v: Column): Column =
+    concat(lit(s"""<datafield tag="$tag" ind1=" " ind2=" "><subfield code="$code">"""),
+      v, lit("</subfield></datafield>"))
+
+  /** documents → (doc_id, xml): a synthesized MARC21-style record. */
+  def marcXml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<record><leader>00000nam a2200000 a 4500</leader>"),
+      cf001,
+      df("041", "a", col("lang")),
+      df("856", "u", col("source")),
+      lit("</record>")).as("xml"))
+
+  /** The same record string in DuckDB. */
+  private val marcXmlSql =
+    """SELECT doc_id, concat(
+         '<record><leader>00000nam a2200000 a 4500</leader>',
+         CASE WHEN doc_id % 7 = 3 THEN ''
+              WHEN doc_id % 7 = 5 THEN concat(
+                '<controlfield tag="001">', CAST(doc_id AS VARCHAR), '</controlfield>',
+                '<controlfield tag="001">', CAST(doc_id + 1 AS VARCHAR), '</controlfield>')
+              ELSE concat('<controlfield tag="001">', CAST(doc_id AS VARCHAR), '</controlfield>')
+         END,
+         '<datafield tag="041" ind1=" " ind2=" "><subfield code="a">', lang, '</subfield></datafield>',
+         '<datafield tag="856" ind1=" " ind2=" "><subfield code="u">', source, '</subfield></datafield>',
+         '</record>') AS xml
+       FROM documents"""
+
+  private val idsSql =
+    """regexp_extract_all(xml, '<controlfield tag="001">([^<]*)</controlfield>', 1)"""
+
+  /** r4: 001 extraction with missing/multiple semantics. */
+  def r4Xml001(spark: SparkSession, dir: String): DataFrame =
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        Records.record001(col("xml")).as("record_001"),
+        Records.record001Status(col("xml")).as("xml_status"))
+      .orderBy("doc_id")
+
+  /** r5: boundwith parent field generation (process.py:83-92),
+    * parent id derived from the document's id. */
+  def r5BwParent(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Records.bwParentField(concat(lit("prt-"), col("doc_id").cast("string")))
+          .as("bw_field"))
+      .orderBy("doc_id")
+
+  /** v6: Schematron-style rules over the PARSED record (xpath on the
+    * Spark side; the oracle re-derives the same facts with regexp). */
+  def v6XmlValidate(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Seq(
+      Validate.Rule("one_001",
+        size(Records.controlFieldValues(col("xml"), "001")) === 1,
+        "record must carry exactly one 001"),
+      Validate.Rule("xml_lang",
+        xpath_string(col("xml"), lit("/record/datafield[@tag='041']/subfield/text()"))
+          .isInCollection(Seq("en", "de", "fr", "es", "zh")),
+        "unknown language"),
+      Validate.Rule("xml_url",
+        length(xpath_string(col("xml"), lit("/record/datafield[@tag='856']/subfield/text()"))) > 0,
+        "missing source url"))
+    Validate.reportAll(marcXml(Tables.documents(spark, dir)), rules, col("doc_id"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r4_xml_001" -> (r4Xml001 _),
+    "r5_bw_parent" -> (r5BwParent _),
+    "v6_xml_validate" -> (v6XmlValidate _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "r4_xml_001" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, $idsSql AS ids FROM marc)
+         SELECT doc_id,
+           CASE WHEN len(ids) = 1 THEN ids[1] END AS record_001,
+           CASE WHEN len(ids) = 0 THEN 'missing'
+                WHEN len(ids) > 1 THEN 'multiple'
+                ELSE 'ok' END AS xml_status
+         FROM ex ORDER BY doc_id""",
+    "r5_bw_parent" ->
+      """SELECT doc_id,
+           concat('<datafield xmlns="http://www.loc.gov/MARC21/slim" ind1=" " ind2=" " tag="ADF"><subfield code="a">prt-',
+             CAST(doc_id AS VARCHAR), '</subfield></datafield>') AS bw_field
+         FROM documents ORDER BY doc_id""",
+    "v6_xml_validate" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, $idsSql AS ids,
+             regexp_extract(xml, '<datafield tag="041" ind1=" " ind2=" "><subfield code="a">([^<]*)</subfield>', 1) AS xlang,
+             regexp_extract(xml, '<datafield tag="856" ind1=" " ind2=" "><subfield code="u">([^<]*)</subfield>', 1) AS xurl
+           FROM marc)
+         SELECT doc_id AS id,
+           coalesce(len(ids) = 1, FALSE) AS passed_one_001,
+           coalesce(xlang IN ('en','de','fr','es','zh'), FALSE) AS passed_xml_lang,
+           coalesce(length(xurl) > 0, FALSE) AS passed_xml_url,
+           (CASE WHEN NOT coalesce(len(ids) = 1, FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(xlang IN ('en','de','fr','es','zh'), FALSE) THEN 1 ELSE 0 END
+            + CASE WHEN NOT coalesce(length(xurl) > 0, FALSE) THEN 1 ELSE 0 END) AS n_failed
+         FROM ex ORDER BY id""",
+  )
+}

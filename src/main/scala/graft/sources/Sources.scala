@@ -39,4 +39,45 @@ object Sources {
   def readStatus(spark: SparkSession, dir: String, statusCol: String,
       status: Any): DataFrame =
     spark.read.parquet(dir).filter(col(statusCol) === lit(status))
+
+  /** Quarantine ingest: malformed rows land in a quarantine frame
+    * (raw record + source file) instead of failing the run — the
+    * ingest-robustness behavior an unattended harvest needs
+    * (reference analog: validate.py filters bad records into a
+    * report rather than aborting). PERMISSIVE parsing keeps the scan
+    * map-only; the split is two filters over one cached pass (Spark
+    * requires the cache before filtering on the corrupt column).
+    * Returns (good rows with the declared schema, quarantined rows
+    * as (raw, source_file)). */
+  def quarantineIngest(spark: SparkSession, path: String, schema: StructType,
+      format: String = "csv"): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val df = spark.read
+      .schema(schema.add(corrupt, org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .format(format).load(path)
+      // input_file_name must bind BEFORE the cache boundary — after
+      // it the rows no longer carry scan-file lineage
+      .withColumn("__source_file", input_file_name())
+      .cache()
+    val good = df.filter(col(corrupt).isNull).drop(corrupt, "__source_file")
+    val quarantined = df.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw"), col("__source_file").as("source_file"))
+    (good, quarantined)
+  }
+
+  /** CSV report sink (reference: validate.py:77-99 writes the
+    * invalid-record report with csv.DictWriter — header row, every
+    * field quoted). The reference emits ONE artifact, so the default
+    * coalesces to a single part file; pass coalesceTo = 0 to keep
+    * the input partitioning for large reports. */
+  def writeCsvReport(df: DataFrame, outDir: String, coalesceTo: Int = 1): Unit =
+    (if (coalesceTo > 0) df.coalesce(coalesceTo) else df)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(outDir)
 }

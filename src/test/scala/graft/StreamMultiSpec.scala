@@ -65,23 +65,20 @@ class StreamMultiSpec extends AnyFunSuite {
   }
 
   test("corrupt records quarantine instead of failing the ingest") {
-    // PERMISSIVE csv read: bad rows land in _corrupt_record, good
-    // rows flow on — the ingest-robustness behavior an unattended
-    // harvest needs
     val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt")
     java.nio.file.Files.writeString(tmp.resolve("in.csv"),
       "id,n\n1,10\n2,notanumber\n3,30\n")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
-    val df = spark.read.schema(schema).option("header", "true")
-      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
-      .csv(tmp.toString).cache()
-    assert(df.count() == 3)
-    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
-    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
-    df.unpersist()
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType)))
+    val (good, quarantined) =
+      graft.sources.Sources.quarantineIngest(spark, tmp.toString, schema)
+    assert(good.count() == 2)
+    assert(good.columns.toSeq == Seq("id", "n"))
+    val bad = quarantined.collect()
+    assert(bad.length == 1)
+    assert(bad.head.getString(0).contains("notanumber"))
+    assert(bad.head.getString(1).contains("in.csv"))
   }
 
   test("stub decoder pipeline: deterministic, payload-local, batch-shaped") {
