@@ -22,13 +22,14 @@ object Bench {
       r.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1).count()
       r.join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
         col("r_regionkey") === col("n_regionkey")).count()
-      // agg over the expression, not select(...).count(): count()
-      // would let Catalyst prune the unused projection and skip the
-      // DotProduct codegen path entirely — the JIT cost this warmup
-      // exists to absorb
+      // agg over the expression (not select+count, which would prune
+      // it), and the left operand depends on the range column — an
+      // all-literal expression is foldable and ConstantFolding would
+      // evaluate it once on the driver, skipping the DotProduct
+      // whole-stage-codegen/JIT path this warmup exists to absorb
       spark.range(1000).agg(sum(graft.functions.Vectors.cosine4(
-        expr("CAST(array(1.0, 2.0) AS array<double>)"),
-        expr("CAST(array(2.0, 1.0) AS array<double>)")))).collect()
+        array(col("id").cast("double"), lit(1.0)),
+        array(lit(2.0), lit(1.0))))).collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -98,6 +98,53 @@ object EventsStream {
       }
       .start()
 
+  /** MERGE-shaped streaming index maintenance: each micro-batch is
+    * split into an upsert set and a delete set (the reference's
+    * new-updated/ and deleted/ record sets, harvest.py:185-208),
+    * applied to the current serving version with the SCD-1 anti-join
+    * merge (Indexing.applyChanges), and published as a NEW version
+    * behind the atomic alias swap — the full collection-build-then-
+    * alias-swap lifecycle (solr_api_utils.py:14-60) run incrementally.
+    * Readers always see a complete version; a replayed micro-batch is
+    * skipped via the same batch-marker protocol as maintainIndex.
+    * At scale the merge is one shuffle per side on the id (or a
+    * Delta/Iceberg MERGE INTO with identical semantics). */
+  def maintainMerged(events: DataFrame, tableDir: String, idCol: String)(
+      updates: DataFrame => DataFrame)(
+      deletes: DataFrame => DataFrame): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        val marker = Paths.get(tableDir, s"_batch-$batchId")
+        if (!Files.exists(marker)) {
+          val spark = batch.sparkSession
+          val ups = updates(batch).persist()
+          val dels = deletes(batch).persist()
+          try {
+            val version =
+              if (ups.isEmpty && dels.isEmpty) -1L
+              else {
+                val merged = graft.sources.VersionedTable.latestVersion(tableDir) match {
+                  case Some(_) => graft.operators.Indexing.applyChanges(
+                    graft.sources.VersionedTable.readLatest(spark, tableDir),
+                    ups, dels.select(idCol), idCol)
+                  case None => graft.operators.Indexing.applyChanges(
+                    ups.limit(0), ups, dels.select(idCol), idCol)
+                }
+                graft.sources.VersionedTable.write(merged, tableDir)
+              }
+            Files.createDirectories(Paths.get(tableDir))
+            val tmp = Paths.get(tableDir, s"_batch-$batchId.tmp")
+            Files.writeString(tmp, version.toString)
+            Files.move(tmp, marker,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } finally { ups.unpersist(); dels.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Drain the stream synchronously into an in-memory table and
     * return the result (complete mode: all windows). */
   def runTumblingOnce(spark: SparkSession, dir: String,

@@ -38,6 +38,18 @@ object SessionStream {
               case Some(o) if e.ts_us - o.end_us > gapUs =>
                 closed += Session(uid, o.start_us, o.end_us, o.n)
                 open = Some(Open(e.ts_us, e.ts_us, 1))
+              case Some(o) if o.start_us - e.ts_us > gapUs =>
+                // a straggler more than one gap BEFORE the open
+                // session can never merge with it (batch sessionize
+                // over sorted input would put a session boundary
+                // between them) — emit it as its own closed session
+                // instead of dragging the open session's start back.
+                // Residual divergence vs batch: two such stragglers
+                // within one gap of each other arriving in separate
+                // late batches emit separately where batch would merge
+                // them; bound lateness with a watermark in production
+                // configs to cap this window.
+                closed += Session(uid, e.ts_us, e.ts_us, 1)
               case Some(o) =>
                 // min/max, not plain e.ts_us: an out-of-order event
                 // from a later micro-batch (events within one batch

@@ -64,6 +64,45 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(served.count() == 5) // one row per event type
   }
 
+  test("streaming MERGE sink: upsert + delete per micro-batch behind the alias swap") {
+    import graft.sources.VersionedTable
+    val src = java.nio.file.Files.createTempDirectory("graft_mm_src")
+    // two staged files + maxFilesPerTrigger=1 → two micro-batches
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("a.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("b.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val table = java.nio.file.Files.createTempDirectory("graft_mm_tbl").toString + "/idx"
+    // seed a serving version: one row the stream never touches and
+    // one it must delete
+    import spark.implicits._
+    VersionedTable.write(
+      Seq(("stale", 99L), ("error", 99L)).toDF("event_type", "count"), table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream.schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val q = EventsStream.maintainMerged(events, table, "event_type") {
+      batch => batch.filter(col("event_type") =!= "error")
+        .groupBy("event_type").count()
+    } { batch => batch.filter(col("event_type") === "error")
+        .select("event_type").distinct()
+    }
+    q.processAllAvailable(); q.stop()
+    // seed + one version per micro-batch
+    assert(VersionedTable.listVersions(table).size == 3)
+    val served = VersionedTable.readLatest(spark, table).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!served.contains("error"), "deleted key still served")
+    assert(served("stale") == 99L, "untouched base row lost")
+    // upserted counts equal the batch aggregation (idempotent across
+    // the duplicate second batch)
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "error")
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(served - "stale" == expected)
+  }
+
   test("corrupt records quarantine instead of failing the ingest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt")
     java.nio.file.Files.writeString(tmp.resolve("in.csv"),
