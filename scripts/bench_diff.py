@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Diff a Bench JSON line against BENCH_ANCHOR.json.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.Bench" 2>&1 \
+        | grep -F '"metric"' > /tmp/bench.out
+    python3 scripts/bench_diff.py /tmp/bench.out
+
+Flags any query slower than REGRESSION_X times its anchor, and prints
+new/removed queries. Exit code 1 on regression, 0 otherwise.
+"""
+import json
+import re
+import sys
+
+REGRESSION_X = 1.5  # per-query slowdown that counts as a regression
+
+anchor = json.load(open("BENCH_ANCHOR.json"))["queries"]
+raw = open(sys.argv[1]).read()
+m = re.search(r'\{"metric".*\}', raw)
+if not m:
+    sys.exit("no bench JSON line found in " + sys.argv[1])
+bench = json.loads(m.group(0))
+cur = bench["queries"]
+
+regressions = []
+for name, secs in sorted(cur.items()):
+    base = anchor.get(name)
+    if base is None:
+        print(f"NEW      {name}: {secs:.2f}s (no anchor)")
+    elif secs > base * REGRESSION_X:
+        regressions.append(name)
+        print(f"REGRESS  {name}: {secs:.2f}s vs anchor {base:.2f}s "
+              f"({secs / base:.1f}x)")
+for name in sorted(set(anchor) - set(cur)):
+    print(f"REMOVED  {name}: was {anchor[name]:.2f}s")
+
+total = bench["value"]
+print(f"total {total:.1f}s over {len(cur)} queries; "
+      f"{len(regressions)} regression(s) at >{REGRESSION_X}x")
+sys.exit(1 if regressions else 0)
