@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Etl.queries ++
       graft.queries.TextEvents.queries ++ graft.queries.DedupSim.queries ++
-      graft.queries.Multi.queries ++ graft.queries.Xml.queries
+      graft.queries.Multi.queries ++ graft.queries.Xml.queries ++
+      graft.queries.PipelineQ.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracleSql ++ graft.queries.Etl.oracleSql ++
       graft.queries.TextEvents.oracleSql ++ graft.queries.DedupSim.oracleSql ++
-      graft.queries.Multi.oracleSql ++ graft.queries.Xml.oracleSql
+      graft.queries.Multi.oracleSql ++ graft.queries.Xml.oracleSql ++
+      graft.queries.PipelineQ.oracleSql
 }

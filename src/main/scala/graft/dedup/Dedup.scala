@@ -291,6 +291,62 @@ object Dedup {
     diffName.unionByName(sameName)
   }
 
+  /** Near-dup clustering: connected components over a pair list,
+    * labeling every member with the minimum doc id reachable through
+    * the pair graph (the canonical-representative convention — the
+    * step that turns pairwise near-dup verdicts into "keep one per
+    * cluster" decisions).
+    *
+    * Algorithm: iterative min-label propagation. Each round every
+    * vertex takes the min of its own label and its neighbors' labels;
+    * rounds = graph diameter. Near-dup graphs are unions of small
+    * dense clusters (diameter ≤ 3 in practice), so this converges in
+    * a handful of rounds; for adversarial long-chain graphs swap in
+    * the large-star/small-star variant (O(log n) rounds, same
+    * join/groupBy primitives). Every iteration is one shuffle-join on
+    * the edge src plus one min-aggregate on vertex id; lineage is cut
+    * with a localCheckpoint per round so the plan stays flat (an
+    * iterative join without checkpointing doubles the plan each
+    * round). Convergence is detected exactly: labels only ever
+    * decrease, so `changed == 0` is a fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE — the
+    // edge union reads it twice and every iteration reads the edges
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(false)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
+      .localCheckpoint(false)
+    // labels only ever decrease, so Σlabel strictly decreases until
+    // the fixpoint: one cheap agg over the just-checkpointed result
+    // detects convergence (no compare-join, no extra shuffle)
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val cand = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(cand)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(false)
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: block on a coarse cluster key (here
     * the label column, playing the IVF-centroid role), exact cosine
     * within blocks, threshold on the rounded value. Cosine runs on

@@ -65,6 +65,23 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d8: the full dedup decision — MinHash-LSH pairs (the d3
+    * pipeline) → connected components → every document labeled with
+    * its cluster's canonical (minimum) id; `is_canonical` marks the
+    * one document per cluster a training pipeline would keep. */
+  def d8Cluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.augmentedDocs(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -108,6 +125,7 @@ object DedupSim {
     "d5_embed_cosine" -> (d5EmbedCosine _),
     "d6_editdist" -> (d6EditDist _),
     "d7_decontaminate" -> (d7Decontaminate _),
+    "d8_cluster" -> (d8Cluster _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
   )
@@ -139,6 +157,30 @@ object DedupSim {
 
   private def h32sql(seed: Int, e: String): String =
     s"CAST(concat('0x', substr(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
+
+  /** MinHash signature → LSH bands → verified pairs (jaccard ≥ 0.8):
+    * the d3 pipeline as a CTE chain (expects `shh` from shingleCte
+    * in scope), shared by the d3 and d8 oracles. */
+  private val minhashPairsCtes =
+    s"""sig AS (SELECT doc_id,
+             ${(0 until 8).map(i =>
+               s"coalesce(list_min(list_transform(sh, h -> (${graft.dedup.Dedup.MinhashA(i)}*h + ${graft.dedup.Dedup.MinhashB(i)}) % ${graft.dedup.Dedup.MinhashP})), 9223372036854775807) AS m$i")
+               .mkString(",\n             ")}
+           FROM shh),
+         bands AS (
+           SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR)) AS bv FROM sig
+           UNION ALL SELECT doc_id, 1, concat(CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) FROM sig
+           UNION ALL SELECT doc_id, 2, concat(CAST(m4 AS VARCHAR), '_', CAST(m5 AS VARCHAR)) FROM sig
+           UNION ALL SELECT doc_id, 3, concat(CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig),
+         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         pairs AS (SELECT a_id, b_id, jaccard FROM (
+           SELECT a_id, b_id,
+             round(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM cand JOIN shh sa ON sa.doc_id = a_id JOIN shh sb ON sb.doc_id = b_id)
+           WHERE jaccard >= 0.8)"""
 
   private val augEmb =
     """SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -179,25 +221,26 @@ object DedupSim {
          WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte,
-         sig AS (SELECT doc_id,
-             ${(0 until 8).map(i =>
-               s"coalesce(list_min(list_transform(sh, h -> (${graft.dedup.Dedup.MinhashA(i)}*h + ${graft.dedup.Dedup.MinhashB(i)}) % ${graft.dedup.Dedup.MinhashP})), 9223372036854775807) AS m$i")
-               .mkString(",\n             ")}
-           FROM shh),
-         bands AS (
-           SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR)) AS bv FROM sig
-           UNION ALL SELECT doc_id, 1, concat(CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) FROM sig
-           UNION ALL SELECT doc_id, 2, concat(CAST(m4 AS VARCHAR), '_', CAST(m5 AS VARCHAR)) FROM sig
-           UNION ALL SELECT doc_id, 3, concat(CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig),
-         cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bands x JOIN bands y
-             ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         SELECT a_id, b_id, jaccard FROM (
-           SELECT a_id, b_id,
-             round(len(list_intersect(sa.sh, sb.sh))
-               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
-           FROM cand JOIN shh sa ON sa.doc_id = a_id JOIN shh sb ON sb.doc_id = b_id)
-         WHERE jaccard >= 0.8 ORDER BY a_id, b_id""",
+         $minhashPairsCtes
+         SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id""",
+    "d8_cluster" ->
+      s"""WITH RECURSIVE $shingleCte,
+         $minhashPairsCtes,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach(v, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lbl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+           FROM reach GROUP BY v)
+         SELECT b.doc_id,
+           coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+           (coalesce(l.cluster_id, b.doc_id) = b.doc_id) AS is_canonical
+         FROM base b LEFT JOIN lbl l USING (doc_id)
+         ORDER BY doc_id""",
     "d5_embed_cosine" ->
       s"""WITH aug AS ($augEmb)
          SELECT a_id, b_id, cos FROM (

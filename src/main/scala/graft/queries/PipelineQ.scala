@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Corpus
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-pipeline corpus-management queries (SURVEY.md §2):
+  * deterministic splits and token-budget packing over `documents`.
+  */
+object PipelineQ {
+
+  /** p1: reproducible train/val/test split (90/5/5) keyed on the
+    * document id hash — stable under re-runs and appends. */
+  def p1HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        col("doc_id"), pctTrain = 90, pctVal = 5)
+      .select("doc_id", "lang", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** p2: sequence packing — per-language contiguous layout cut into
+    * ~1000-token training chunks by running token total. */
+  def p2Pack(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.nTokens(col("text")).as("n_tokens")),
+        keyCol = col("lang"), orderCol = col("doc_id"),
+        tokensCol = col("n_tokens"), budget = 1000L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "chunk_id")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_hash_split" -> (p1HashSplit _),
+    "p2_pack" -> (p2Pack _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "p1_hash_split" ->
+      """SELECT doc_id, lang,
+           CAST(CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "p2_pack" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, lang, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS chunk_id
+         FROM c ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Corpus
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("connectedComponents labels a multi-hop chain with its minimum id") {
+    // 1-2-3-4-5 chain (diameter 4, needs several propagation rounds)
+    // plus a separate 10-11 pair and an isolated-from-pairs vertex set
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain labels wrong: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 7) // only vertices that appear in pairs
+  }
+
+  test("connectedComponents merges clusters bridged by one edge") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(cc(_) == 1L))
+  }
+
+  test("d8 clusters hold the planted near-dup triples and keep one canonical per cluster") {
+    val df = SparkEntry.queries("d8_cluster")(spark, sf).cache()
+    val byCluster = df.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_canonical").cast("int")).as("n_canon"))
+    // exactly one canonical member per cluster
+    assert(byCluster.filter(col("n_canon") =!= 1).count() == 0)
+    // every exact copy (id+2M) must share its original's cluster
+    val m = df.select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nDocs = Tables.documents(spark, sf).count()
+    assert((0L until nDocs).forall(i => m(i + Dedup.ExactOffset) == m(i)))
+    // canonical id is the min member id
+    val minOk = df.groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count()
+    assert(minOk == 0)
+    df.unpersist()
+    ()
+  }
+
+  test("hashSplit is deterministic, exhaustive, and roughly proportional") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val s1 = Corpus.hashSplit(docs, col("doc_id"), 90, 5)
+    val s2 = Corpus.hashSplit(docs, col("doc_id"), 90, 5)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n)
+    assert(counts("train") > n * 8 / 10, s"train too small: $counts")
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("hashSplit assignment is stable under corpus growth") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fromHalf = Corpus.hashSplit(half, col("doc_id"), 90, 5)
+    val fromFull = Corpus.hashSplit(docs, col("doc_id"), 90, 5)
+      .filter(col("doc_id") % 2 === 0)
+    assert(fromHalf.exceptAll(fromFull).isEmpty)
+  }
+
+  test("packSequences chunks respect the token budget contract") {
+    val packed = SparkEntry.queries("p2_pack")(spark, sf).cache()
+    val chunks = packed.groupBy("lang", "chunk_id")
+      .agg(sum("n_tokens").as("tok"), max(col("n_tokens").cast("long")).as("mx"),
+        count(lit(1)).as("n"))
+      .collect()
+    // every chunk is nonempty and no chunk exceeds budget + one doc
+    // (a doc lands where its first token falls, so it may straddle)
+    chunks.foreach { r =>
+      val tok = r.getLong(2); val mx = r.getLong(3)
+      assert(tok <= 1000L + mx, s"chunk over budget: $r")
+      assert(r.getLong(4) >= 1)
+    }
+    // chunk ids are dense per lang starting at 0
+    val ids = packed.groupBy("lang").agg(
+      min("chunk_id").as("mn"), max("chunk_id").as("mx"),
+      countDistinct("chunk_id").as("d")).collect()
+    ids.foreach { r =>
+      assert(r.getLong(1) == 0L)
+      assert(r.getLong(3) == r.getLong(2) + 1, s"chunk ids not dense: $r")
+    }
+    packed.unpersist()
+    ()
+  }
+}
