@@ -13,7 +13,9 @@ import json
 import re
 import sys
 
-REGRESSION_X = 1.5  # per-query slowdown that counts as a regression
+REGRESSION_X = 1.5   # per-query slowdown that counts as a regression
+MIN_DELTA_S = 0.35   # ... but only when the absolute slowdown exceeds
+                     # this (sub-second queries jitter 2x run-to-run)
 
 anchor = json.load(open("BENCH_ANCHOR.json"))["queries"]
 raw = open(sys.argv[1]).read()
@@ -28,7 +30,7 @@ for name, secs in sorted(cur.items()):
     base = anchor.get(name)
     if base is None:
         print(f"NEW      {name}: {secs:.2f}s (no anchor)")
-    elif secs > base * REGRESSION_X:
+    elif secs > base * REGRESSION_X and secs - base > MIN_DELTA_S:
         regressions.append(name)
         print(f"REGRESS  {name}: {secs:.2f}s vs anchor {base:.2f}s "
               f"({secs / base:.1f}x)")

@@ -99,6 +99,22 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s4: IVF ANN — label-seeded inverted lists, 2-probe search.
+    * Rows-only by design (like d4/s2): centroid averages are
+    * float-sum-order sensitive in the last ulp, so cross-engine
+    * hash parity is not sound; recall vs brute force is asserted in
+    * IvfSpec instead. */
+  def s4KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+    graft.similarity.Ivf.search(
+        e.filter(col("id") < 10).select("id", "v"),
+        e.filter(col("id") >= 10).select("id", "v", "label"),
+        listKey = "label", k = 5, nProbe = 2)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** s3: hybrid lexical+vector retrieval over the joined
     * documents⋈embeddings corpus (shared id space), routed through
     * the LSH-bucket candidate generator (4 hyperplanes → 16 buckets;
@@ -128,6 +144,7 @@ object DedupSim {
     "d8_cluster" -> (d8Cluster _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
+    "s4_knn_ivf" -> (s4KnnIvf _),
   )
 
   /** Shared oracle CTE fragments. */
