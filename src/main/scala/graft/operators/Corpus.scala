@@ -36,6 +36,50 @@ object Corpus {
           .otherwise("test"))
   }
 
+  /** Deterministic corpus shuffle, sharded: shard = id-hash mod
+    * nShards, position within shard = rank of the hash. Training
+    * readers stream shards in shard_pos order and see a reproducible
+    * pseudorandom document order with NO global sort — the only
+    * shuffle is the one window per shard, and shard count (not corpus
+    * size) bounds each window. The classic scale trap this avoids is
+    * `row_number() OVER (ORDER BY rand())`: a single-partition total
+    * sort with non-reproducible output. */
+  def shuffleShards(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    val key = Hashing.h32(11, idCol.cast("string"))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard_id", pmod(col("shuffle_key"), lit(nShards)).cast("int"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard_id"))
+          .orderBy(col("shuffle_key"), idCol)))
+  }
+
+  /** Weighted mixture construction: each document is emitted
+    * ⌊w⌋ + Bernoulli(frac(w)) times, where w is its source's mixture
+    * weight (w > 1 upsamples by repetition, w < 1 downsamples) and
+    * the Bernoulli draw is the deterministic id-hash bucket — so the
+    * realized mixture is reproducible and append-stable, and expected
+    * proportions match the weights exactly. Weights join in by a
+    * broadcast (the weight table is per-source, always tiny); the
+    * explode is map-side. Output gains `copy_id` (1-based). */
+  def mixtureSample(df: DataFrame, idCol: Column, sourceCol: Column,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("mix_source", "mix_w")
+    val bucket = pmod(
+      Hashing.h32(13, concat(sourceCol, lit(":"), idCol.cast("string"))),
+      lit(10000))
+    val w = coalesce(col("mix_w"), lit(defaultWeight))
+    val nCopies = (floor(w).cast("int")
+      + when(bucket < (w - floor(w)) * 10000, 1).otherwise(0))
+    df.join(broadcast(wdf), sourceCol === col("mix_source"), "left")
+      .withColumn("n_copies", nCopies)
+      // filter before sequence: sequence(1, 0) would COUNT DOWN
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_id", explode(sequence(lit(1), col("n_copies"))))
+      .drop("mix_source", "mix_w", "n_copies")
+  }
+
   /** Token-budget sequence packing: within each `keyCol` stream,
     * documents (ordered by `orderCol`, which must be unique per key)
     * are laid out contiguously and cut into chunks of ~`budget`

@@ -32,9 +32,30 @@ object PipelineQ {
       .select("doc_id", "lang", "n_tokens", "cum_tokens", "chunk_id")
       .orderBy("doc_id")
 
+  /** p3: reproducible sharded corpus shuffle (8 shards). */
+  def p3Shuffle(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shuffleShards(
+        Tables.documents(spark, dir).select("doc_id"),
+        col("doc_id"), nShards = 8)
+      .select("doc_id", "shuffle_key", "shard_id", "shard_pos")
+      .orderBy("doc_id")
+
+  /** p4: mixture construction — src0 upsampled 2.5x, src1 kept at
+    * 25%, everything else passed through once. */
+  def p4Mixture(spark: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSample(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        col("doc_id"), col("source"),
+        weights = Map("src0" -> 2.5, "src1" -> 0.25),
+        defaultWeight = 1.0)
+      .select("doc_id", "source", "copy_id")
+      .orderBy("doc_id", "copy_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
+    "p3_shuffle" -> (p3Shuffle _),
+    "p4_mixture" -> (p4Mixture _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -58,5 +79,32 @@ object PipelineQ {
          SELECT doc_id, lang, n_tokens, cum_tokens,
            CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS chunk_id
          FROM c ORDER BY doc_id""",
+    "p3_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('11:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 8 AS INT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+             ORDER BY shuffle_key, doc_id) AS INT) AS shard_pos
+         FROM k ORDER BY doc_id""",
+    "p4_mixture" ->
+      """WITH w AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+               ELSE 1.0 END AS mw,
+             CAST(concat('0x', substr(md5(concat('13:', source, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+           FROM documents),
+         n AS (
+           SELECT doc_id, source,
+             CAST(floor(mw) AS INT)
+               + CASE WHEN bucket < (mw - floor(mw)) * 10000 THEN 1 ELSE 0 END AS n_copies
+           FROM w)
+         SELECT doc_id, source, copy_id FROM (
+           SELECT doc_id, source,
+             CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_id
+           FROM n)
+         ORDER BY doc_id, copy_id""",
   )
 }

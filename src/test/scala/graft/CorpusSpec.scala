@@ -70,6 +70,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(fromHalf.exceptAll(fromFull).isEmpty)
   }
 
+  test("shuffleShards is a reproducible permutation with bounded shards") {
+    val df = SparkEntry.queries("p3_shuffle")(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(df.count() == n) // a permutation: nothing lost or duplicated
+    assert(df.select("doc_id").distinct().count() == n)
+    // (shard_id, shard_pos) is a unique dense address
+    val shards = df.groupBy("shard_id")
+      .agg(count(lit(1)).as("c"), min("shard_pos").as("mn"),
+        max("shard_pos").as("mx"), countDistinct("shard_pos").as("d"))
+      .collect()
+    assert(shards.length == 8)
+    shards.foreach { r =>
+      assert(r.getInt(2) == 1 && r.getInt(3) == r.getLong(1).toInt
+        && r.getLong(4) == r.getLong(1), s"shard address not dense: $r")
+    }
+    // the order is actually shuffled: doc_id order and shuffle order
+    // disagree somewhere within a shard
+    val monotone = df.filter(col("shard_id") === 0).orderBy("shard_pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(monotone.length < 2 || !monotone.sameElements(monotone.sorted))
+    df.unpersist()
+    ()
+  }
+
+  test("mixtureSample realizes the weights and is deterministic") {
+    val df = SparkEntry.queries("p4_mixture")(spark, sf).cache()
+    val bySource = df.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val per = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // upsampled source emits between floor(w) and ceil(w) per doc
+    assert(bySource("src0") >= 2 * per("src0") && bySource("src0") <= 3 * per("src0"))
+    // downsampled source keeps a strict subset
+    assert(bySource.getOrElse("src1", 0L) < per("src1"))
+    // pass-through sources emit exactly once
+    assert(bySource("src2") == per("src2"))
+    // copies of one doc are distinct rows
+    val dup = df.groupBy("doc_id", "source", "copy_id").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0)
+    df.unpersist()
+    ()
+  }
+
   test("packSequences chunks respect the token budget contract") {
     val packed = SparkEntry.queries("p2_pack")(spark, sf).cache()
     val chunks = packed.groupBy("lang", "chunk_id")
