@@ -98,6 +98,32 @@ object EventsStream {
       }
       .start()
 
+  /** Stream-stream interval join: every purchase paired with the
+    * same user's clicks from the preceding `horizon` (attribution
+    * candidates, streaming form of the e5 as-of shape). Both sides
+    * carry a watermark and the join condition bounds click_ts to a
+    * finite interval around purchase_ts, so Spark can prove when a
+    * buffered row can never match again and evict it — state stays
+    * O(horizon · rate), not O(stream). Append-mode safe: a joined
+    * row is emitted once both watermarks pass it. */
+  def clickPurchaseJoin(events: DataFrame,
+      horizon: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** MERGE-shaped streaming index maintenance: each micro-batch is
     * split into an upsert set and a delete set (the reference's
     * new-updated/ and deleted/ record sets, harvest.py:185-208),

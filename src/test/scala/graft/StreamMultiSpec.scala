@@ -64,6 +64,38 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(served.count() == 5) // one row per event type
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val q = EventsStream.clickPurchaseJoin(
+        EventsStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssj_test")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin of the same interval join
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val expected = p.join(c,
+        col("c_user") === col("user_id")
+          && col("click_ts") <= col("purchase_ts")
+          && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture has no click->purchase pairs in horizon")
+    assert(got == expected,
+      s"stream/batch mismatch: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+  }
+
   test("streaming MERGE sink: upsert + delete per micro-batch behind the alias swap") {
     import graft.sources.VersionedTable
     val src = java.nio.file.Files.createTempDirectory("graft_mm_src")
