@@ -92,6 +92,27 @@ object TextEvents {
       .orderBy("doc_id")
   }
 
+  /** ta8: PII redaction over a corpus with deterministically PLANTED
+    * pii (docs have none naturally): every 3rd doc gains an email,
+    * every 3rd+1 a phone number — the oracle plants identically, so
+    * match counts and the redacted text itself are hash-compared. */
+  def ta8Redact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit(" call +1 555 "),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" 1234 today")))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+        TextAnalysis.nEmails(col("text")).as("n_emails"),
+        TextAnalysis.nPhones(col("text")).as("n_phones"),
+        TextAnalysis.redactPii(col("text")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   // ---- Events ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -190,6 +211,7 @@ object TextEvents {
     "ta5_ngram_freq" -> (ta5NgramFreq _),
     "ta6_quality_filter" -> (ta6QualityFilter _),
     "ta7_repetition" -> (ta7Repetition _),
+    "ta8_redact" -> (ta8Redact _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -257,6 +279,20 @@ object TextEvents {
                regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
              FROM documents))
          ORDER BY doc_id""",
+    "ta8_redact" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+                  WHEN doc_id % 3 = 1 THEN concat(text, ' call +1 555 ', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' 1234 today')
+                  ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}', '<PHONE>', 'g') AS redacted
+         FROM planted ORDER BY doc_id""",
     "ta6_quality_filter" ->
       """SELECT doc_id,
            (ntok >= 20 AND ntok <= 500 AND atl >= 3.0 AND atl <= 12.0 AND pr <= 0.1) AS keep,

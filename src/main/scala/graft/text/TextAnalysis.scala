@@ -23,6 +23,23 @@ object TextAnalysis {
   def nWordTokens(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
 
+  /** PII patterns, deliberately portable: no backrefs/lookaround, so
+    * the same pattern string behaves identically under Java regex
+    * (Spark codegen) and RE2 (most other engines, incl. the oracle). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}"
+
+  /** PII redaction: mask emails and phone numbers with typed
+    * placeholder tokens. Map-only regexp_replace — scan-speed at any
+    * scale; the counts come from regexp_count so audit metrics don't
+    * need a second pass over matches. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  def nEmails(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def nPhones(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
   /** Ratio of non-alphanumeric-non-space characters. */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[a-z0-9\\s]", "")) / length(text), 4)

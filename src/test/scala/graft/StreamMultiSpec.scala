@@ -133,6 +133,20 @@ class StreamMultiSpec extends AnyFunSuite {
       .groupBy("event_type").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(served - "stale" == expected)
+    // replay: a fresh query (fresh checkpoint → batch ids restart at
+    // 0) over the same source + table must be skipped wholesale by
+    // the batch markers — no new versions, same served rows
+    val events2 = spark.readStream.schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val q2 = EventsStream.maintainMerged(events2, table, "event_type") {
+      batch => batch.filter(col("event_type") =!= "error")
+        .groupBy("event_type").count()
+    } { batch => batch.filter(col("event_type") === "error")
+        .select("event_type").distinct()
+    }
+    q2.processAllAvailable(); q2.stop()
+    assert(VersionedTable.listVersions(table).size == 3,
+      "replayed batches produced duplicate versions")
   }
 
   test("corrupt records quarantine instead of failing the ingest") {
