@@ -100,4 +100,21 @@ object Corpus {
       .withColumn("chunk_id",
         floor((col("cum_tokens") - tokensCol) / budget).cast("long"))
   }
+
+  /** The 100 TB form of packSequences: a hash shard of the order key
+    * is composed into the window key, so parallelism is
+    * |keys| × nShards and no single window ever holds a whole key's
+    * stream (a 5-language corpus would otherwise pack on 5 threads).
+    * Chunk ids nest as (key, pack_shard, chunk_id); the packing
+    * contract — every chunk nonempty, ≤ budget + one straddling doc,
+    * ids dense from 0 — holds per (key, shard) exactly as the
+    * unsharded contract holds per key. Same twin relationship as
+    * Harvest.batchAssignScalable to h5. */
+  def packSequencesSharded(df: DataFrame, keyCol: Column, orderCol: Column,
+      tokensCol: Column, budget: Long, nShards: Int): DataFrame = {
+    val sharded = df.withColumn("pack_shard",
+      pmod(Hashing.h32(17, orderCol.cast("string")), lit(nShards)).cast("int"))
+    packSequences(sharded, struct(keyCol, col("pack_shard")),
+      orderCol, tokensCol, budget)
+  }
 }

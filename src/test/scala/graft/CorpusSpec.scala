@@ -115,6 +115,38 @@ class CorpusSpec extends AnyFunSuite {
     ()
   }
 
+  test("packSequencesSharded holds the packing contract per (key, shard)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.nTokens(col("text")).as("n_tokens"))
+    val packed = Corpus.packSequencesSharded(docs,
+      col("lang"), col("doc_id"), col("n_tokens"), budget = 1000L,
+      nShards = 4).cache()
+    assert(packed.count() == docs.count()) // partition of the corpus
+    val chunks = packed.groupBy("lang", "pack_shard", "chunk_id")
+      .agg(sum("n_tokens").as("tok"),
+        max(col("n_tokens").cast("long")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+    chunks.foreach { r =>
+      assert(r.getLong(3) <= 1000L + r.getLong(4), s"over budget: $r")
+      assert(r.getLong(5) >= 1)
+    }
+    // parallel streams: more (lang, shard) windows than langs
+    val nStreams = packed.select("lang", "pack_shard").distinct().count()
+    val nLangs = packed.select("lang").distinct().count()
+    assert(nStreams > nLangs)
+    // ids dense per stream
+    packed.groupBy("lang", "pack_shard")
+      .agg(min("chunk_id").as("mn"), max("chunk_id").as("mx"),
+        countDistinct("chunk_id").as("d")).collect()
+      .foreach { r =>
+        assert(r.getLong(2) == 0L && r.getLong(4) == r.getLong(3) + 1,
+          s"chunk ids not dense: $r")
+      }
+    packed.unpersist()
+    ()
+  }
+
   test("packSequences chunks respect the token budget contract") {
     val packed = SparkEntry.queries("p2_pack")(spark, sf).cache()
     val chunks = packed.groupBy("lang", "chunk_id")
