@@ -147,6 +147,27 @@ class CorpusSpec extends AnyFunSuite {
     ()
   }
 
+  test("corpus operator plans have the right shuffle shape") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    // hashSplit: pure map — zero exchanges
+    val p1 = Corpus.hashSplit(docs.select("doc_id"), col("doc_id"), 90, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"hashSplit must be map-only:\n$p1")
+    // shuffleShards: exactly one hash exchange (the per-shard window)
+    val p3 = Corpus.shuffleShards(docs.select("doc_id"), col("doc_id"), 8)
+      .queryExecution.executedPlan.toString
+    assert(p3.split("Exchange").length - 1 == 1,
+      s"shuffleShards must shuffle exactly once:\n$p3")
+    assert(!p3.contains("SinglePartition"),
+      "shuffleShards must never collapse to one partition")
+    // mixtureSample: weights come in via broadcast, never a shuffle join
+    val p4 = Corpus.mixtureSample(docs, col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.25), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p4")
+    assert(!p4.contains("SortMergeJoin"))
+  }
+
   test("packSequences chunks respect the token budget contract") {
     val packed = SparkEntry.queries("p2_pack")(spark, sf).cache()
     val chunks = packed.groupBy("lang", "chunk_id")
