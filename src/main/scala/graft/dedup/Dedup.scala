@@ -301,9 +301,9 @@ object Dedup {
     * vertex takes the min of its own label and its neighbors' labels;
     * rounds = graph diameter. Near-dup graphs are unions of small
     * dense clusters (diameter ≤ 3 in practice), so this converges in
-    * a handful of rounds; for adversarial long-chain graphs swap in
-    * the large-star/small-star variant (O(log n) rounds, same
-    * join/groupBy primitives). Every iteration is one shuffle-join on
+    * a handful of rounds; for adversarial long-chain graphs use
+    * [[connectedComponentsStar]] (O(log² n) rounds worst case, same
+    * output contract). Every iteration is one shuffle-join on
     * the edge src plus one min-aggregate on vertex id; lineage is cut
     * with a localCheckpoint per round so the plan stays flat (an
     * iterative join without checkpointing doubles the plan each
@@ -345,6 +345,66 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components in O(log n) rounds: alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — the variant for graphs whose diameter
+    * is NOT small (chains of pairwise near-dups spanning millions of
+    * docs), where per-round min propagation would need diameter
+    * rounds. Same output contract as [[connectedComponents]].
+    *
+    * Each round is two star operations, each one groupBy-min plus
+    * one join back to the edge list — no collect_list, so a
+    * high-degree hub never materializes its neighborhood in one row.
+    * Convergence = the small-star edge set reaches a fixpoint
+    * (checked exactly with exceptAll, not a hash heuristic); at the
+    * fixpoint every vertex points directly at its component minimum.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 60): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(false)
+    // directed hi→lo, deduped
+    var dir = p.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(false)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+      val sym = dir.select(col("u"), col("v"))
+        .unionByName(dir.select(col("v").as("u"), col("u").as("v")))
+      val lsMins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(lsMins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: u and its smaller neighbors all link to the min
+      val ssMins = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      converged = ss.count() == dir.count() &&
+        ss.exceptAll(dir).isEmpty
+      dir = ss
+      iters += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // at the fixpoint dir is (vertex, component-min); minima map to
+    // themselves
+    val verts = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct()
+    verts.join(dir.select(col("u").as("id"), col("v").as("m")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
   /** Embedding near-dup pairs: block on a coarse cluster key (here

@@ -28,6 +28,30 @@ class CorpusSpec extends AnyFunSuite {
     assert((1L to 4L).forall(cc(_) == 1L))
   }
 
+  test("star CC matches min-propagation CC on the real pair graph") {
+    val pairs = graft.dedup.Dedup.minhashLsh(
+      graft.dedup.Dedup.augmentedDocs(spark, sf), k = 8, bands = 4,
+      threshold = 0.8).select("a_id", "b_id").localCheckpoint(false)
+    val prop = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Dedup.connectedComponentsStar(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+  }
+
+  test("star CC converges on a 2000-hop chain where diameter-bound propagation cannot") {
+    val chain = spark.range(2000)
+      .selectExpr("id AS a_id", "id + 1 AS b_id")
+    // min propagation: needs ~diameter rounds — refuses at maxIters
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a_id", "b_id", maxIters = 10).count()
+    }
+    // star: O(log^2 n) rounds
+    val star = Dedup.connectedComponentsStar(chain, "a_id", "b_id")
+    assert(star.count() == 2001)
+    assert(star.filter(col("cluster_id") =!= 0L).count() == 0)
+  }
+
   test("d8 clusters hold the planted near-dup triples and keep one canonical per cluster") {
     val df = SparkEntry.queries("d8_cluster")(spark, sf).cache()
     val byCluster = df.groupBy("cluster_id")
