@@ -51,11 +51,24 @@ object PipelineQ {
       .select("doc_id", "source", "copy_id")
       .orderBy("doc_id", "copy_id")
 
+  /** p5: overlapping token-window chunking — 40-token windows every
+    * 30 tokens (10-token overlap), the RAG/context-prep layout. */
+  def p5Chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(col("text"), width = 40,
+          stride = 30)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"))
+      .withColumn("n_chunk_tokens", TextAnalysis.nTokens(col("chunk_text")))
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
     "p3_shuffle" -> (p3Shuffle _),
     "p4_mixture" -> (p4Mixture _),
+    "p5_chunk" -> (p5Chunk _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -106,5 +119,18 @@ object PipelineQ {
              CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_id
            FROM n)
          ORDER BY doc_id, copy_id""",
+    "p5_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM documents),
+         s AS (
+           SELECT doc_id, tks,
+             unnest(range(0, greatest(len(tks), 1), 30)) AS st
+           FROM t)
+         SELECT doc_id,
+           CAST(st / 30 AS INT) AS chunk_idx,
+           array_to_string(list_slice(tks, st + 1, least(st + 40, len(tks))), ' ') AS chunk_text,
+           CAST(len(list_slice(tks, st + 1, least(st + 40, len(tks)))) AS INT) AS n_chunk_tokens
+         FROM s ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -40,6 +40,22 @@ object TextAnalysis {
   def nEmails(text: Column): Column = regexp_count(text, lit(EmailRe))
   def nPhones(text: Column): Column = regexp_count(text, lit(PhoneRe))
 
+  /** Overlapping token-window chunking (RAG / context-window prep):
+    * windows of `width` tokens starting every `stride` tokens; the
+    * last window may be shorter. Pure map + explode over builtin
+    * array functions (sequence/slice) — codegen'd, no UDF, no
+    * shuffle; output size is the n/stride blowup the caller asked
+    * for, nothing more. Returns (chunk_idx, chunk_text) structs;
+    * explode at the call site. */
+  def tokenChunks(text: Column, width: Int, stride: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
+    transform(starts, s => struct(
+      (s / stride).cast("int").as("chunk_idx"),
+      concat_ws(" ", slice(toks, s + 1, lit(width))).as("chunk_text")))
+  }
+
   /** Ratio of non-alphanumeric-non-space characters. */
   def punctRatio(text: Column): Column =
     round(length(regexp_replace(text, "[a-z0-9\\s]", "")) / length(text), 4)
