@@ -59,6 +59,29 @@ object Indexing {
       .unionByName(updates)
   }
 
+  /** Sharded inverted-postings build — the index-construction step
+    * itself on the data plane (what the reference hands to Solr,
+    * built distributively): token → postings. The postings for one
+    * token are SHARDED by doc-id block, so a stopword's posting list
+    * never concentrates on a single reducer — each (token, block)
+    * group is bounded by the block's documents, and blocks of one
+    * token merge downstream by concatenation (they're disjoint,
+    * doc-sorted). Postings serialize as "doc:tf doc:tf …" sorted by
+    * doc id — deterministic and engine-portable. */
+  def invertedPostings(docs: DataFrame, idCol: Column, textCol: Column,
+      nBlocks: Int): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+    val tf = toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.withColumn("block", pmod(col("doc_id"), lit(nBlocks)).cast("int"))
+      .groupBy("tok", "block")
+      .agg(count(lit(1)).as("df_block"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          s => concat(s.getField("doc_id").cast("string"), lit(":"),
+            s.getField("tf").cast("string")))).as("postings"))
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

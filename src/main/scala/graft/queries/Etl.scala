@@ -180,7 +180,15 @@ object Etl {
       .orderBy("doc_id")
   }
 
+  /** x5: distributed inverted-index build over documents, postings
+    * sharded into 8 doc-id blocks (skew-bounded posting lists). */
+  def x5Inverted(spark: SparkSession, dir: String): DataFrame =
+    Indexing.invertedPostings(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), nBlocks = 8)
+      .orderBy("tok", "block")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_inverted" -> (x5Inverted _),
     "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
     "h2_set_include" -> (h2SetInclude _),
@@ -300,6 +308,15 @@ object Etl {
              OR NOT coalesce(n_chars = length(text), FALSE)
              OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
+    "x5_inverted" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)
+         SELECT tok, CAST(doc_id % 8 AS INT) AS block,
+           count(*) AS df_block,
+           string_agg(concat(CAST(doc_id AS VARCHAR), ':', CAST(tf AS VARCHAR)), ' ' ORDER BY doc_id) AS postings
+         FROM tf GROUP BY 1, 2 ORDER BY tok, block""",
     "x4_apply_changes" ->
       """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
          updates AS (SELECT doc_id, lang, concat('updated-', source) AS source, n_chars
