@@ -166,6 +166,24 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(bad.head.getString(1).contains("in.csv"))
   }
 
+  test("quarantine ingest handles JSONL (the training-corpus format)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(tmp.resolve("docs.jsonl"),
+      """{"id": 1, "text": "good doc one"}
+        |{"id": 2, "text": "unterminated
+        |{"id": 3, "text": "good doc three"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val (good, quarantined) = graft.sources.Sources.quarantineIngest(
+      spark, tmp.toString, schema, format = "json")
+    assert(good.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val bad = quarantined.collect()
+    assert(bad.length == 1 && bad.head.getString(0).contains("unterminated"))
+    assert(bad.head.getString(1).contains("docs.jsonl"))
+  }
+
   test("stub decoder pipeline: deterministic, payload-local, batch-shaped") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(50)
