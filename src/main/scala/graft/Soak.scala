@@ -48,6 +48,11 @@ object Soak {
         .agg(count_distinct(col("cluster_id"))).head.getLong(0))
     lshPairs.unpersist()
     val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
+    // inverted-index build at 10x: token universe is fixed, so
+    // posting lists grow linearly — the doc-id-block sharding is what
+    // keeps the per-reducer list bounded
+    val (tInv, nInv) = time(operators.Indexing.invertedPostings(
+      corpus, col("doc_id"), col("text"), nBlocks = 32).count())
 
     // edit-distance at replica scale: per-replica name suffixes give
     // distinct-name counts (and verdict-broadcast id-pair volume)
@@ -67,7 +72,7 @@ object Soak {
       parts, col("p_partkey"), col("p_name"), col("p_brand"), maxDist = 2).count())
     parts.unpersist()
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd}""")
     spark.stop()
   }
 }
