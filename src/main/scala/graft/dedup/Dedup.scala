@@ -363,11 +363,14 @@ object Dedup {
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 60): DataFrame = {
+    // vertex set from the RAW pairs (a self-pair-only vertex is a
+    // legitimate singleton and must label itself, matching
+    // connectedComponents); edges from the self-loop-free pairs
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .filter(col("a") =!= col("b"))
       .localCheckpoint(false)
     // directed hi→lo, deduped
-    var dir = p.select(greatest(col("a"), col("b")).as("u"),
+    var dir = p.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(false)
     var iters = 0

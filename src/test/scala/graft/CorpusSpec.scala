@@ -39,6 +39,13 @@ class CorpusSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("star CC keeps self-pair-only vertices as singletons") {
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("a_id", "b_id")
+    val star = Dedup.connectedComponentsStar(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("star CC converges on a 2000-hop chain where diameter-bound propagation cannot") {
     val chain = spark.range(2000)
       .selectExpr("id AS a_id", "id + 1 AS b_id")
