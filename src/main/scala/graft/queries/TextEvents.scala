@@ -113,6 +113,29 @@ object TextEvents {
       .orderBy("doc_id")
   }
 
+  /** ta9: tf-idf keyword extraction — top-3 terms per document by
+    * round(tf · ln(N/df), 4), ranked on the ROUNDED score (both
+    * engines) with token tiebreak so ordering is deterministic.
+    * The df table is tiny (vocabulary) → broadcast; the rank-dropping
+    * row_number ≤ k shape is exactly what TopKRewriteRule rewrites
+    * into the bounded-heap TopKPerKey operator. */
+  def ta9Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "tok")
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("doc_id", "tok", "tfidf")
+      .orderBy("doc_id", "tok")
+  }
+
   // ---- Events ----
 
   def e1Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -212,6 +235,7 @@ object TextEvents {
     "ta6_quality_filter" -> (ta6QualityFilter _),
     "ta7_repetition" -> (ta7Repetition _),
     "ta8_redact" -> (ta8Redact _),
+    "ta9_keywords" -> (ta9Keywords _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -293,6 +317,21 @@ object TextEvents {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM planted ORDER BY doc_id""",
+    "ta9_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         d AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT doc_id, tf.tok,
+             round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 4) AS tfidf
+           FROM tf JOIN d USING (tok))
+         SELECT doc_id, tok, tfidf FROM (
+           SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rn
+           FROM sc)
+         WHERE rn <= 3 ORDER BY doc_id, tok""",
     "ta6_quality_filter" ->
       """SELECT doc_id,
            (ntok >= 20 AND ntok <= 500 AND atl >= 3.0 AND atl <= 12.0 AND pr <= 0.1) AS keep,

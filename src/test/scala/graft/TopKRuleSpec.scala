@@ -48,6 +48,13 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ta9 tf-idf keyword extraction rewrites to TopKPerKey") {
+    val plan = graft.queries.TextEvents.ta9Keywords(spark, TestSession.sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"ta9's rank-dropping top-3 should hit the rewrite:\n$plan")
+  }
+
   test("queries that keep the rank column are NOT rewritten") {
     enableRule()
     val plan = topkShaped(dropRank = false).queryExecution.executedPlan.toString
