@@ -115,6 +115,27 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s5: int8 embedding quantization — per-vector max-abs scaling,
+    * q_i = round(v_i·127/maxabs), the storage/transfer prep every
+    * large ANN index does (4× smaller, dequant = q·maxabs/127).
+    * Map-only (posexplode + native array_max); output exploded to
+    * (vec_id, dim, q) so the oracle compares scalars, not nested
+    * arrays. Rounds rank the same in both engines: round() is
+    * half-away-from-zero in Spark and DuckDB, applied BEFORE the int
+    * cast (casting alone truncates in Spark but rounds in DuckDB). */
+  def s5Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+    e.select(col("vec_id"), col("maxabs"), posexplode(col("v")).as(Seq("pos", "val")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        when(col("maxabs") === 0, 0)
+          .otherwise(round(col("val") * 127 / col("maxabs")))
+          .cast("int").as("q"),
+        round(col("maxabs") / 127, 6).as("scale"))
+      .orderBy("vec_id", "dim")
+  }
+
   /** s3: hybrid lexical+vector retrieval over the joined
     * documents⋈embeddings corpus (shared id space), routed through
     * the LSH-bucket candidate generator (4 hyperplanes → 16 buckets;
@@ -145,6 +166,7 @@ object DedupSim {
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s4_knn_ivf" -> (s4KnnIvf _),
+    "s5_quantize" -> (s5Quantize _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -318,6 +340,17 @@ object DedupSim {
                ORDER BY score DESC, n_id ASC) AS INT) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s5_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+         x AS (SELECT vec_id, maxabs,
+             unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val
+           FROM m)
+         SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(CASE WHEN maxabs = 0 THEN 0
+                ELSE round(val * 127 / maxabs) END AS INT) AS q,
+           round(maxabs / 127, 6) AS scale
+         FROM x ORDER BY vec_id, dim""",
     "s1_knn_brute" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 10),

@@ -121,6 +121,23 @@ class DedupSpec extends AnyFunSuite {
       .findAllMatchIn(fmt).map(_.group(1)).toSeq
   }
 
+  test("s5 int8 quantization is range-bounded with half-step reconstruction error") {
+    val q = SparkEntry.queries("s5_quantize")(spark, sf)
+    val orig = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), posexplode(
+        graft.functions.Vectors.toDouble(col("embedding"))).as(Seq("pos", "val")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("val"))
+    val joined = q.join(orig, Seq("vec_id", "dim")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val qv = r.getInt(2); val scale = r.getDouble(3); val v = r.getDouble(4)
+      assert(qv >= -127 && qv <= 127, s"q out of range: $r")
+      // dequant error ≤ half a quantization step (scale = maxabs/127,
+      // emitted rounded to 6 dp — allow qv·5e-7 slack for that)
+      assert(math.abs(qv * scale - v) <= scale / 2 + 1e-4, s"reconstruction: $r")
+    }
+  }
+
   test("s1 broadcasts the query side, never the corpus (scale posture)") {
     import graft.functions.Vectors
     val e = Tables.embeddings(spark, sf)
