@@ -325,8 +325,14 @@ object Dedup {
       .localCheckpoint(false)
     // labels only ever decrease, so Σlabel strictly decreases until
     // the fixpoint: one cheap agg over the just-checkpointed result
-    // detects convergence (no compare-join, no extra shuffle)
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    // detects convergence (no compare-join, no extra shuffle).
+    // Summed as decimal(38,0): a Long sum can wrap near 2^63 label
+    // domains, and on an EMPTY pair set sum() is NULL — both coalesce
+    // away here (empty input converges immediately to zero rows).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -335,9 +341,9 @@ object Dedup {
       val next = labels.unionByName(cand)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false)
-      val nextSum = next.agg(sum("label")).head.getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iters += 1
     }

@@ -47,6 +47,12 @@ object Sources {
     * report rather than aborting). PERMISSIVE parsing keeps the scan
     * map-only; the split is two filters over one cached pass (Spark
     * requires the cache before filtering on the corrupt column).
+    * Both sides are materialized eagerly (localCheckpoint) and the
+    * intermediate cache is dropped before returning — repeated /
+    * per-micro-batch calls leave no storage-memory residue behind
+    * (checkpoint blocks are context-cleaned when the returned frames
+    * go out of scope). For corpora too large to materialize, run a
+    * DROPMALFORMED pass for the good side and diff counts instead.
     * Returns (good rows with the declared schema, quarantined rows
     * as (raw, source_file)). */
   def quarantineIngest(spark: SparkSession, path: String, schema: StructType,
@@ -62,10 +68,14 @@ object Sources {
       // it the rows no longer carry scan-file lineage
       .withColumn("__source_file", input_file_name())
       .cache()
-    val good = df.filter(col(corrupt).isNull).drop(corrupt, "__source_file")
-    val quarantined = df.filter(col(corrupt).isNotNull)
-      .select(col(corrupt).as("raw"), col("__source_file").as("source_file"))
-    (good, quarantined)
+    try {
+      val good = df.filter(col(corrupt).isNull).drop(corrupt, "__source_file")
+        .localCheckpoint(true)
+      val quarantined = df.filter(col(corrupt).isNotNull)
+        .select(col(corrupt).as("raw"), col("__source_file").as("source_file"))
+        .localCheckpoint(true)
+      (good, quarantined)
+    } finally df.unpersist(false)
   }
 
   /** CSV report sink (reference: validate.py:77-99 writes the

@@ -67,14 +67,23 @@ object EventsStream {
     * micro-batch (restart between version write and checkpoint
     * commit) is skipped instead of writing a duplicate version. The
     * transformed batch is persisted so the emptiness probe and the
-    * version write run the transform once, not twice. */
-  def maintainIndex(events: DataFrame, tableDir: String)(
+    * version write run the transform once, not twice.
+    *
+    * Markers are scoped `(lineage, batchId)`: batch ids restart at 0
+    * for every fresh checkpoint, so a marker keyed on batchId alone
+    * would make a NEW query over NEW source data silently skip its
+    * first batches. A `(tableDir, lineage)` pair is bound to exactly
+    * one checkpoint lineage — restart/replay of the SAME run (same
+    * lineage) deduplicates, a genuinely new run passes a new lineage
+    * id and starts its own marker namespace. */
+  def maintainIndex(events: DataFrame, tableDir: String,
+      lineage: String = "run0")(
       transform: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import java.nio.file.{Files, Paths}
-        val marker = Paths.get(tableDir, s"_batch-$batchId")
+        val marker = Paths.get(tableDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           val out = transform(batch).persist()
           try {
@@ -88,7 +97,7 @@ object EventsStream {
             // version write and this move can still replay the batch
             // once — at most one duplicate version, with identical
             // content, invisible behind the _LATEST pointer.
-            val tmp = Paths.get(tableDir, s"_batch-$batchId.tmp")
+            val tmp = Paths.get(tableDir, s"_batch-$lineage-$batchId.tmp")
             Files.writeString(tmp, version.toString)
             Files.move(tmp, marker,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -132,17 +141,19 @@ object EventsStream {
     * behind the atomic alias swap — the full collection-build-then-
     * alias-swap lifecycle (solr_api_utils.py:14-60) run incrementally.
     * Readers always see a complete version; a replayed micro-batch is
-    * skipped via the same batch-marker protocol as maintainIndex.
+    * skipped via the same `(lineage, batchId)` marker protocol as
+    * maintainIndex (see there for why batchId alone is unsafe).
     * At scale the merge is one shuffle per side on the id (or a
     * Delta/Iceberg MERGE INTO with identical semantics). */
-  def maintainMerged(events: DataFrame, tableDir: String, idCol: String)(
+  def maintainMerged(events: DataFrame, tableDir: String, idCol: String,
+      lineage: String = "run0")(
       updates: DataFrame => DataFrame)(
       deletes: DataFrame => DataFrame): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import java.nio.file.{Files, Paths}
-        val marker = Paths.get(tableDir, s"_batch-$batchId")
+        val marker = Paths.get(tableDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           val spark = batch.sparkSession
           val ups = updates(batch).persist()
@@ -161,7 +172,7 @@ object EventsStream {
                 graft.sources.VersionedTable.write(merged, tableDir)
               }
             Files.createDirectories(Paths.get(tableDir))
-            val tmp = Paths.get(tableDir, s"_batch-$batchId.tmp")
+            val tmp = Paths.get(tableDir, s"_batch-$lineage-$batchId.tmp")
             Files.writeString(tmp, version.toString)
             Files.move(tmp, marker,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)

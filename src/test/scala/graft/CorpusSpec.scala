@@ -39,6 +39,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("both CC variants return empty labels on an empty pair set") {
+    // a corpus/SF with zero near-dup pairs must label-propagate to
+    // nothing, not NPE on the null label sum (ADVICE r3)
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty, "a_id", "b_id").count() == 0)
+    assert(Dedup.connectedComponentsStar(empty, "a_id", "b_id").count() == 0)
+  }
+
   test("star CC keeps self-pair-only vertices as singletons") {
     val pairs = Seq((1L, 2L), (7L, 7L)).toDF("a_id", "b_id")
     val star = Dedup.connectedComponentsStar(pairs, "a_id", "b_id")

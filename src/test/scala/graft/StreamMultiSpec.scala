@@ -147,6 +147,20 @@ class StreamMultiSpec extends AnyFunSuite {
     q2.processAllAvailable(); q2.stop()
     assert(VersionedTable.listVersions(table).size == 3,
       "replayed batches produced duplicate versions")
+    // a genuinely NEW run (fresh lineage id) must NOT be skipped by
+    // the old run's markers even though its batch ids also start at 0
+    val events3 = spark.readStream.schema(EventsStream.rawSchema)
+      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val q3 = EventsStream.maintainMerged(events3, table, "event_type",
+      lineage = "run1") {
+      batch => batch.filter(col("event_type") =!= "error")
+        .groupBy("event_type").count()
+    } { batch => batch.filter(col("event_type") === "error")
+        .select("event_type").distinct()
+    }
+    q3.processAllAvailable(); q3.stop()
+    assert(VersionedTable.listVersions(table).size == 5,
+      "new-lineage run was silently skipped by stale markers")
   }
 
   test("corrupt records quarantine instead of failing the ingest") {
