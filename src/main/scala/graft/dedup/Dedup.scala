@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Hashing
 import graft.operators.Transform
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline.
@@ -231,6 +232,73 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minSharedShingles).as("contaminated"))
+  }
+
+  /** Bloom-prefiltered decontamination: same output contract as
+    * [[decontaminate]] — EXACTLY, because the Bloom pass is only a
+    * prefilter — but the exploded corpus shingle stream is thinned
+    * MAP-SIDE by a ~10-bits/item Bloom filter of the benchmark
+    * shingle vocabulary before the exact verify join ever shuffles.
+    * At 100 TB the exploded corpus side dominates (≈ tokens × 1
+    * rows); clean documents share almost no shingles with an eval
+    * set, so the Bloom drops ≈ (1 - fpp) of that stream at the scan
+    * and the verify join + doc_id aggregation only ever see true
+    * hits plus an fpp-bounded trickle of false positives, which the
+    * exact semi-join then removes. No false negatives by Bloom
+    * construction → bit-identical to the unfiltered plan (the spec
+    * asserts it; the oracle is the same SQL as d7's). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      minSharedShingles: Int, fpp: Double = 0.01): DataFrame = {
+    // deliberately NOT checkpointed: a checkpointed frame whose
+    // lineage shares relations with a caller's other plans breaks
+    // plan composition (exceptAll saw the whole branch as empty —
+    // Spark 4.1.2 relation-dedup edge case); the benchmark side is
+    // small by nature, so recomputing its shingles for the count,
+    // the filter build, and the verify join is the cheaper honest
+    // trade
+    val benchSh = benchmark
+      .select(explode(hashedShingles(col("text"))).as("s")).distinct()
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("s", expected, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: Long) => bloomBc.value.mightContainLong(s))
+    val corpusEx = corpus
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("s"))
+      .filter(mightContain(col("s")))
+    val hits = corpusEx.join(broadcast(benchSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minSharedShingles).as("contaminated"))
+  }
+
+  /** Cross-document duplicated-span statistics: for every document,
+    * how many of its distinct 3-token shingles also appear in at
+    * least one OTHER document, and the duplicated fraction — the
+    * per-document signal behind exact-substring dedup ("this doc is
+    * 60% boilerplate shared with the rest of the corpus"; the
+    * span-REMOVAL step is a tokenizer-side rewrite this score
+    * gates). Shapes: one explode (map-side), then exactly two
+    * shuffles — a count-window on the 32-bit shingle hash (the only
+    * wide key, uniformly distributed by construction) and the
+    * per-doc reduction. hashedShingles emits DISTINCT shingles per
+    * document, so `count(*) over (partition by s)` IS the number of
+    * documents containing s — no countDistinct, no self-join, the
+    * exploded stream is scanned once. Linear in corpus tokens,
+    * nothing pairwise. */
+  def dupSpanStats(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(hashedShingles(col("text"))).as("s"))
+    val nd = count(lit(1)).over(Window.partitionBy("s"))
+    ex.withColumn("nd", nd)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("nd") >= 2).cast("long")).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared") / col("n_shingles").cast("double"), 4)
+          .as("dup_ratio"))
   }
 
   /** Fuzzy name matching by edit distance: candidates block on a

@@ -117,4 +117,23 @@ object Corpus {
     packSequences(sharded, struct(keyCol, col("pack_shard")),
       orderCol, tokensCol, budget)
   }
+
+  /** Deterministic stratified sample: exactly min(nPer, |stratum|)
+    * rows per stratum, chosen by md5-hash rank of the id — a
+    * reproducible fixed-size-panel draw with no RNG (rerunning over
+    * the same corpus picks the same rows; hashSplit/mixtureSample
+    * are the rate-based siblings and stay append-stable, a
+    * fixed-SIZE panel by construction cannot be). The rank-dropping
+    * row_number shape auto-rewrites to TopKPerKey (bounded heap per
+    * stratum, no per-stratum global sort) — one shuffle on the
+    * stratum key regardless of corpus size. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, idCol: Column,
+      nPer: Int): DataFrame = {
+    require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    val h = md5(concat(lit("strat:"), idCol.cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(h, idCol)
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nPer)
+      .drop("__r")
+  }
 }

@@ -48,6 +48,74 @@ object Events {
       last(when(sourcePred, idCol), ignoreNulls = true).over(order))
   }
 
+  /** Generic as-of (backward) join: every left row matched to the
+    * most recent right row with `rightTs <= leftTs` on the same key.
+    * Not a range probe: both sides union into one stream tagged by
+    * side, sorted (ts, side) with right rows first at ties, and a
+    * running last(ignoreNulls) carries the latest right payload into
+    * each left row — ONE shuffle on the key, state linear in rows,
+    * no per-row interval search (the asOfAttribute collapse,
+    * generalized to two tables with disjoint schemas). Right rows
+    * must be unique per (key, ts) — pre-reduce the right side so the
+    * match is deterministic. Inner semantics: left rows preceding
+    * every right row drop. Column names must not collide across the
+    * two inputs (both payloads re-expand into one row), so the join
+    * key is named per side. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    val lStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rStruct = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lu = left.select(col(leftKey).as("__k"), col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val ru = right.select(col(rightKey).as("__k"), col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lu.unionByName(ru)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(col("__l.*"), col("__m.*"))
+  }
+
+  /** Ordered funnel: per key, the earliest timestamp each stage is
+    * reached AT OR AFTER the previous stage's first occurrence, then
+    * the per-stage reach counts. All stage carries are min-windows
+    * over the same key partitioning, so they share one exchange, and
+    * the per-key reduction that follows reuses that partitioning —
+    * one shuffle total for any number of stages, output O(stages). */
+  def funnel(df: DataFrame, keyCol: Column, tsCol: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    var cur = df
+    var prevTs: Column = null
+    stages.foreach { case (name, pred) =>
+      val hit = if (prevTs == null) when(pred, tsCol)
+        else when(pred && tsCol >= prevTs, tsCol)
+      cur = cur.withColumn(s"__ts_$name", min(hit).over(w))
+      prevTs = col(s"__ts_$name")
+    }
+    val perKey = cur.groupBy(keyCol.as("__k"))
+      .agg(min(col(s"__ts_${stages.head._1}")).as(s"__t0"),
+        stages.tail.zipWithIndex.map { case ((n, _), i) =>
+          min(col(s"__ts_$n")).as(s"__t${i + 1}") }: _*)
+    val counts = perKey.agg(
+      count(col("__t0")).as("c0"),
+      stages.tail.zipWithIndex.map { case (_, i) =>
+        count(col(s"__t${i + 1}")).as(s"c${i + 1}") }: _*)
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"c$i").as("n_keys"))
+    }
+    counts.select(explode(array(rows: _*)).as("f"))
+      .select(col("f.stage_idx"), col("f.stage"), col("f.n_keys"))
+  }
+
   /** Range join: match point events to [start, end] intervals of the
     * same key. The scalable plan is NOT a theta join (which Spark
     * executes as BroadcastNestedLoop): intervals explode into the

@@ -21,9 +21,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
   private def asTopK(filter: Filter): Option[(LogicalPlan, Attribute)] = filter match {
-    case Filter(cond, w @ Window(Seq(
+    case Filter(cond, w: Window) => matchWindow(cond, w)
+    // see through an attribute-only pruning Project between the
+    // k-filter and the window — the shape the analyzer produces when
+    // the window ORDER BY is a derived expression (it extracts the
+    // expression into the window child's project, and column pruning
+    // then inserts a Project above the window to drop it again).
+    // Attribute-only means exprIds pass through unchanged, so the
+    // rank-identity check below still binds; the pruning itself is
+    // re-done by the parent projection after the swap.
+    case Filter(cond, Project(plist, w: Window))
+        if plist.forall(_.isInstanceOf[AttributeReference]) =>
+      matchWindow(cond, w)
+    case _ => None
+  }
+
+  private def matchWindow(cond: Expression, w: Window): Option[(LogicalPlan, Attribute)] = w match {
+    case Window(Seq(
         a @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)), _)),
-        _, _, child, _)) =>
+        _, _, child, _) =>
       cond match {
         // k >= 1 guard: rn <= 0 is a legal empty-result query; it must
         // stay a (no-op) window filter, not become a k=0 heap

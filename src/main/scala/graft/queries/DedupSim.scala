@@ -65,6 +65,25 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d9: Bloom-prefiltered decontamination — the map-side-thinned
+    * twin of d7 (exact same output contract by the no-false-negative
+    * argument in Dedup.decontaminateBloom; run here at threshold 2
+    * so d7/d9 oracle rows genuinely differ). */
+  def d9Bloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminateBloom(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        minSharedShingles = 2)
+      .orderBy("doc_id")
+  }
+
+  /** d10: duplicated-span statistics over the augmented corpus (the
+    * planted exact/near copies guarantee shared spans exist). */
+  def d10DupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanStats(Dedup.augmentedDocs(spark, dir))
+      .orderBy("doc_id")
+
   /** d8: the full dedup decision — MinHash-LSH pairs (the d3
     * pipeline) → connected components → every document labeled with
     * its cluster's canonical (minimum) id; `is_canonical` marks the
@@ -163,6 +182,8 @@ object DedupSim {
     "d6_editdist" -> (d6EditDist _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d8_cluster" -> (d8Cluster _),
+    "d9_bloom" -> (d9Bloom _),
+    "d10_dupspans" -> (d10DupSpans _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s4_knn_ivf" -> (s4KnnIvf _),
@@ -315,6 +336,40 @@ object DedupSim {
          FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
          LEFT JOIN hits h USING (doc_id)
          ORDER BY doc_id""",
+    "d9_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+           FROM toks),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+           FROM sh0),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id < 10),
+         cex AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id >= 10),
+         hits AS (SELECT doc_id, count(*) AS n_hits FROM cex JOIN bench USING (s) GROUP BY 1)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           (coalesce(h.n_hits, 0) >= 2) AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+         LEFT JOIN hits h USING (doc_id)
+         ORDER BY doc_id""",
+    "d10_dupspans" ->
+      s"""WITH $shingleCte,
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM shh),
+         shared AS (SELECT s FROM (
+           SELECT s, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1) WHERE nd >= 2),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY 1),
+         shr AS (SELECT doc_id, count(*) AS n_shared FROM ex
+           WHERE s IN (SELECT s FROM shared) GROUP BY 1)
+         SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(h.n_shared, 0) / CAST(t.n_shingles AS DOUBLE), 4) AS dup_ratio
+         FROM tot t LEFT JOIN shr h USING (doc_id)
+         ORDER BY t.doc_id""",
     "s3_hybrid" ->
       s"""WITH corpus AS (
            SELECT d.doc_id AS id,

@@ -63,12 +63,23 @@ object PipelineQ {
       .withColumn("n_chunk_tokens", TextAnalysis.nTokens(col("chunk_text")))
       .orderBy("doc_id", "chunk_idx")
 
+  /** p6: deterministic stratified sample — a 40-per-language panel
+    * drawn by md5-hash rank (no RNG; the rank-dropping shape rides
+    * the TopKPerKey rewrite). Strata smaller than the quota return
+    * whole (sf0.001 exercises that branch). */
+  def p6Stratified(spark: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+        col("lang"), col("doc_id"), nPer = 40)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
     "p3_shuffle" -> (p3Shuffle _),
     "p4_mixture" -> (p4Mixture _),
     "p5_chunk" -> (p5Chunk _),
+    "p6_stratified" -> (p6Stratified _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -119,6 +130,13 @@ object PipelineQ {
              CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_id
            FROM n)
          ORDER BY doc_id, copy_id""",
+    "p6_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(concat('strat:', CAST(doc_id AS VARCHAR))), doc_id) AS r
+           FROM documents)
+         WHERE r <= 40 ORDER BY doc_id""",
     "p5_chunk" ->
       """WITH t AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tks

@@ -195,6 +195,34 @@ object TextEvents {
       .select("event_id", "user_id", "last_click_id")
       .orderBy("event_id")
 
+  /** e8: generic as-of join — every purchase matched to the user's
+    * most recent view at or before it (two genuinely different
+    * algorithms meet at the oracle: graft's union+running-window
+    * collapse vs DuckDB's native ASOF JOIN). The view side reduces
+    * to one row per (user, ts) so the match is deterministic. */
+  def e8AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+      .agg(max("event_id").as("view_id"))
+    Events.asOfJoin(purchases, views, "user_id", "v_user",
+        "purchase_ts", "view_ts")
+      .select("purchase_id", "user_id", "view_id", "view_ts", "purchase_ts")
+      .orderBy("purchase_id")
+  }
+
+  /** e9: ordered funnel — users reaching view → click-after-view →
+    * purchase-after-that-click. */
+  def e9Funnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnel(Tables.events(spark, dir), col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+      .orderBy("stage_idx")
+
   /** e6: pivot event types to columns per day — Expand-free pivot
     * with a fixed column list (the scalable form: explicit values,
     * no driver-side distinct pass). */
@@ -230,6 +258,8 @@ object TextEvents {
     "e4_percentiles" -> (e4Percentiles _),
     "e5_attribution" -> (e5Attribution _),
     "e6_pivot" -> (e6Pivot _),
+    "e8_asof" -> (e8AsOf _),
+    "e9_funnel" -> (e9Funnel _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta5_ngram_freq" -> (ta5NgramFreq _),
     "ta6_quality_filter" -> (ta6QualityFilter _),
@@ -274,6 +304,36 @@ object TextEvents {
                  ROWS UNBOUNDED PRECEDING) AS last_click_id
            FROM events)
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "e8_asof" ->
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+         v AS (
+           SELECT user_id AS v_user, ts AS view_ts, max(event_id) AS view_id
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT purchase_id, user_id, view_id, view_ts, purchase_ts
+         FROM p ASOF JOIN v
+           ON p.user_id = v.v_user AND p.purchase_ts >= v.view_ts
+         ORDER BY purchase_id""",
+    "e9_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, s1.t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1 THEN e.ts END) AS t2
+           FROM events e JOIN s1 USING (user_id) GROUP BY 1, 2),
+         s3 AS (
+           SELECT e.user_id, s2.t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2 THEN e.ts END) AS t3
+           FROM events e JOIN s2 USING (user_id) GROUP BY 1, 2)
+         SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+           (SELECT count(t1) FROM s1) AS n_keys
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), 'click', (SELECT count(t2) FROM s2)
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(t3) FROM s3)
+         ORDER BY stage_idx""",
     "e6_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
