@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Trigger policies and the Kafka source surface.
+  *
+  * The reference harvests in scheduled Airflow runs (a cron-shaped
+  * "drain everything new, then stop" cycle — harvest.py:27-64 per-run
+  * semantics); AvailableNow is that exact cycle on a stream: process
+  * all data available at start, checkpoint, terminate. Fixed-interval
+  * micro-batches are the always-on serving posture; Eager (no
+  * trigger) is the default as-fast-as-possible mode.
+  */
+object StreamConfig {
+
+  sealed trait TriggerPolicy
+  object TriggerPolicy {
+    /** Drain everything currently available, then stop — the
+      * scheduled-backfill / cron-harvest cycle. Unlike the
+      * deprecated Once trigger it respects rate limits
+      * (maxFilesPerTrigger / maxOffsetsPerTrigger) across multiple
+      * micro-batches before terminating. */
+    case object AvailableNow extends TriggerPolicy
+    /** Steady micro-batches every `interval` (e.g. "5 minutes"). */
+    final case class Fixed(interval: String) extends TriggerPolicy
+    /** No trigger: next micro-batch starts as soon as the previous
+      * finishes. */
+    case object Eager extends TriggerPolicy
+  }
+
+  /** Apply a policy to a writer — the one place the Trigger API is
+    * touched, so pipelines carry a policy value, not a builder
+    * call-site. */
+  def withTrigger[T](w: DataStreamWriter[T], p: TriggerPolicy): DataStreamWriter[T] =
+    p match {
+      case TriggerPolicy.AvailableNow => w.trigger(Trigger.AvailableNow())
+      case TriggerPolicy.Fixed(interval) => w.trigger(Trigger.ProcessingTime(interval))
+      case TriggerPolicy.Eager => w
+    }
+
+  /** Kafka source parameters. `maxOffsetsPerTrigger` is the
+    * micro-batch size governor — at 100 TB/day it is what keeps a
+    * batch's shuffle within executor memory; bound it to
+    * (records/sec you can clear in an interval) × interval. */
+  final case class KafkaSourceSpec(
+      brokers: Seq[String],
+      topics: Seq[String],
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = true)
+
+  /** The option map for spark.readStream.format("kafka") — pure and
+    * unit-tested; the broker-facing read is just `.options(this)`. */
+  def kafkaOptions(spec: KafkaSourceSpec): Map[String, String] = {
+    require(spec.brokers.nonEmpty, "at least one broker required")
+    require(spec.topics.nonEmpty, "at least one topic required")
+    Map(
+      "kafka.bootstrap.servers" -> spec.brokers.mkString(","),
+      "subscribe" -> spec.topics.mkString(","),
+      "startingOffsets" -> spec.startingOffsets,
+      "failOnDataLoss" -> spec.failOnDataLoss.toString
+    ) ++ spec.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
+
+  /** A configured Kafka stream (wire columns: key, value, topic,
+    * partition, offset, timestamp). Untestable without a broker in
+    * this environment; the option plumbing and the parse step below
+    * are the tested parts. */
+  def kafkaSource(spark: SparkSession, spec: KafkaSourceSpec): DataFrame =
+    spark.readStream.format("kafka").options(kafkaOptions(spec)).load()
+
+  /** Kafka wire shape → typed rows: JSON value bytes parsed against
+    * `schema`, wire metadata carried as `_topic/_partition/_offset/
+    * _kafka_ts` (the replay/exactly-once bookkeeping columns).
+    * Unparseable values land with every payload column null and
+    * `_corrupt = true` — the stream-side quarantine contract
+    * (Sources.quarantineIngest's batch analog). Works on ANY frame
+    * with the wire columns, which is how the spec drives it without
+    * a broker. */
+  def parseKafkaJson(wire: DataFrame, schema: StructType): DataFrame = {
+    val parsed = wire.select(
+      col("key").cast("string").as("_key"),
+      from_json(col("value").cast("string"), schema).as("v"),
+      col("topic").as("_topic"), col("partition").as("_partition"),
+      col("offset").as("_offset"), col("timestamp").as("_kafka_ts"))
+    val payloadIsNull = schema.fieldNames
+      .map(f => col("v").getField(f).isNull)
+      .reduce(_ && _)
+    parsed.select(
+      (col("_key") +: schema.fieldNames.map(f => col("v").getField(f).as(f)).toSeq :+
+        payloadIsNull.as("_corrupt") :+ col("_topic") :+ col("_partition") :+
+        col("_offset") :+ col("_kafka_ts")): _*)
+  }
+}
