@@ -136,6 +136,27 @@ object Events {
       .drop("__bkt")
   }
 
+  /** Cohort retention: users cohorted by their first-activity week;
+    * output = (cohort_week, weeks_since, n_active). Shuffle shape:
+    * the distinct (user, week) activity set and the per-user cohort
+    * reduction both hash on the user key, so the join that follows
+    * is co-partitioned (no third shuffle); the final reduction's
+    * cardinality is O(weeks²) — trivially small at any corpus size.
+    * Both dates are week-truncated, so weeks_since division is
+    * exact. Counting rows equals counting distinct users here
+    * because (user, week) is distinct by construction — no
+    * count-distinct aggregate needed. */
+  def retention(df: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
+    val weeks = df.select(userCol.as("u"),
+      date_trunc("week", tsCol).cast("date").as("wk")).distinct()
+    val cohorts = weeks.groupBy("u").agg(min("wk").as("cohort_week"))
+    weeks.join(cohorts, "u")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Session roll-up on top of sessionize: bounds + size per session. */
   def sessionStats(sessions: DataFrame, keyCol: Column, tsCol: Column): DataFrame =
     sessions.groupBy(keyCol, col("session_id"))

@@ -82,6 +82,32 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Small-file compaction planner: assign a file inventory
+    * (partition key, file id, bytes) to output groups of
+    * ~targetBytes by running total within each partition — the
+    * metadata side of a lakehouse OPTIMIZE / rewrite-data-files
+    * pass, and the remedy for the small-file problem the reference's
+    * records_per_file batching creates at scale (harvest.py:185-208
+    * writes thousands of small objects per run). A 100 TB table's
+    * file inventory is itself millions of rows, so the plan is
+    * computed DISTRIBUTED: one window per partition key, ordered by
+    * file id (groups then stay contiguous in scan order, preserving
+    * any clustering). If a single partition's inventory is unbounded,
+    * compose a hash shard into `partCol` — the packSequencesSharded
+    * twin pattern. A file larger than targetBytes gets its own group
+    * (the straddle rule, same contract as p2 packing). */
+  def compactionPlan(files: DataFrame, partCol: Column, fileCol: Column,
+      bytesCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCol).orderBy(fileCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files.withColumn("cum_bytes", sum(bytesCol).over(w))
+      .withColumn("group_id",
+        floor((col("cum_bytes") - bytesCol) / targetBytes).cast("long"))
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

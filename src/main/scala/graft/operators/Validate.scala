@@ -91,6 +91,34 @@ object Validate {
   /** Per-source filter stats + the all-filtered guard
     * (reference: validate.py:101-121 warns per file and raises when
     * every record in the run is filtered). */
+  /** Volume anomaly detection: flag (key, day) record counts whose
+    * z-score against that key's own daily history crosses the
+    * threshold — the generalization of the reference's
+    * fail-if-all-filtered guard (validate.py:103-118 aborts when a
+    * run's volume collapses to zero; this catches collapses AND
+    * spikes before they hit the index). One groupBy on (key, day),
+    * then mean/stddev as windows over the key — two shuffles total,
+    * output size = distinct (key, day). The z-score is rounded to
+    * 4 dp and the flag compares the ROUNDED value, so float
+    * accumulation-order noise can't flip it across engines; a
+    * zero/undefined stddev (constant or single-day history) yields a
+    * null z and a false flag, never NaN. */
+  def volumeAnomaly(df: DataFrame, keyCol: Column, tsCol: Column,
+      zThreshold: Double): DataFrame = {
+    val daily = df.groupBy(keyCol.as("vol_key"), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vol_key")
+    val z = when(col("__sd") > 0,
+      round((col("n") - col("__mean")) / col("__sd"), 4))
+    daily
+      .withColumn("__mean", avg("n").over(w))
+      .withColumn("__sd", stddev_samp(col("n")).over(w))
+      .select(col("vol_key"), col("day"), col("n"),
+        round(col("__mean"), 4).as("mean_n"),
+        z.as("z"),
+        coalesce(abs(z) >= zThreshold, lit(false)).as("is_anomaly"))
+  }
+
   def filterStats(df: DataFrame, rules: Seq[Rule], sourceCol: Column): DataFrame = {
     val invalid = rules.map(r => !holds(r)).reduce(_ || _)
     df.groupBy(sourceCol.as("source_file"))

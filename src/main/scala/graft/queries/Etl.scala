@@ -187,7 +187,28 @@ object Etl {
         col("doc_id"), col("text"), nBlocks = 8)
       .orderBy("tok", "block")
 
+  /** x6: compaction plan over a synthetic file inventory (one "file"
+    * per 20 docs per source, sized by character count) — contiguous
+    * ~20 KB output groups per source partition. */
+  def x6Compact(spark: SparkSession, dir: String): DataFrame = {
+    val files = Tables.documents(spark, dir)
+      .groupBy(col("source").as("part_key"), expr("doc_id div 20").as("file_id"))
+      .agg(sum("n_chars").as("bytes"))
+    Indexing.compactionPlan(files, col("part_key"), col("file_id"),
+        col("bytes"), targetBytes = 20000L)
+      .orderBy("part_key", "file_id")
+  }
+
+  /** v7: per-type daily volume anomaly flags (|z| >= 2 vs the type's
+    * own daily history). */
+  def v7VolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    Validate.volumeAnomaly(Tables.events(spark, dir), col("event_type"),
+        col("ts"), zThreshold = 2.0)
+      .orderBy("vol_key", "day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_compact" -> (x6Compact _),
+    "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "x5_inverted" -> (x5Inverted _),
     "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
@@ -213,6 +234,34 @@ object Etl {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x6_compact" ->
+      """WITH files AS (
+           SELECT source AS part_key, doc_id // 20 AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT part_key, file_id, bytes,
+             CAST(sum(bytes) OVER (PARTITION BY part_key ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+           FROM files)
+         SELECT part_key, file_id, bytes, cum_bytes,
+           CAST(floor((cum_bytes - bytes) / 20000) AS BIGINT) AS group_id
+         FROM c ORDER BY part_key, file_id""",
+    "v7_volume_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type AS vol_key, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT vol_key, day, n,
+             avg(n) OVER (PARTITION BY vol_key) AS m,
+             stddev_samp(n) OVER (PARTITION BY vol_key) AS sd
+           FROM daily)
+         SELECT vol_key, day, n, round(m, 4) AS mean_n,
+           CASE WHEN sd > 0 THEN round((n - m) / sd, 4) END AS z,
+           CASE WHEN sd > 0 AND abs(round((n - m) / sd, 4)) >= 2.0
+             THEN true ELSE false END AS is_anomaly
+         FROM s ORDER BY vol_key, day""",
     "h1_partition_status" ->
       """SELECT event_id, event_type, (event_type = 'error') AS is_deleted
          FROM events ORDER BY event_id""",

@@ -223,6 +223,11 @@ object TextEvents {
           "purchase" -> (col("event_type") === "purchase")))
       .orderBy("stage_idx")
 
+  /** e10: weekly cohort retention over the event stream. */
+  def e10Retention(spark: SparkSession, dir: String): DataFrame =
+    Events.retention(Tables.events(spark, dir), col("user_id"), col("ts"))
+      .orderBy("cohort_week", "weeks_since")
+
   /** e6: pivot event types to columns per day — Expand-free pivot
     * with a fixed column list (the scalable form: explicit values,
     * no driver-side distinct pass). */
@@ -260,6 +265,7 @@ object TextEvents {
     "e6_pivot" -> (e6Pivot _),
     "e8_asof" -> (e8AsOf _),
     "e9_funnel" -> (e9Funnel _),
+    "e10_retention" -> (e10Retention _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta5_ngram_freq" -> (ta5NgramFreq _),
     "ta6_quality_filter" -> (ta6QualityFilter _),
@@ -304,6 +310,16 @@ object TextEvents {
                  ROWS UNBOUNDED PRECEDING) AS last_click_id
            FROM events)
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    "e10_retention" ->
+      """WITH weeks AS (
+           SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk
+           FROM events),
+         cohorts AS (SELECT u, min(wk) AS cohort_week FROM weeks GROUP BY 1)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS weeks_since,
+           count(*) AS n_active
+         FROM weeks JOIN cohorts USING (u)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e8_asof" ->
       """WITH p AS (
            SELECT event_id AS purchase_id, user_id, ts AS purchase_ts

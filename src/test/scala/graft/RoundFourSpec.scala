@@ -91,6 +91,66 @@ class RoundFourSpec extends AnyFunSuite {
     assert(rows(0) == viewers)
   }
 
+  test("e10 retention: week-0 row per cohort equals cohort size, counts bounded by it") {
+    val r = SparkEntry.queries("e10_retention")(spark, sf).cache()
+    val w0 = r.filter(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    // every cohort has a week-0 row (its members were active then)
+    assert(w0.count() == r.select("cohort_week").distinct().count())
+    // no later week exceeds the cohort size, and none is empty
+    val bad = r.join(w0, "cohort_week")
+      .filter(col("n_active") > col("cohort_size") || col("n_active") < 1)
+    assert(bad.count() == 0)
+    // total week-0 actives = distinct users
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(w0.agg(sum("cohort_size")).head.getLong(0) == users)
+    r.unpersist()
+    ()
+  }
+
+  test("x6 compaction groups are contiguous, budget-respecting, and lossless") {
+    val p = SparkEntry.queries("x6_compact")(spark, sf).cache()
+    // every file appears exactly once (a plan, not a rewrite)
+    val files = Tables.documents(spark, sf)
+      .groupBy(col("source"), expr("doc_id div 20")).count()
+    assert(p.count() == files.count())
+    // group byte totals stay within target + one straddling file
+    val grp = p.groupBy("part_key", "group_id")
+      .agg(sum("bytes").as("gb"), max("bytes").as("mx"), count(lit(1)).as("n"))
+    grp.collect().foreach { r =>
+      assert(r.getLong(2) <= 20000L + r.getLong(3), s"group over budget: $r")
+      assert(r.getLong(4) >= 1)
+    }
+    // groups are contiguous in file order: group_id is non-decreasing
+    val nonMono = p.withColumn("prev",
+        lag("group_id", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("part_key").orderBy("file_id")))
+      .filter(col("prev").isNotNull && col("group_id") < col("prev"))
+    assert(nonMono.count() == 0)
+    p.unpersist()
+    ()
+  }
+
+  test("v7 anomaly flags match a driver-side z-score computation") {
+    val got = SparkEntry.queries("v7_volume_anomaly")(spark, sf)
+      .select("vol_key", "day", "n", "is_anomaly").collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString), (r.getLong(2), r.getBoolean(3))))
+    val byKey = got.groupBy(_._1._1)
+    byKey.foreach { case (_, rows) =>
+      val ns = rows.map(_._2._1.toDouble)
+      val mean = ns.sum / ns.length
+      val sd = if (ns.length < 2) 0.0
+        else math.sqrt(ns.map(x => (x - mean) * (x - mean)).sum / (ns.length - 1))
+      rows.foreach { case ((k, d), (n, flag)) =>
+        val expect = sd > 0 &&
+          math.abs(BigDecimal((n - mean) / sd)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) >= 2.0
+        assert(flag == expect, s"($k,$d): n=$n flag=$flag expect=$expect")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("stratifiedSample takes min(quota, stratum) deterministically via TopKPerKey") {
     // TestSession is a plain session: register the strategy + rule the
     // way GraftExtensions does for real sessions (TopKRuleSpec pattern)
