@@ -48,6 +48,19 @@ object Soak {
         .agg(count_distinct(col("cluster_id"))).head.getLong(0))
     lshPairs.unpersist()
     val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
+    // Bloom-prefiltered decontamination at 10x: the corpus side (the
+    // exploded shingle stream the Bloom thins map-side) is what grows;
+    // the eval set stays fixed — runtime should track corpus scan, not
+    // eval size
+    val evalSet = base.filter(col("doc_id") < 100)
+    val (tBloom, nBloom) = time(dedup.Dedup.decontaminateBloom(
+      corpus, evalSet, minSharedShingles = 3)
+      .filter(col("contaminated")).count())
+    // duplicated-span stats at 10x: replicas make most shingles
+    // shared, so the shingle-hash window carries the full exploded
+    // volume — the uniform 32-bit key is what keeps it skew-free
+    val (tSpan, nSpan) = time(dedup.Dedup.dupSpanStats(corpus)
+      .agg(sum("n_shared")).head.getLong(0))
     // inverted-index build at 10x: token universe is fixed, so
     // posting lists grow linearly — the doc-id-block sharding is what
     // keeps the per-reducer list bounded
@@ -72,7 +85,7 @@ object Soak {
       parts, col("p_partkey"), col("p_name"), col("p_brand"), maxDist = 2).count())
     parts.unpersist()
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd}""")
     spark.stop()
   }
 }
