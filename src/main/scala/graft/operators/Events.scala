@@ -138,19 +138,18 @@ object Events {
 
   /** Cohort retention: users cohorted by their first-activity week;
     * output = (cohort_week, weeks_since, n_active). Shuffle shape:
-    * the distinct (user, week) activity set and the per-user cohort
-    * reduction both hash on the user key, so the join that follows
-    * is co-partitioned (no third shuffle); the final reduction's
-    * cardinality is O(weeks²) — trivially small at any corpus size.
-    * Both dates are week-truncated, so weeks_since division is
-    * exact. Counting rows equals counting distinct users here
-    * because (user, week) is distinct by construction — no
-    * count-distinct aggregate needed. */
+    * exactly three exchanges at ANY scale — the (user, week)
+    * distinct, a min-window on the user key (replacing the
+    * join-back a cohort lookup would need), and the O(weeks²)-row
+    * final reduction. Both dates are week-truncated, so the
+    * weeks_since division is exact; counting rows equals counting
+    * distinct users because (user, week) is distinct by
+    * construction — no count-distinct aggregate, no join. */
   def retention(df: DataFrame, userCol: Column, tsCol: Column): DataFrame = {
     val weeks = df.select(userCol.as("u"),
       date_trunc("week", tsCol).cast("date").as("wk")).distinct()
-    val cohorts = weeks.groupBy("u").agg(min("wk").as("cohort_week"))
-    weeks.join(cohorts, "u")
+    val cohort = min("wk").over(Window.partitionBy("u"))
+    weeks.withColumn("cohort_week", cohort)
       .select(col("cohort_week"),
         (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
       .groupBy("cohort_week", "weeks_since")

@@ -105,6 +105,13 @@ class RoundFourSpec extends AnyFunSuite {
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
     assert(w0.agg(sum("cohort_size")).head.getLong(0) == users)
     r.unpersist()
+    // plan shape: exactly three exchanges, no join, at any scale
+    val plan = graft.operators.Events.retention(
+        Tables.events(spark, sf), col("user_id"), col("ts"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 3,
+      s"retention must shuffle exactly 3 times:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), s"retention must be join-free:\n${plan.take(1500)}")
     ()
   }
 
