@@ -7,10 +7,13 @@ import graft.similarity.Knn
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dedup (d1–d5) and similarity-search (s1–s2) query surface
-  * (SURVEY.md §2). d1/d2/d3/d5 and s1 are oracle-checked; d4 and s2
-  * are approximate/bit-level ops checked rows-only here and
-  * recall-checked against their exact counterparts in DedupSpec.
+/** Dedup (d1–d10) and similarity-search (s1–s5) query surface
+  * (SURVEY.md §2). Every query here is oracle-checked except s4
+  * (IVF): its centroid float-averaging is sum-order sensitive in the
+  * last ulp, so it stays rows-only with recall asserted in IvfSpec.
+  * d4's SimHash (splitmix64 re-derived in UBIGINT SQL) and s2's LSH
+  * buckets (deterministic md5-derived planes) are exactly replayable
+  * in DuckDB, so even the approximate searches are hash-checked.
   */
 object DedupSim {
 
@@ -119,7 +122,7 @@ object DedupSim {
   }
 
   /** s4: IVF ANN — label-seeded inverted lists, 2-probe search.
-    * Rows-only by design (like d4/s2): centroid averages are
+    * Rows-only by design (the one remaining): centroid averages are
     * float-sum-order sensitive in the last ulp, so cross-engine
     * hash parity is not sound; recall vs brute force is asserted in
     * IvfSpec instead. */
@@ -336,6 +339,54 @@ object DedupSim {
          FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
          LEFT JOIN hits h USING (doc_id)
          ORDER BY doc_id""",
+    // d4: the FULL SimHash pipeline re-derived in SQL — splitmix64 in
+    // overflow-checked UBIGINT arithmetic (mulmod via 32-bit split:
+    // hi/lo partial products, outer mod folds them back), per-bit
+    // vote counting, packed signatures, then brute-force verified
+    // pairs. The 7-chunk pigeonhole candidates on the Spark side have
+    // recall exactly 1.0 for hamming <= 6, so the oracle's exhaustive
+    // pair scan must produce the identical set.
+    "d4_simhash" ->
+      s"""WITH $shingleCte,
+         ex AS (SELECT doc_id, CAST(unnest(sh) AS UBIGINT) AS h FROM shh),
+         z0 AS (SELECT doc_id, h + CAST(11400714819323198485 AS UBIGINT) AS z FROM ex),
+         t1 AS (SELECT doc_id, xor(z, z >> 30) AS t FROM z0),
+         m1 AS (SELECT doc_id, (t % 4294967296) * CAST(484763065 AS UBIGINT) AS lof,
+           (((t % 4294967296) * CAST(3210233709 AS UBIGINT)) % 4294967296
+            + ((t // 4294967296) * CAST(484763065 AS UBIGINT)) % 4294967296) AS hi_pre FROM t1),
+         m1b AS (SELECT doc_id, ((hi_pre + lof // 4294967296) % 4294967296) * 4294967296 + lof % 4294967296 AS z FROM m1),
+         t2 AS (SELECT doc_id, xor(z, z >> 27) AS t FROM m1b),
+         m2 AS (SELECT doc_id, (t % 4294967296) * CAST(321982955 AS UBIGINT) AS lof,
+           (((t % 4294967296) * CAST(2496678331 AS UBIGINT)) % 4294967296
+            + ((t // 4294967296) * CAST(321982955 AS UBIGINT)) % 4294967296) AS hi_pre FROM t2),
+         m2b AS (SELECT doc_id, ((hi_pre + lof // 4294967296) % 4294967296) * 4294967296 + lof % 4294967296 AS z FROM m2),
+         mixed AS (SELECT doc_id, xor(z, z >> 31) AS z FROM m2b),
+         votes AS (SELECT doc_id, j, sum(CASE WHEN (z >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM mixed CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r GROUP BY 1, 2),
+         sig AS (SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT) ELSE 0 END) AS UBIGINT) AS s
+           FROM votes GROUP BY 1)
+         SELECT a_id, b_id, hamming FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             bit_count(xor(a.s, b.s)) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 6 ORDER BY a_id, b_id""",
+    // s2: home-bucket LSH ANN — the deterministic md5-derived planes
+    // make the bucketing reproducible in SQL (same bucketSql as s3),
+    // so the approximate search is exactly replayable
+    "s2_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bkt AS (SELECT vec_id, v, ${bucketSql("v", 8, 64)} AS bucket FROM e),
+         q AS (SELECT vec_id AS q_id, v AS q_v, bucket FROM bkt WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id, v AS n_v, bucket FROM bkt WHERE vec_id >= 10),
+         scored AS (SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+           FROM q JOIN c USING (bucket))
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "d9_bloom" ->
       """WITH toks AS (
            SELECT doc_id,
