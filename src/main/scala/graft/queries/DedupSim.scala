@@ -8,12 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup (d1–d10) and similarity-search (s1–s5) query surface
-  * (SURVEY.md §2). Every query here is oracle-checked except s4
-  * (IVF): its centroid float-averaging is sum-order sensitive in the
-  * last ulp, so it stays rows-only with recall asserted in IvfSpec.
-  * d4's SimHash (splitmix64 re-derived in UBIGINT SQL) and s2's LSH
-  * buckets (deterministic md5-derived planes) are exactly replayable
-  * in DuckDB, so even the approximate searches are hash-checked.
+  * (SURVEY.md §2). EVERY query here is oracle-checked — including
+  * the approximate searches: d4's SimHash (splitmix64 re-derived in
+  * UBIGINT SQL), s2's LSH buckets (deterministic md5-derived
+  * planes), and s4's IVF (quantized coarse quantizer → exact integer
+  * centroid sums → deterministic probes) are all exactly replayable
+  * in DuckDB.
   */
 object DedupSim {
 
@@ -121,18 +121,19 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
-  /** s4: IVF ANN — label-seeded inverted lists, 2-probe search.
-    * Rows-only by design (the one remaining): centroid averages are
-    * float-sum-order sensitive in the last ulp, so cross-engine
-    * hash parity is not sound; recall vs brute force is asserted in
-    * IvfSpec instead. */
+  /** s4: IVF ANN — label-seeded inverted lists, 2-probe search, with
+    * the QUANTIZED coarse quantizer (integer-exact centroid sums →
+    * deterministic probes across engines and partitionings) — which
+    * is what makes this approximate search hash-checkable; float-avg
+    * centroids (centroidScale = 0) keep the recall tests in IvfSpec
+    * honest for the classic form. */
   def s4KnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
     graft.similarity.Ivf.search(
         e.filter(col("id") < 10).select("id", "v"),
         e.filter(col("id") >= 10).select("id", "v", "label"),
-        listKey = "label", k = 5, nProbe = 2)
+        listKey = "label", k = 5, nProbe = 2, centroidScale = 1000000L)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
       .orderBy("q_id", "rank")
   }
@@ -371,6 +372,37 @@ object DedupSim {
              bit_count(xor(a.s, b.s)) AS hamming
            FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          WHERE hamming <= 6 ORDER BY a_id, b_id""",
+    // s4: IVF 2-probe search with the quantized coarse quantizer —
+    // centroid sums are exact integer arithmetic after round(x·10⁶),
+    // so probe selection is deterministic and the whole search
+    // replays in SQL
+    "s4_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (SELECT vec_id AS n_id, label, v AS n_v FROM e WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(n_v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cents0 GROUP BY 1),
+         probes AS (
+           SELECT q_id, q_v, label FROM (
+             SELECT q.q_id, q.q_v, cents.label,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM q CROSS JOIN cents)
+           WHERE p <= 2),
+         scored AS (
+           SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+           FROM probes JOIN d USING (label))
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     // s2: home-bucket LSH ANN — the deterministic md5-derived planes
     // make the bucketing reproducible in SQL (same bucketSql as s3),
     // so the approximate search is exactly replayable

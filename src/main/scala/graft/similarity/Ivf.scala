@@ -27,6 +27,27 @@ object Ivf {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("list_id"), transform(col("dm"), s => s.getField("m")).as("centroid"))
 
+  /** Deterministic centroids: coordinates quantize to integers
+    * (round(x·scale)) BEFORE summing, so the per-dimension sum is
+    * exact integer arithmetic — order-independent under any
+    * partitioning/merge order — and the mean is one final double
+    * division. This is the IVF coarse quantizer operating on a
+    * quantized coordinate space (the s5 int-quantization idea applied
+    * to index construction): bit-identical centroids across engines,
+    * runs, AND cluster topologies, which float `avg` cannot give
+    * (its sum order varies with partitioning). Recall cost of the
+    * quantization is nil at scale=10⁶ — embedding coordinates carry
+    * far less than 6 significant decimal digits of useful signal. */
+  def centroidsQuantized(data: DataFrame, keyCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame =
+    data.select(col(keyCol).as("list_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("list_id", "dim")
+      .agg((sum(round(col("x") * scale).cast("long")).cast("double")
+        / (count(lit(1)) * scale.toDouble)).as("m"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("list_id"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+
   /** One Lloyd step: re-assign every vector to its nearest current
     * centroid, then recompute the means. Iterating this pair of plan
     * shapes is k-means — each step is one broadcast (centroids are
@@ -73,10 +94,15 @@ object Ivf {
   }
 
   /** Top-k cosine neighbors per query, searching only probed lists.
-    * `data`: (id, v, <listKey>). */
+    * `data`: (id, v, <listKey>). With `centroidScale > 0` the list
+    * centroids come from [[centroidsQuantized]] — deterministic
+    * probes, which is what lets the s4 query be hash-checked against
+    * the DuckDB oracle; 0 keeps the float-avg centroids. */
   def search(queries: DataFrame, data: DataFrame, listKey: String,
-      k: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(data, listKey, "v")
+      k: Int, nProbe: Int, centroidScale: Long = 0L): DataFrame = {
+    val cents =
+      if (centroidScale > 0) centroidsQuantized(data, listKey, "v", centroidScale)
+      else centroids(data, listKey, "v")
     val probes = probeLists(queries, cents, nProbe)
     val lists = data.select(col("id").as("n_id"), col("v").as("n_v"),
       col(listKey).as("list_id"))
