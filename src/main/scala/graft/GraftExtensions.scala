@@ -1,6 +1,7 @@
 package graft
 
-import graft.plans.{DotProduct, HllSketch, IntersectCount}
+import graft.plans.{DotProduct, FreqSketch, HllSketch, IntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.dotEntry)
     e.injectFunction(GraftExtensions.intersectEntry)
     e.injectFunction(GraftExtensions.hllEntry)
+    e.injectFunction(GraftExtensions.freqEntry)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
@@ -60,6 +62,22 @@ object GraftExtensions {
       info("graft_hll", "graft_hll(c) - HyperLogLog approximate distinct count of c"),
       hllBuilder)
 
+  private val freqBuilder: Seq[Expression] => Expression = { args =>
+    val k = args match {
+      case Seq(_) => 64
+      case Seq(_, Literal(kv: Int, _)) => kv
+      case _ => throw new IllegalArgumentException(
+        s"graft_freq expects (col) or (col, k literal), got ${args.length} args")
+    }
+    FreqSketch(args.head, k).toAggregateExpression(isDistinct = false)
+  }
+
+  private[graft] val freqEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_freq"),
+      info("graft_freq",
+        "graft_freq(c[, k]) - Misra-Gries heavy hitters of c as map<item, count-lower-bound>"),
+      freqBuilder)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,5 +86,7 @@ object GraftExtensions {
       "graft_intersect_count", binary("graft_intersect_count")(IntersectCount), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hll", hllBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_freq", freqBuilder, "scala_udf")
   }
 }

@@ -51,6 +51,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(math.abs(r2.getLong(1).toDouble - r2.getLong(0)) / r2.getLong(0) < 0.05)
   }
 
+  test("graft_freq heavy hitters hold the Misra-Gries bounds vs exact counts") {
+    import org.apache.spark.sql.functions.{col, explode, split, trim, lower}
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val n = toks.count()
+    val k = 32
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sketch = toks.agg(graft.plans.FreqSketch.freq(col("tok"), k).as("f"))
+      .head.getMap[String, Long](0)
+    val est = sketch.keysIterator.map(i => i -> sketch(i)).toMap
+    assert(est.size <= k, s"sketch exceeded capacity: ${est.size} > $k")
+    val bound = n.toDouble / k
+    // every true heavy hitter (count > n/k) must be present
+    exact.filter(_._2 > bound).foreach { case (tok, c) =>
+      assert(est.contains(tok), s"heavy hitter '$tok' (count $c > $bound) missing")
+    }
+    // every estimate is a lower bound, short by at most n/k
+    est.foreach { case (tok, e) =>
+      val t = exact(tok)
+      assert(e <= t && t - e <= bound, s"'$tok': est $e vs true $t (bound $bound)")
+    }
+    // SQL registration round-trips
+    GraftExtensions.register(spark)
+    val viaSql = {
+      toks.createOrReplaceTempView("freq_toks")
+      spark.sql(s"SELECT graft_freq(tok, $k) FROM freq_toks").head.getMap[String, Long](0)
+    }
+    assert(viaSql.keysIterator.size <= k)
+  }
+
   test("approx_count_distinct tracks exact distinct within 5% (100 TB path for q7)") {
     val li = Tables.lineitem(spark, sf)
     val r = li.agg(
