@@ -119,4 +119,24 @@ object Harvest {
     val w = Window.partitionBy(idCol).orderBy(tsCol.desc, tieBreak.desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Incremental harvest diff: classify every record id as
+    * added / changed / unchanged / deleted by comparing the current
+    * snapshot's content hashes (h6's md5 keys) against the previous
+    * run's. The data-plane form of an OAI incremental harvest
+    * decision: only `added`+`changed` need re-transform/re-index
+    * (they feed x4's upsert set), `deleted` feeds its delete set.
+    * One full-outer equi-join on the record id — hashes are 16
+    * bytes, so the shuffle carries (id, hash) pairs, never payloads;
+    * at 100 TB this is the cheap pass that lets the expensive ones
+    * touch only what moved. */
+  def harvestDiff(current: DataFrame, previous: DataFrame): DataFrame =
+    current.select(col("rec_id"), col("content_hash").as("cur_hash"))
+      .join(previous.select(col("rec_id"), col("content_hash").as("prev_hash")),
+        Seq("rec_id"), "full_outer")
+      .select(col("rec_id"),
+        when(col("prev_hash").isNull, "added")
+          .when(col("cur_hash").isNull, "deleted")
+          .when(col("cur_hash") === col("prev_hash"), "unchanged")
+          .otherwise("changed").as("status"))
 }

@@ -146,6 +146,25 @@ object DedupSim {
     * arrays. Rounds rank the same in both engines: round() is
     * half-away-from-zero in Spark and DuckDB, applied BEFORE the int
     * cast (casting alone truncates in Spark but rounds in DuckDB). */
+  /** s6: filtered vector search — top-k cosine restricted to a
+    * metadata predicate (lang = 'en'), evaluated PRE-search: the
+    * filter composes into the corpus scan before scoring, so (a) the
+    * plan prunes with the predicate instead of scoring everything
+    * and discarding (post-filtering also under-fills k), and (b) the
+    * ANN side stays the map-only bruteForce shape. The production
+    * "vector search with a WHERE clause" pattern. */
+  def s6FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    val langs = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("lang"))
+    val corpus = e.join(langs, "id")
+      .filter(col("lang") === "en" && col("id") >= 10)
+      .select("id", "v")
+    Knn.bruteForce(e.filter(col("id") < 10), corpus, k = 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   def s5Quantize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -192,6 +211,7 @@ object DedupSim {
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s4_knn_ivf" -> (s4KnnIvf _),
     "s5_quantize" -> (s5Quantize _),
+    "s6_filtered_knn" -> (s6FilteredKnn _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -397,6 +417,20 @@ object DedupSim {
          scored AS (
            SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
            FROM probes JOIN d USING (label))
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "s6_filtered_knn" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT id AS q_id, v AS q_v FROM e WHERE id < 10),
+         c AS (SELECT e.id AS n_id, e.v AS n_v
+           FROM e JOIN documents d ON e.id = d.doc_id
+           WHERE d.lang = 'en' AND e.id >= 10),
+         scored AS (SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+           FROM q CROSS JOIN c)
          SELECT q_id, n_id, cos, rank FROM (
            SELECT q_id, n_id, cos,
              CAST(row_number() OVER (PARTITION BY q_id

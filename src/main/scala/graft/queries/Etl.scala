@@ -70,6 +70,26 @@ object Etl {
       .select(col("user_id"), col("event_id").as("latest_event_id"))
       .orderBy("user_id")
 
+  /** h8: incremental harvest diff — current snapshot vs a simulated
+    * previous run (docs with id%7=0 didn't exist yet → added;
+    * id%5=0 carried different content → changed; a few retired ids
+    * → deleted; everything else unchanged). */
+  def h8HarvestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val current = docs.select(col("doc_id").as("rec_id"),
+      md5(col("text").cast("binary")).as("content_hash"))
+    val prevLive = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("rec_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(lit("old:"), col("text")))
+          .otherwise(col("text")).cast("binary")).as("content_hash"))
+    val prevRetired = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 5000000L).as("rec_id"),
+        md5(concat(lit("gone:"), col("doc_id").cast("string")).cast("binary"))
+          .as("content_hash"))
+    Harvest.harvestDiff(current, prevLive.unionByName(prevRetired))
+      .orderBy("rec_id")
+  }
+
   // ---- Records ----
 
   def r1FieldExtract(spark: SparkSession, dir: String): DataFrame =
@@ -209,6 +229,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_compact" -> (x6Compact _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
+    "h8_harvest_diff" -> (h8HarvestDiff _),
     "x5_inverted" -> (x5Inverted _),
     "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
@@ -247,6 +268,22 @@ object Etl {
          SELECT part_key, file_id, bytes, cum_bytes,
            CAST(floor((cum_bytes - bytes) / 20000) AS BIGINT) AS group_id
          FROM c ORDER BY part_key, file_id""",
+    "h8_harvest_diff" ->
+      """WITH cur AS (SELECT doc_id AS rec_id, md5(text) AS h FROM documents),
+         prev AS (
+           SELECT doc_id AS rec_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN concat('old:', text) ELSE text END) AS h
+           FROM documents WHERE doc_id % 7 != 0
+           UNION ALL
+           SELECT doc_id + 5000000, md5(concat('gone:', CAST(doc_id AS VARCHAR)))
+           FROM documents WHERE doc_id < 20)
+         SELECT coalesce(cur.rec_id, prev.rec_id) AS rec_id,
+           CASE WHEN prev.h IS NULL THEN 'added'
+                WHEN cur.h IS NULL THEN 'deleted'
+                WHEN cur.h = prev.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM cur FULL OUTER JOIN prev ON cur.rec_id = prev.rec_id
+         ORDER BY rec_id""",
     "v7_volume_anomaly" ->
       """WITH daily AS (
            SELECT event_type AS vol_key, CAST(ts AS DATE) AS day,

@@ -73,7 +73,22 @@ object PipelineQ {
         col("lang"), col("doc_id"), nPer = 40)
       .orderBy("doc_id")
 
+  /** p7: curriculum phases — documents quartiled per language by a
+    * difficulty proxy (length), shortest first: phase 1 = the easy
+    * quarter, phase 4 = the hard one. ntile over a totally-ordered
+    * key (length, doc_id) is deterministic; one shuffle on the
+    * stratum, like every windowed corpus op here. */
+  def p7Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("phase", ntile(4).over(w))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_curriculum" -> (p7Curriculum _),
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
     "p3_shuffle" -> (p3Shuffle _),
@@ -130,6 +145,11 @@ object PipelineQ {
              CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_id
            FROM n)
          ORDER BY doc_id, copy_id""",
+    "p7_curriculum" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(ntile(4) OVER (PARTITION BY lang
+             ORDER BY n_chars ASC, doc_id ASC) AS INT) AS phase
+         FROM documents ORDER BY doc_id""",
     "p6_stratified" ->
       """SELECT doc_id, lang, source FROM (
            SELECT doc_id, lang, source,

@@ -25,8 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
   import TestSession._
 
   private val allowNestedLoop = Set(
-    "s1_knn_brute", // broadcast(query side) × corpus scan, per-partition top-k
-    "s4_knn_ivf")   // broadcast(centroids) × query/corpus assignment
+    "s1_knn_brute",    // broadcast(query side) × corpus scan, per-partition top-k
+    "s4_knn_ivf",      // broadcast(centroids) × query/corpus assignment
+    "s6_filtered_knn") // broadcast(query side) × pre-filtered corpus
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
