@@ -31,7 +31,13 @@ object Bench {
         array(col("id").cast("double"), lit(1.0)),
         array(lit(2.0), lit(1.0))))).collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for isolating one timing
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

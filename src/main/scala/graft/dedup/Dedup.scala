@@ -371,25 +371,36 @@ object Dedup {
     * dense clusters (diameter ≤ 3 in practice), so this converges in
     * a handful of rounds; for adversarial long-chain graphs use
     * [[connectedComponentsStar]] (O(log² n) rounds worst case, same
-    * output contract). Every iteration is one shuffle-join on
-    * the edge src plus one min-aggregate on vertex id; lineage is cut
-    * with a localCheckpoint per round so the plan stays flat (an
-    * iterative join without checkpointing doubles the plan each
-    * round). Convergence is detected exactly: labels only ever
-    * decrease, so `changed == 0` is a fixpoint.
+    * output contract). The symmetric edge closure carries SELF-LOOPS,
+    * so a vertex's own label re-enters each round through the join —
+    * the per-round plan is exactly one join + one min-aggregate, with
+    * no union-with-previous-labels branch (halves the exchanges per
+    * round). Edges are hash-partitioned on src once at materialization
+    * so the loop's join never re-shuffles the edge side; duplicate
+    * input pairs are harmless (min is duplicate-insensitive), so no
+    * distinct pass either. Lineage is cut with a localCheckpoint per
+    * round so the plan stays flat (an iterative join without
+    * checkpointing doubles the plan each round). Convergence is
+    * detected exactly: labels only ever decrease, so an unchanged
+    * label sum is a fixpoint.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE — the
-    // edge union reads it twice and every iteration reads the edges
+    // edge union reads it four ways and every iteration reads the edges
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(false)
+    // symmetric closure + self-loops; per-pair self-loop duplicates
+    // only fan out into the min-agg, never change it
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
+      .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
+      .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint(false)
-    var labels = edges.groupBy("src").agg(min("dst").as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("label"))
+    // init = round one: min over self ∪ neighbors (self-loops included)
+    var labels = edges.groupBy("src").agg(min("dst").as("label"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint(false)
     // labels only ever decrease, so Σlabel strictly decreases until
     // the fixpoint: one cheap agg over the just-checkpointed result
@@ -404,10 +415,10 @@ object Dedup {
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val cand = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(cand)
-        .groupBy("id").agg(min("label").as("label"))
+      // self-loops carry each vertex's own label into the min, so the
+      // previous labels never need to be unioned back in
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("label"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
