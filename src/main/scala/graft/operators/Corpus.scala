@@ -136,4 +136,29 @@ object Corpus {
       .filter(col("__r") <= nPer)
       .drop("__r")
   }
+
+  /** Per-domain document cap — the web-corpus pass that keeps any one
+    * domain/source from dominating the training mix (boilerplate
+    * farms, mirrors, crawler traps). Unlike [[stratifiedSample]] this
+    * is an AUDIT pass: every row survives, gaining the domain's total
+    * count, the document's deterministic in-domain rank (md5-hash
+    * order, so which docs survive the cap is reproducible and
+    * unbiased by id assignment), and the `kept` verdict — so the drop
+    * decision is inspectable and the same frame feeds both the kept
+    * corpus (filter) and the drop report (its complement), exactly
+    * the v1/v2 validate split applied to domain skew.
+    *
+    * One shuffle on the domain key serves both windows (rank + count
+    * share the partitioning); the hot-domain window is a bounded
+    * rank/count, never a collect. */
+  def domainCap(df: DataFrame, domainCol: Column, idCol: Column,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    val h = md5(concat(lit("domcap:"), idCol.cast("string")))
+    val wRank = Window.partitionBy(domainCol).orderBy(h, idCol)
+    val wAll = Window.partitionBy(domainCol)
+    df.withColumn("domain_total", count(lit(1)).over(wAll))
+      .withColumn("domain_rank", row_number().over(wRank))
+      .withColumn("kept", col("domain_rank") <= maxPerDomain)
+  }
 }

@@ -226,8 +226,24 @@ object Etl {
         col("ts"), zThreshold = 2.0)
       .orderBy("vol_key", "day")
 
+  /** x7: BM25 ranked retrieval — the 5 lowest-id documents play the
+    * query set ("more like this" against their token sets), corpus =
+    * everything else; top-5 per query. The search pass the x5 index
+    * exists for: broadcast query terms, map-side postings probe, one
+    * (q, doc) shuffle of quantized partial scores, bounded-heap
+    * top-k via the TopKPerKey rewrite. */
+  def x7Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Retrieval.bm25MoreLikeThis(
+        corpus = docs.filter(col("doc_id") >= 5),
+        queries = docs.filter(col("doc_id") < 5),
+        idCol = "doc_id", textCol = "text", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_compact" -> (x6Compact _),
+    "x7_bm25" -> (x7Bm25 _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
     "x5_inverted" -> (x5Inverted _),
@@ -394,6 +410,44 @@ object Etl {
              OR NOT coalesce(n_chars = length(text), FALSE)
              OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
+    // x7: the BM25 arithmetic replays exactly — every per-term
+    // contribution is computed in the same scalar op order as the
+    // Spark expression, quantized to a long at 1e-6 before the sum
+    // (exact integer aggregation, order-independent), and only then
+    // rounded for display
+    "x7_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents WHERE doc_id >= 5),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         q AS (SELECT DISTINCT doc_id AS q_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+           FROM documents WHERE doc_id < 5),
+         d AS (SELECT tok, count(*) AS df FROM tf
+           WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+         sc AS (
+           SELECT q.q_id, tf.doc_id AS n_id,
+             CAST(round(
+               ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                         / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+               * 1000000.0) AS BIGINT) AS cq
+           FROM tf JOIN q USING (tok) JOIN d USING (tok)
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN stats s),
+         agg AS (SELECT q_id, n_id,
+             round(CAST(sum(cq) AS BIGINT) / 1000000.0, 4) AS score
+           FROM sc GROUP BY 1, 2)
+         SELECT q_id, n_id, score, rank FROM (
+           SELECT q_id, n_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, n_id ASC) AS INT) AS rank
+           FROM agg)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "x5_inverted" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -87,8 +87,20 @@ object PipelineQ {
       .orderBy("doc_id")
   }
 
+  /** p8: per-source document cap (audit form) — every document keeps
+    * its source's total, its deterministic in-source rank, and the
+    * kept/dropped verdict at a 150-docs-per-source cap (sf0.01's
+    * sources hold ~125 docs each, so both verdicts appear at sf0.1
+    * and the all-kept branch is exercised below it). */
+  def p8DomainCap(spark: SparkSession, dir: String): DataFrame =
+    Corpus.domainCap(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        col("source"), col("doc_id"), maxPerDomain = 150)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p7_curriculum" -> (p7Curriculum _),
+    "p8_domain_cap" -> (p8DomainCap _),
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
     "p3_shuffle" -> (p3Shuffle _),
@@ -98,6 +110,14 @@ object PipelineQ {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p8_domain_cap" ->
+      """SELECT doc_id, source,
+           CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS domain_total,
+           CAST(row_number() OVER (PARTITION BY source
+             ORDER BY md5(concat('domcap:', CAST(doc_id AS VARCHAR))), doc_id) AS INT) AS domain_rank,
+           (row_number() OVER (PARTITION BY source
+             ORDER BY md5(concat('domcap:', CAST(doc_id AS VARCHAR))), doc_id) <= 150) AS kept
+         FROM documents ORDER BY doc_id""",
     "p1_hash_split" ->
       """SELECT doc_id, lang,
            CAST(CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Events, Records, Transform}
-import graft.text.TextAnalysis
+import graft.text.{Classifier, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,15 @@ object TextEvents {
         TextAnalysis.redactPii(col("text")).as("redacted"))
       .orderBy("doc_id")
   }
+
+  /** ta10: hashed linear classifier scoring — a fastText-shaped
+    * model-filter pass (256 hashed feature buckets, integer weights,
+    * broadcast model, exact long accumulation). */
+  def ta10Classifier(spark: SparkSession, dir: String): DataFrame =
+    Classifier.score(Tables.documents(spark, dir),
+        col("doc_id"), col("text"),
+        weights = Classifier.demoWeights(spark, 256), nBuckets = 256)
+      .orderBy("doc_id")
 
   /** ta9: tf-idf keyword extraction — top-3 terms per document by
     * round(tf · ln(N/df), 4), ranked on the ROUNDED score (both
@@ -272,6 +281,7 @@ object TextEvents {
     "ta7_repetition" -> (ta7Repetition _),
     "ta8_redact" -> (ta8Redact _),
     "ta9_keywords" -> (ta9Keywords _),
+    "ta10_classifier" -> (ta10Classifier _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -393,6 +403,24 @@ object TextEvents {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM planted ORDER BY doc_id""",
+    // ta10: the md5-derived model replays in SQL — same buckets, same
+    // integer weights, exact long sum, threshold on the rounded score
+    "ta10_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('21:', tok)), 1, 8)) AS BIGINT) % 256 AS bucket
+           FROM toks),
+         w AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('22:', CAST(bucket AS VARCHAR))), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
+           FROM b),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY 1)
+         SELECT doc_id, n_tokens,
+           round(s / (n_tokens * 1000.0), 4) + 0.0 AS score,
+           (round(s / (n_tokens * 1000.0), 4) > 0) AS positive
+         FROM agg ORDER BY doc_id""",
     "ta9_keywords" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
