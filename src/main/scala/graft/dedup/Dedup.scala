@@ -187,20 +187,28 @@ object Dedup {
     * (band, band-value) — collision probability for true jaccard j
     * is 1-(1-j^r)^b, so the bucket join only sees near-dups and
     * hash-collision noise, never all pairs. */
-  def minhashLsh(docs: DataFrame, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  /** Banded LSH keys of a shingled frame: (doc_id, band, bv). This IS
+    * the persistable MinHash index — production stores it (plus the
+    * shingle sets) keyed on (band, bv); [[minhashLshIncremental]]
+    * probes it with a delta batch. */
+  def bandedSignatures(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // one shingle pass total: signatures AND both verify sides read
-    // the same materialized hashed-shingle corpus
-    val s = withHashedShingles(docs).localCheckpoint(false)
-    val sig = minhashSignatures(s, k)
+    val sig = minhashSignatures(shingled, k)
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until r).map(i => col(s"m${b * r + i}").cast("string"))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("bv"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  def minhashLsh(docs: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    // one shingle pass total: signatures AND both verify sides read
+    // the same materialized hashed-shingle corpus
+    val s = withHashedShingles(docs).localCheckpoint(false)
+    val banded = bandedSignatures(s, k, bands)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
           && col("x.doc_id") < col("y.doc_id"))
@@ -210,6 +218,39 @@ object Dedup {
       .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"), jaccard4(col("a_sh"), col("b_sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup detection: a NEW batch probed against the
+    * existing corpus's MinHash index — the form dedup actually runs
+    * in a continuously-harvesting pipeline, where re-pairing the full
+    * corpus per ingest (d3's shape) would be O(corpus) every batch.
+    * Here only the delta is shingled/signed fresh; the base side is
+    * exactly the (band, bv)-keyed [[bandedSignatures]] index plus the
+    * shingle sets, both computed once and persistable. Candidates are
+    * (delta × index) band-bucket matches; verification touches only
+    * candidates. Cost per batch: O(|delta| + matches) — independent
+    * of corpus size except through the (bounded) bucket join.
+    *
+    * Returns (new_id, dup_of, jaccard): every verified near-dup link
+    * from a new document to an existing one (new-vs-new dups are the
+    * NEXT batch's base — dedup them with [[minhashLsh]] before
+    * appending). */
+  def minhashLshIncremental(base: DataFrame, delta: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val bs = withHashedShingles(base).localCheckpoint(false)
+    val ds = withHashedShingles(delta).localCheckpoint(false)
+    val index = bandedSignatures(bs, k, bands)
+    val probes = bandedSignatures(ds, k, bands)
+    val cands = probes.as("d").join(index.as("x"),
+        col("d.band") === col("x.band") && col("d.bv") === col("x.bv"))
+      .select(col("d.doc_id").as("new_id"), col("x.doc_id").as("dup_of"))
+      .distinct()
+    cands
+      .join(ds.select(col("doc_id").as("new_id"), col("sh").as("a_sh")), "new_id")
+      .join(bs.select(col("doc_id").as("dup_of"), col("sh").as("b_sh")), "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        jaccard4(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

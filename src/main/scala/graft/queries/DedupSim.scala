@@ -104,6 +104,32 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d12: incremental dedup — the augmented copies play the incoming
+    * batch, the original documents the existing corpus; the batch
+    * probes the base's banded MinHash index. Every planted copy
+    * should link back to its original (J=1 exact, J≥0.8 near). */
+  def d12Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Dedup.augmentedDocs(spark, dir)
+    Dedup.minhashLshIncremental(
+        base = aug.filter(col("doc_id") < Dedup.NearOffset),
+        delta = aug.filter(col("doc_id") >= Dedup.NearOffset),
+        k = 8, bands = 4, threshold = 0.8)
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** d11: semantic dedup (SemDeDup) over the augmented embeddings —
+    * quantized-centroid coarse clusters seeded by label, within-
+    * cluster cosine >= 0.99, greedy keep-the-min-id decision. The
+    * planted perturbed copies (cos ~0.9988 to their originals) are
+    * the semantic dups; random pairs sit far below the bar. */
+  def d11SemDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.semDedup(
+        augmentedEmbeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("label"), col("v")),
+        seedKey = "label", tau = 0.99)
+      .select(col("id").as("vec_id"), col("cluster_id"), col("is_kept"))
+      .orderBy("vec_id")
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -207,6 +233,8 @@ object DedupSim {
     "d8_cluster" -> (d8Cluster _),
     "d9_bloom" -> (d9Bloom _),
     "d10_dupspans" -> (d10DupSpans _),
+    "d11_semdedup" -> (d11SemDedup _),
+    "d12_incremental" -> (d12Incremental _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s4_knn_ivf" -> (s4KnnIvf _),
@@ -242,10 +270,10 @@ object DedupSim {
   private def h32sql(seed: Int, e: String): String =
     s"CAST(concat('0x', substr(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
 
-  /** MinHash signature → LSH bands → verified pairs (jaccard ≥ 0.8):
-    * the d3 pipeline as a CTE chain (expects `shh` from shingleCte
-    * in scope), shared by the d3 and d8 oracles. */
-  private val minhashPairsCtes =
+  /** MinHash signatures + LSH band keys (expects `shh` from
+    * shingleCte in scope) — the index half of the pipeline, shared by
+    * the d3/d8 pair oracles and d12's incremental probe. */
+  private val minhashSigBandsCtes =
     s"""sig AS (SELECT doc_id,
              ${(0 until 8).map(i =>
                s"coalesce(list_min(list_transform(sh, h -> (${graft.dedup.Dedup.MinhashA(i)}*h + ${graft.dedup.Dedup.MinhashB(i)}) % ${graft.dedup.Dedup.MinhashP})), 9223372036854775807) AS m$i")
@@ -255,7 +283,12 @@ object DedupSim {
            SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR)) AS bv FROM sig
            UNION ALL SELECT doc_id, 1, concat(CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) FROM sig
            UNION ALL SELECT doc_id, 2, concat(CAST(m4 AS VARCHAR), '_', CAST(m5 AS VARCHAR)) FROM sig
-           UNION ALL SELECT doc_id, 3, concat(CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig),
+           UNION ALL SELECT doc_id, 3, concat(CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig)"""
+
+  /** ...plus symmetric candidate generation and exact-Jaccard verify
+    * (the full d3 pipeline), shared by the d3 and d8 oracles. */
+  private val minhashPairsCtes =
+    s"""$minhashSigBandsCtes,
          cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
            FROM bands x JOIN bands y
              ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
@@ -325,6 +358,49 @@ object DedupSim {
            (coalesce(l.cluster_id, b.doc_id) = b.doc_id) AS is_canonical
          FROM base b LEFT JOIN lbl l USING (doc_id)
          ORDER BY doc_id""",
+    // d12: the incremental probe replayed — same sig/band CTEs as d3,
+    // but candidates are (delta >= 1000000) x (base < 1000000) only
+    "d12_incremental" ->
+      s"""WITH $shingleCte,
+         $minhashSigBandsCtes,
+         cand AS (SELECT DISTINCT d.doc_id AS new_id, x.doc_id AS dup_of
+           FROM bands d JOIN bands x
+             ON d.band = x.band AND d.bv = x.bv
+             AND d.doc_id >= 1000000 AND x.doc_id < 1000000)
+         SELECT new_id, dup_of, jaccard FROM (
+           SELECT new_id, dup_of,
+             round(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM cand JOIN shh sa ON sa.doc_id = new_id
+             JOIN shh sb ON sb.doc_id = dup_of)
+         WHERE jaccard >= 0.8 ORDER BY new_id, dup_of""",
+    // d11: the SemDeDup pass replayed exactly — quantized centroids
+    // (integer-exact sums, the s4 technique), rank-on-rounded-cosine
+    // assignment, greedy lower-id-wins drop rule on round(cos,4)
+    "d11_semdedup" ->
+      s"""WITH aug AS ($augEmb),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM aug CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label AS c_id, list(m ORDER BY dim) AS centroid
+           FROM cents0 GROUP BY 1),
+         asn AS (
+           SELECT vec_id, v, c_id AS cluster_id FROM (
+             SELECT a.vec_id, a.v, c.c_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.v", "c.centroid")} DESC, c.c_id ASC) AS p
+             FROM aug a CROSS JOIN cents c)
+           WHERE p = 1),
+         dropped AS (SELECT DISTINCT b.vec_id AS id
+           FROM asn a JOIN asn b
+             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= 0.99)
+         SELECT asn.vec_id, cluster_id,
+           (asn.vec_id NOT IN (SELECT id FROM dropped)) AS is_kept
+         FROM asn ORDER BY vec_id""",
     "d5_embed_cosine" ->
       s"""WITH aug AS ($augEmb)
          SELECT a_id, b_id, cos FROM (
