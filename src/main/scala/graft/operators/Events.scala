@@ -136,6 +136,32 @@ object Events {
       .drop("__bkt")
   }
 
+  /** Interval-overlap join: all pairs of [aStart,aEnd] × [bStart,bEnd]
+    * intervals of the same key that overlap. Same bucketization idea
+    * as [[rangeJoin]], on BOTH sides — each interval explodes into
+    * the time buckets it covers, the join is an equi-join on
+    * (key, bucket), and the overlap predicate is a residual filter.
+    * A pair sharing several buckets would match once per shared
+    * bucket; instead of a distinct pass, each pair is emitted ONLY in
+    * its first shared bucket (max of the two start buckets) — a pure
+    * filter, no extra shuffle. Bucket width ≈ typical interval length
+    * bounds the explosion factor. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    val us = bucketSeconds * 1000000L
+    val ax = a.withColumn("__abkt", expr(s"unix_micros($aStart) div $us"))
+      .withColumn("__bkt", explode(sequence(col("__abkt"),
+        expr(s"unix_micros($aEnd) div $us"))))
+    val bx = b.withColumn("__bbkt", expr(s"unix_micros($bStart) div $us"))
+      .withColumn("__bkt", explode(sequence(col("__bbkt"),
+        expr(s"unix_micros($bEnd) div $us"))))
+    ax.join(bx, Seq(key, "__bkt"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd)
+        && col("__bkt") === greatest(col("__abkt"), col("__bbkt")))
+      .drop("__bkt", "__abkt", "__bbkt")
+  }
+
   /** Cohort retention: users cohorted by their first-activity week;
     * output = (cohort_week, weeks_since, n_active). Shuffle shape:
     * exactly three exchanges at ANY scale — the (user, week)

@@ -39,9 +39,35 @@ object Multi {
       .orderBy("source", "modality")
   }
 
+  /** m3: the decode pipeline itself, oracled — documents ride the
+    * typed mapPartitions decode path (payload bytes never shuffle)
+    * through the deterministic stub codec, and the decoded metadata +
+    * feature summary are hash-checked against the stub's arithmetic
+    * re-derived in SQL (the corpus is ASCII, so ascii(char) IS the
+    * payload byte). A real codec changes only the decoder object;
+    * this query pins the plumbing: batch shape, schema, row count,
+    * byte math. Features are exact 1/128-grained binary fractions, so
+    * the float→double comparisons are exact, not tolerance-based. */
+  def m3DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"),
+        col("source").as("kind"))
+      .as[Multimodal.BinaryRecord]
+    Multimodal.decodeBatch(ds, Multimodal.StubDecoder).toDF()
+      .select(col("id").as("doc_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("format"),
+        element_at(col("features"), 1).cast("double").as("feat0"),
+        element_at(col("features"), 8).cast("double").as("feat7"),
+        expr("CAST(aggregate(features, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)) AS DOUBLE)")
+          .as("feat_sum"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
-    "m2_modality_stats" -> (m2ModalityStats _))
+    "m2_modality_stats" -> (m2ModalityStats _),
+    "m3_decode_features" -> (m3DecodeFeatures _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -49,6 +75,22 @@ object Multi {
            octet_length(CAST(text AS BLOB)) AS n_bytes,
            substr(text, 1, 4) AS magic,
            md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    // m3: StubDecoder replayed — the corpus is ASCII so ascii(char_i)
+    // equals payload byte i; every feature is byte/128, an exact
+    // binary fraction, so float-vs-double compare is exact
+    "m3_decode_features" ->
+      """SELECT doc_id, source AS kind,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           64 + (ascii(substr(text, 1, 1)) % 192) AS width,
+           64 + (ascii(substr(text, 2, 1)) % 192) AS height,
+           'stub' AS format,
+           ascii(substr(text, 1, 1)) / 128.0 AS feat0,
+           ascii(substr(text, 8, 1)) / 128.0 AS feat7,
+           (ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1))
+            + ascii(substr(text, 3, 1)) + ascii(substr(text, 4, 1))
+            + ascii(substr(text, 5, 1)) + ascii(substr(text, 6, 1))
+            + ascii(substr(text, 7, 1)) + ascii(substr(text, 8, 1))) / 128.0 AS feat_sum
          FROM documents ORDER BY doc_id""",
     "m2_modality_stats" ->
       """WITH m AS (

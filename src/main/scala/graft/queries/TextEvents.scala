@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Events, Records, Transform}
-import graft.text.{Classifier, TextAnalysis}
+import graft.text.{Classifier, LangModel, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,14 @@ object TextEvents {
     Classifier.score(Tables.documents(spark, dir),
         col("doc_id"), col("text"),
         weights = Classifier.demoWeights(spark, 256), nBuckets = 256)
+      .orderBy("doc_id")
+
+  /** ta11: bigram-LM perplexity scoring — each document's average
+    * conditional log probability under the corpus's own bigram
+    * statistics (the CCNet-style quality signal; ppl = exp(−score)). */
+  def ta11Perplexity(spark: SparkSession, dir: String): DataFrame =
+    LangModel.bigramLogProb(Tables.documents(spark, dir),
+        col("doc_id"), col("text"))
       .orderBy("doc_id")
 
   /** ta9: tf-idf keyword extraction — top-3 terms per document by
@@ -267,7 +275,35 @@ object TextEvents {
       .orderBy("event_id")
   }
 
+  /** e11: interval-overlap join — per-user daily view-activity
+    * windows overlapping daily click-activity windows (concurrent
+    * engagement), matched through the bucketized equi-join (no theta
+    * join) with the first-shared-bucket emit rule standing in for a
+    * distinct pass. */
+  def e11IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(t: String, s: String, e: String) =
+      ev.filter(col("event_type") === t)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("__day"))
+        .agg(min("ts").as(s), max("ts").as(e))
+        .drop("__day")
+    Events.intervalOverlapJoin(
+        daily("view", "view_start", "view_end"),
+        daily("click", "click_start", "click_end"),
+        key = "user_id",
+        aStart = "view_start", aEnd = "view_end",
+        bStart = "click_start", bEnd = "click_end",
+        bucketSeconds = 21600)
+      .select(col("user_id"), col("view_start"), col("view_end"),
+        col("click_start"), col("click_end"),
+        (unix_micros(least(col("view_end"), col("click_end")))
+          - unix_micros(greatest(col("view_start"), col("click_start"))))
+          .as("overlap_us"))
+      .orderBy("user_id", "view_start", "click_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_interval_overlap" -> (e11IntervalOverlap _),
     "e7_range_join" -> (e7RangeJoin _),
     "e4_percentiles" -> (e4Percentiles _),
     "e5_attribution" -> (e5Attribution _),
@@ -282,6 +318,7 @@ object TextEvents {
     "ta8_redact" -> (ta8Redact _),
     "ta9_keywords" -> (ta9Keywords _),
     "ta10_classifier" -> (ta10Classifier _),
+    "ta11_perplexity" -> (ta11Perplexity _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -293,6 +330,23 @@ object TextEvents {
   private val stopList = "('the','a','of','and','in','to','is')"
 
   val oracleSql: Map[String, String] = Map(
+    // e11: the oracle may theta-join — DuckDB handles the small SF;
+    // the Spark plan is the bucketized equi-join, plan-audited
+    "e11_interval_overlap" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS view_start, max(ts) AS view_end
+           FROM events WHERE event_type = 'view'
+           GROUP BY user_id, date_trunc('day', ts)),
+         c AS (
+           SELECT user_id, min(ts) AS click_start, max(ts) AS click_end
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, date_trunc('day', ts))
+         SELECT v.user_id, view_start, view_end, click_start, click_end,
+           epoch_us(least(view_end, click_end))
+             - epoch_us(greatest(view_start, click_start)) AS overlap_us
+         FROM v JOIN c ON v.user_id = c.user_id
+           AND view_start <= click_end AND click_start <= view_end
+         ORDER BY v.user_id, view_start, click_start""",
     "e7_range_join" ->
       """WITH sess AS (
            SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
@@ -403,6 +457,31 @@ object TextEvents {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM planted ORDER BY doc_id""",
+    // ta11: per-bigram ln(c12/c1) quantized to longs before the
+    // per-doc sum (exact integer aggregation) — same technique as x7
+    "ta11_perplexity" ->
+      """WITH t AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tks
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(tks)),
+               i -> concat(tks[i], ' ', tks[i+1]))) AS bg
+           FROM t WHERE len(tks) >= 2),
+         c AS (
+           SELECT doc_id, bg,
+             count(*) OVER (PARTITION BY bg) AS c12,
+             count(*) OVER (PARTITION BY split_part(bg, ' ', 1)) AS c1
+           FROM b),
+         s AS (
+           SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(ln(c12 / c1) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+           round(s / (n_bigrams * 1000000.0), 4) + 0.0 AS avg_logprob
+         FROM s ORDER BY doc_id""",
     // ta10: the md5-derived model replays in SQL — same buckets, same
     // integer weights, exact long sum, threshold on the rounded score
     "ta10_classifier" ->
