@@ -237,9 +237,18 @@ object Dedup {
     * NEXT batch's base — dedup them with [[minhashLsh]] before
     * appending). */
   def minhashLshIncremental(base: DataFrame, delta: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame =
+    minhashLshIncrementalShingled(
+      withHashedShingles(base).localCheckpoint(false),
+      withHashedShingles(delta).localCheckpoint(false),
+      k, bands, threshold)
+
+  /** [[minhashLshIncremental]] over PRE-shingled sides (doc_id, sh) —
+    * the entry point when the base's shingle sets are already
+    * persisted (the streaming ingest path keeps them as its corpus
+    * state and never re-shingles history). */
+  def minhashLshIncrementalShingled(bs: DataFrame, ds: DataFrame,
       k: Int, bands: Int, threshold: Double): DataFrame = {
-    val bs = withHashedShingles(base).localCheckpoint(false)
-    val ds = withHashedShingles(delta).localCheckpoint(false)
     val index = bandedSignatures(bs, k, bands)
     val probes = bandedSignatures(ds, k, bands)
     val cands = probes.as("d").join(index.as("x"),

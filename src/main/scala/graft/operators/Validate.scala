@@ -88,6 +88,45 @@ object Validate {
         "p.min_str", "p.max_str")
   }
 
+  /** Profile drift between two snapshots (the schema-erosion guard:
+    * an upstream feed silently nulling a field, collapsing its value
+    * domain, or shifting its bounds should fail the run BEFORE the
+    * index swap, same spirit as the all-filtered guard). Joins the
+    * two [[profile]]s on col_name — 2 scans + a |cols|-row join —
+    * and flags on ROUNDED deltas so float noise can't flip a verdict:
+    * drifted ⇔ |null-rate delta| ≥ nullRateThreshold, distinct-count
+    * ratio outside [distinctRatioLo, 1/distinctRatioLo], or either
+    * bound moved. */
+  def profileDrift(prev: DataFrame, cur: DataFrame, cols: Seq[String],
+      nullRateThreshold: Double = 0.05,
+      distinctRatioLo: Double = 0.5): DataFrame = {
+    val p = profile(prev, cols).select(col("col_name"),
+      col("n_rows").as("prev_rows"), col("n_null").as("prev_null"),
+      col("n_distinct").as("prev_distinct"),
+      col("min_str").as("prev_min"), col("max_str").as("prev_max"))
+    val c = profile(cur, cols).select(col("col_name"),
+      col("n_rows").as("cur_rows"), col("n_null").as("cur_null"),
+      col("n_distinct").as("cur_distinct"),
+      col("min_str").as("cur_min"), col("max_str").as("cur_max"))
+    val nullRateDelta = round(
+      col("cur_null") / col("cur_rows") - col("prev_null") / col("prev_rows"), 4)
+    val distinctRatio = round(
+      col("cur_distinct") / nullif(col("prev_distinct"), lit(0L)), 4)
+    val boundsChanged = !(col("prev_min") <=> col("cur_min")) ||
+      !(col("prev_max") <=> col("cur_max"))
+    p.join(c, "col_name")
+      .select(col("col_name"), col("prev_rows"), col("cur_rows"),
+        nullRateDelta.as("null_rate_delta"),
+        distinctRatio.as("distinct_ratio"),
+        boundsChanged.as("bounds_changed"))
+      .withColumn("drifted",
+        abs(col("null_rate_delta")) >= nullRateThreshold
+          || col("distinct_ratio") <= distinctRatioLo
+          || col("distinct_ratio") >= 1.0 / distinctRatioLo
+          || col("distinct_ratio").isNull
+          || col("bounds_changed"))
+  }
+
   /** Per-source filter stats + the all-filtered guard
     * (reference: validate.py:101-121 warns per file and raises when
     * every record in the run is filtered). */

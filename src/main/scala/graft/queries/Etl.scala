@@ -241,8 +241,24 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** v8: profile drift between the corpus and a perturbed snapshot
+    * (20% of rows dropped, lang nulled on a 1-in-7 stripe) — the
+    * schema-erosion guard that should fail a run before the index
+    * swap. The perturbation is deterministic and mirrored in the
+    * oracle. */
+  def v8ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val prev = Tables.documents(spark, dir)
+    val cur = prev.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("lang", when(col("doc_id") % 7 === 0,
+        lit(null).cast("string")).otherwise(col("lang")))
+    Validate.profileDrift(prev, cur,
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x6_compact" -> (x6Compact _),
+    "v8_profile_drift" -> (v8ProfileDrift _),
     "x7_bm25" -> (x7Bm25 _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
@@ -410,6 +426,62 @@ object Etl {
              OR NOT coalesce(n_chars = length(text), FALSE)
              OR NOT coalesce(source IS NOT NULL AND source <> '', FALSE) THEN 1 END)) AS all_filtered
          FROM documents GROUP BY source ORDER BY source_file""",
+    // v8: per-column stat profiles of both snapshots via the v5
+    // union-all pattern, joined; verdicts compare ROUNDED deltas
+    "v8_profile_drift" ->
+      """WITH cur AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+             source, n_chars
+           FROM documents WHERE doc_id % 5 <> 0),
+         pp AS (
+           SELECT 'doc_id' AS col_name, count(*) AS prev_rows,
+             count(CASE WHEN doc_id IS NULL THEN 1 END) AS prev_null,
+             count(DISTINCT doc_id) AS prev_distinct,
+             min(CAST(doc_id AS VARCHAR)) AS prev_min,
+             max(CAST(doc_id AS VARCHAR)) AS prev_max FROM documents
+           UNION ALL SELECT 'lang', count(*),
+             count(CASE WHEN lang IS NULL THEN 1 END),
+             count(DISTINCT lang), min(lang), max(lang) FROM documents
+           UNION ALL SELECT 'source', count(*),
+             count(CASE WHEN source IS NULL THEN 1 END),
+             count(DISTINCT source), min(source), max(source) FROM documents
+           UNION ALL SELECT 'n_chars', count(*),
+             count(CASE WHEN n_chars IS NULL THEN 1 END),
+             count(DISTINCT n_chars),
+             min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+           FROM documents),
+         cc AS (
+           SELECT 'doc_id' AS col_name, count(*) AS cur_rows,
+             count(CASE WHEN doc_id IS NULL THEN 1 END) AS cur_null,
+             count(DISTINCT doc_id) AS cur_distinct,
+             min(CAST(doc_id AS VARCHAR)) AS cur_min,
+             max(CAST(doc_id AS VARCHAR)) AS cur_max FROM cur
+           UNION ALL SELECT 'lang', count(*),
+             count(CASE WHEN lang IS NULL THEN 1 END),
+             count(DISTINCT lang), min(lang), max(lang) FROM cur
+           UNION ALL SELECT 'source', count(*),
+             count(CASE WHEN source IS NULL THEN 1 END),
+             count(DISTINCT source), min(source), max(source) FROM cur
+           UNION ALL SELECT 'n_chars', count(*),
+             count(CASE WHEN n_chars IS NULL THEN 1 END),
+             count(DISTINCT n_chars),
+             min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR))
+           FROM cur),
+         j AS (
+           SELECT col_name, CAST(prev_rows AS BIGINT) AS prev_rows,
+             CAST(cur_rows AS BIGINT) AS cur_rows,
+             round(cur_null / cur_rows - prev_null / prev_rows, 4) + 0.0 AS null_rate_delta,
+             round(cur_distinct / nullif(prev_distinct, 0), 4) AS distinct_ratio,
+             (prev_min IS DISTINCT FROM cur_min
+              OR prev_max IS DISTINCT FROM cur_max) AS bounds_changed
+           FROM pp JOIN cc USING (col_name))
+         SELECT col_name, prev_rows, cur_rows, null_rate_delta,
+           distinct_ratio, bounds_changed,
+           (abs(null_rate_delta) >= 0.05 OR distinct_ratio <= 0.5
+            OR distinct_ratio >= 2.0 OR distinct_ratio IS NULL
+            OR bounds_changed) AS drifted
+         FROM j ORDER BY col_name""",
     // x7: the BM25 arithmetic replays exactly — every per-term
     // contribution is computed in the same scalar op order as the
     // Spark expression, quantized to a long at 1e-6 before the sum

@@ -32,7 +32,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
     "q5_filter_project", // 1-row result of a selective filter
-    "v5_profile")        // global column-profile aggregate (tiny)
+    "v5_profile",        // global column-profile aggregate (tiny)
+    "v8_profile_drift")  // two v5-shaped global profiles + |cols|-row join
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
