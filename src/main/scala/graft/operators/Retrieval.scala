@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Corpus term frequencies: (doc_id, tok, tf, dl) with dl = total
-    * token count of the document (BM25's length normalizer). */
-  def termFrequencies(corpus: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = corpus.select(idCol.as("doc_id"),
-      explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, "doc_id")
-  }
+    * token count of the document (BM25's length normalizer). dl is
+    * computed MAP-SIDE from the token array and carried through the
+    * groupBy key (constant per doc, so the key extension is free) —
+    * no per-doc re-aggregation, no dl self-join, one shuffle total. */
+  def termFrequencies(corpus: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    corpus.select(idCol.as("doc_id"), split(trim(lower(textCol)), "\\s+").as("tks"))
+      .select(col("doc_id"), size(col("tks")).cast("long").as("dl"),
+        explode(col("tks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
 
   /** BM25 more-like-this: rank corpus documents against each query
     * document's distinct token set, top `k` per query.

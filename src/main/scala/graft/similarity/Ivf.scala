@@ -93,6 +93,50 @@ object Ivf {
       .select("q_id", "q_v", "list_id")
   }
 
+  /** Persist an IVF index: centroids and list assignments land as two
+    * versioned tables behind atomic latest-pointers — build once,
+    * search many, with the same publish-then-swap lifecycle as the
+    * serving index (readers never see a half-built index; a rebuild
+    * is a new version + swap, and rollback is `swapTo`). The
+    * assignment side stores (id, v, list_id) partitioned BY list_id,
+    * so a probe's list scan prunes at the file level — at 100 TB a
+    * 2-probe query touches nProbe/nLists of the corpus files, nothing
+    * else. */
+  def buildIndex(data: DataFrame, listKey: String, vecCol: String, dir: String,
+      centroidScale: Long = 1000000L): (Long, Long) = {
+    val cents = centroidsQuantized(data, listKey, vecCol, centroidScale)
+    val lists = data.select(col("id"), col(vecCol).as("v"),
+      col(listKey).as("list_id"))
+    val cv = graft.sources.VersionedTable.write(cents, s"$dir/centroids")
+    val lv = graft.sources.VersionedTable.writePartitioned(lists,
+      s"$dir/lists", "list_id")
+    (cv, lv)
+  }
+
+  /** Search a persisted index: probe selection reads only the (tiny)
+    * centroid table; the distinct probed list ids — at most
+    * nProbe × |queries| values, driver-safe by construction — become
+    * a static `list_id IN (...)` partition filter, so the file scan
+    * PRUNES to the probed directories before reading a byte (the
+    * whole point of building the index partitioned). The probe frame
+    * is eagerly checkpointed: it is consumed by two executions (the
+    * id collect and the scoring join). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    val lists = graft.sources.VersionedTable.readLatest(spark, s"$dir/lists")
+    val probes = probeLists(queries, cents, nProbe).localCheckpoint()
+    val probedIds = probes.select("list_id").distinct()
+      .collect().map(_.get(0))
+    val scored = probes.join(
+        lists.filter(col("list_id").isin(probedIds: _*)), "list_id")
+      .select(col("q_id"), col("id").as("n_id"),
+        Vectors.cosine4(col("q_v"), col("v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
   /** Top-k cosine neighbors per query, searching only probed lists.
     * `data`: (id, v, <listKey>). With `centroidScale > 0` the list
     * centroids come from [[centroidsQuantized]] — deterministic

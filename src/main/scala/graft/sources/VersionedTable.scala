@@ -40,6 +40,16 @@ object VersionedTable {
     next
   }
 
+  /** Like [[write]], but the version is laid out partitioned by
+    * `partCol` — readers filtering on it prune whole directories
+    * (the IVF index's probed-lists-only scan relies on this). */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    val next = listVersions(dir).lastOption.getOrElse(0L) + 1
+    df.write.mode("errorifexists").partitionBy(partCol).parquet(s"$dir/v=$next")
+    swapTo(dir, next)
+    next
+  }
+
   /** Point the alias at an existing version (swap / rollback). */
   def swapTo(dir: String, version: Long): Unit = {
     require(listVersions(dir).contains(version),
