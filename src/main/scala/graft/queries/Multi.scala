@@ -64,10 +64,29 @@ object Multi {
       .orderBy("doc_id")
   }
 
+  /** m4: frame sampling over binary payloads — every 3rd 100-byte
+    * "frame" up to 5 per record (the video-keyframe access pattern),
+    * fanned out MAP-SIDE by sampleFrames' explode (payloads never
+    * shuffle), each sampled frame content-hashed. Records shorter
+    * than one frame drop (the n_frames=0 branch is live: the fixture
+    * has sub-100-byte docs). */
+  def m4FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        floor(length(col("payload")) / 100).cast("int"))
+      .filter(col("n_frames") >= 1)
+    Multimodal.sampleFrames(df, "n_frames", stride = 3, maxFrames = 5)
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        md5(expr("substring(payload, frame_idx * 100 + 1, 100)")).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_modality_stats" -> (m2ModalityStats _),
-    "m3_decode_features" -> (m3DecodeFeatures _))
+    "m3_decode_features" -> (m3DecodeFeatures _),
+    "m4_frame_sample" -> (m4FrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -76,6 +95,21 @@ object Multi {
            substr(text, 1, 4) AS magic,
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    // m4: frame grid replayed with range() (end-exclusive, hence +1)
+    // over the same 100-byte slices; ASCII makes substr(text) ≡ the
+    // byte slice
+    "m4_frame_sample" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             CAST(floor(octet_length(CAST(text AS BLOB)) / 100) AS INT) AS n_frames
+           FROM documents),
+         f AS (
+           SELECT doc_id, text,
+             unnest(range(0, least(n_frames - 1, 12) + 1, 3)) AS frame_idx
+           FROM d WHERE n_frames >= 1)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_hash
+         FROM f ORDER BY doc_id, frame_idx""",
     // m3: StubDecoder replayed — the corpus is ASCII so ascii(char_i)
     // equals payload byte i; every feature is byte/128, an exact
     // binary fraction, so float-vs-double compare is exact

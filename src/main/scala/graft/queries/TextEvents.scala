@@ -130,6 +130,26 @@ object TextEvents {
         col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** ta12: heavy hitters per language through the Misra–Gries sketch
+    * (graft.plans.FreqSketch) — the custom TypedImperativeAggregate on
+    * an ORACLED path: with buffer k=64 ≥ the 31-token fixture
+    * vocabulary the sketch provably never decrements, so its
+    * estimates ARE the exact counts and the whole query hash-matches
+    * the exact SQL. At real scale (vocab ≫ k) the same plan returns
+    * the MG approximation whose bounds ScaleSpec proves; the
+    * threshold compare is integer (est·10 > n), engine-portable. */
+  def ta12HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    toks.groupBy("lang")
+      .agg(graft.plans.FreqSketch.freq(col("tok"), 64).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("lang"), col("n"), explode(col("m")).as(Seq("tok", "est")))
+      .filter(col("est") * 10 > col("n"))
+      .select("lang", "tok", "est")
+      .orderBy("lang", "tok")
+  }
+
   /** ta9: tf-idf keyword extraction — top-3 terms per document by
     * round(tf · ln(N/df), 4), ranked on the ROUNDED score (both
     * engines) with token tiebreak so ordering is deterministic.
@@ -319,6 +339,7 @@ object TextEvents {
     "ta9_keywords" -> (ta9Keywords _),
     "ta10_classifier" -> (ta10Classifier _),
     "ta11_perplexity" -> (ta11Perplexity _),
+    "ta12_heavy_hitters" -> (ta12HeavyHitters _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -457,6 +478,17 @@ object TextEvents {
              regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\+[0-9] [0-9]{3} [0-9]{4} [0-9]{4}', '<PHONE>', 'g') AS redacted
          FROM planted ORDER BY doc_id""",
+    // ta12: in the k ≥ vocab regime the MG sketch is exact, so the
+    // oracle is the plain exact count with the same integer threshold
+    "ta12_heavy_hitters" ->
+      """WITH toks AS (
+           SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         n AS (SELECT lang, count(*) AS n FROM toks GROUP BY 1),
+         c AS (SELECT lang, tok, count(*) AS est FROM toks GROUP BY 1, 2)
+         SELECT c.lang, c.tok, c.est
+         FROM c JOIN n USING (lang) WHERE c.est * 10 > n.n
+         ORDER BY lang, tok""",
     // ta11: per-bigram ln(c12/c1) quantized to longs before the
     // per-doc sum (exact integer aggregation) — same technique as x7
     "ta11_perplexity" ->
