@@ -191,6 +191,27 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s7: MMR-diversified retrieval — brute-force top-20 candidates
+    * per query, then the greedy λ=0.5 maximal-marginal-relevance
+    * re-rank picks 5. The corpus-sized stage is candidate generation
+    * (s1's map-only shape); the greedy loop touches only
+    * |queries|×20 rows. The oracle replays the greedy trajectory in
+    * a recursive CTE. */
+  def s7Mmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    val queries = e.filter(col("id") < 10)
+    val corpus = e.filter(col("id") >= 10)
+    val top = graft.similarity.Knn.bruteForce(queries, corpus, k = 20)
+      .select("q_id", "n_id", "cos")
+    val cands = corpus.select(col("id").as("n_id"), col("v").as("n_v"))
+      .join(broadcast(top), "n_id")
+      .select("q_id", "n_id", "cos", "n_v")
+    graft.similarity.Mmr.rerank(cands, k = 5, lam = 0.5)
+      .select("q_id", "n_id", "cos", "rank")
+      .orderBy("q_id", "rank")
+  }
+
   def s5Quantize(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -240,6 +261,7 @@ object DedupSim {
     "s4_knn_ivf" -> (s4KnnIvf _),
     "s5_quantize" -> (s5Quantize _),
     "s6_filtered_knn" -> (s6FilteredKnn _),
+    "s7_mmr" -> (s7Mmr _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -599,6 +621,45 @@ object DedupSim {
                 ELSE round(val * 127 / maxabs) END AS INT) AS q,
            round(maxabs / 127, 6) AS scale
          FROM x ORDER BY vec_id, dim""",
+    // s7: the greedy MMR trajectory replayed step by step in a
+    // recursive CTE — identical candidates (rounded cos, id ties),
+    // identical pairwise sims, identical 0.5·cos − 0.5·maxsim
+    // arithmetic, so every pick matches
+    "s7_mmr" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         n AS (SELECT vec_id AS n_id, v AS n_v FROM e WHERE vec_id >= 10),
+         scored AS (SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+           FROM q CROSS JOIN n),
+         cand AS (SELECT q_id, n_id, cos FROM (
+           SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS r FROM scored) WHERE r <= 20),
+         sim AS (
+           SELECT c1.q_id, c1.n_id AS a, c2.n_id AS b,
+             ${cosSql("na.n_v", "nb.n_v")} AS s
+           FROM cand c1 JOIN cand c2
+             ON c1.q_id = c2.q_id AND c1.n_id <> c2.n_id
+           JOIN n na ON na.n_id = c1.n_id
+           JOIN n nb ON nb.n_id = c2.n_id),
+         sel(q_id, step, chosen, ccos, chosen_set) AS (
+           SELECT q_id, 1, n_id, cos, [n_id] FROM (
+             SELECT q_id, n_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id ASC) AS r FROM cand) WHERE r = 1
+           UNION ALL
+           SELECT q_id, step + 1, pick, pcos, list_append(chosen_set, pick) FROM (
+             SELECT s.q_id, s.step, c.n_id AS pick, c.cos AS pcos, s.chosen_set,
+               row_number() OVER (PARTITION BY s.q_id ORDER BY
+                 0.5 * c.cos - 0.5 * (SELECT max(sim.s) FROM sim
+                   WHERE sim.q_id = s.q_id AND sim.a = c.n_id
+                     AND list_contains(s.chosen_set, sim.b)) DESC,
+                 c.n_id ASC) AS r
+             FROM sel s JOIN cand c
+               ON c.q_id = s.q_id AND NOT list_contains(s.chosen_set, c.n_id)
+             WHERE s.step < 5) WHERE r = 1)
+         SELECT q_id, chosen AS n_id, ccos AS cos, CAST(step AS INT) AS rank
+         FROM sel ORDER BY q_id, rank""",
     "s1_knn_brute" ->
       s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 10),
