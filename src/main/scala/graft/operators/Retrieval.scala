@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,13 +8,31 @@ import org.apache.spark.sql.functions._
   * x5 inverted index (the reference's Solr collections exist to be
   * SEARCHED; solr_api_utils.py:14-60 only manages their lifecycle).
   *
+  * Two entry points with one scoring core:
+  *
+  *  - [[bm25MoreLikeThis]] — ad-hoc: tokenizes the corpus in-line.
+  *    One-shot analytics only; the corpus pass is charged to every
+  *    call.
+  *  - [[buildIndex]] / [[searchIndex]] — the production shape: the
+  *    term-frequency table (doc_id, tok, tf, dl) is persisted ONCE as
+  *    a [[graft.sources.VersionedTable]] partitioned by token
+  *    hash-bucket, global stats (N, Σdl) land beside it, and queries
+  *    probe the index without ever re-scanning the corpus (the same
+  *    build-once/search-many lifecycle as the IVF index,
+  *    similarity/Ivf.scala — and the reason the reference keeps
+  *    long-lived Solr collections instead of re-indexing per query).
+  *    At 100 TB the corpus re-tokenize is the difference between a
+  *    full-corpus job per query set and a pruned index probe.
+  *
   * Scale posture: the query set is small and broadcast; the corpus
   * term-frequency table is the big side and is touched map-side by
   * the broadcast join, so scoring shuffles only (q_id, doc) partial
-  * scores — never postings. The final per-query top-k is the
+  * scores — never postings. On the indexed path the scan additionally
+  * PRUNES to the hash-bucket directories containing query terms
+  * before reading a byte. The final per-query top-k is the
   * rank-dropping row_number shape that TopKRewriteRule turns into a
   * bounded heap (no per-query sort). Corpus statistics (N, avgdl)
-  * are two exact long aggregates computed once.
+  * are two exact long aggregates computed once at index build.
   *
   * Determinism: per-term BM25 contributions are quantized to 1e-6
   * before summing (round → long), so the per-document score is an
@@ -36,24 +54,19 @@ object Retrieval {
         explode(col("tks")).as("tok"))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
 
-  /** BM25 more-like-this: rank corpus documents against each query
-    * document's distinct token set, top `k` per query.
+  /** Per-query distinct token sets: (q_id, tok). */
+  private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries.select(col(idCol).as("q_id"),
+      explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("tok"))
+
+  /** Shared scoring core over a term-frequency relation (in-line or
+    * persisted — any frame with doc_id/tok/tf/dl columns).
     *
     * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Robertson/Lucene form).
     */
-  def bm25MoreLikeThis(corpus: DataFrame, queries: DataFrame,
-      idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFrequencies(corpus, col(idCol), col(textCol))
-      .localCheckpoint(false) // df + scoring both read it; one token pass
-    // two exact long aggregates -> one double each (deterministic)
-    val stats = tf.groupBy().agg(
-      countDistinct("doc_id").as("n_docs"), sum("tf").as("total_len")).head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / nDocs
-    val qTerms = queries.select(col(idCol).as("q_id"),
-        explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("tok"))
+  private def scoreBm25(tf: DataFrame, nDocs: Long, avgdl: Double,
+      qTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     // df only for terms the queries actually use: the full-vocabulary
     // df table is corpus-sized at 100 TB and must never broadcast —
     // semi-restricting the aggregation first keeps the broadcast side
@@ -75,5 +88,107 @@ object Retrieval {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("q_id", "n_id", "score", "rank")
+  }
+
+  /** Ad-hoc BM25 more-like-this: rank corpus documents against each
+    * query document's distinct token set, top `k` per query. The
+    * corpus is tokenized in-line — for repeated query sets use
+    * [[buildIndex]]/[[searchIndex]] instead. */
+  def bm25MoreLikeThis(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // EAGER checkpoint: tf is consumed by TWO query executions — the
+    // stats head() and the scoring plan — and a lazy localCheckpoint
+    // that crosses executions can replay EMPTY under AQE (the
+    // documented round-4 hazard; CLAUDE.md invariants)
+    val tf = termFrequencies(corpus, col(idCol), col(textCol))
+      .localCheckpoint(true)
+    // two exact long aggregates -> one double each (deterministic)
+    val stats = tf.groupBy().agg(
+      countDistinct("doc_id").as("n_docs"), sum("tf").as("total_len")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    scoreBm25(tf, nDocs, avgdl, queryTerms(queries, idCol, textCol), k, k1, b)
+  }
+
+  /** Token hash-bucket count for the persisted tf table. 64 keeps
+    * directory fan-out trivial while letting a narrow query term set
+    * prune most of the postings scan. */
+  val TfBuckets = 64
+
+  private def tokBucket(nBuckets: Int): Column =
+    pmod(xxhash64(col("tok")), lit(nBuckets.toLong))
+
+  /** Build a persisted BM25 index under `indexDir`: the tf table
+    * (doc_id, tok, tf, dl) as a versioned table partitioned by
+    * `tok_bucket = xxhash64(tok) mod nBuckets` (a token's postings
+    * live entirely in its bucket, so bucket pruning is lossless for
+    * df and scoring), plus a one-row stats table (n_docs, total_len,
+    * n_buckets). Same publish-then-swap lifecycle as the IVF index:
+    * readers never see a half-built index, a rebuild is a new
+    * version + swap, rollback is `VersionedTable.swapTo`. Returns the
+    * published tf version.
+    *
+    * The global stats are aggregated from the just-published parquet,
+    * not from a checkpointed frame — the index itself is the
+    * materialization, so no lazy frame ever crosses executions. */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int = TfBuckets): Long = {
+    val spark = corpus.sparkSession
+    val tf = termFrequencies(corpus, col(idCol), col(textCol))
+      .withColumn("tok_bucket", tokBucket(nBuckets))
+    val tv = graft.sources.VersionedTable.writePartitioned(
+      tf, s"$indexDir/tf", "tok_bucket")
+    val stats = graft.sources.VersionedTable.readLatest(spark, s"$indexDir/tf")
+      .groupBy().agg(
+        countDistinct("doc_id").as("n_docs"),
+        sum("tf").as("total_len"))
+      .select(col("n_docs"), col("total_len"), lit(nBuckets).as("n_buckets"))
+    graft.sources.VersionedTable.write(stats, s"$indexDir/stats")
+    tv
+  }
+
+  /** Search a persisted BM25 index: global stats come from the (tiny)
+    * stats table, and the distinct query-term buckets — at most
+    * |query terms| values, driver-safe by construction — become a
+    * static `tok_bucket IN (...)` partition filter, so the postings
+    * scan prunes to the buckets the queries can touch before reading
+    * a byte. The corpus is never re-tokenized. The query-term frame
+    * is eagerly checkpointed: it is consumed by two executions (the
+    * bucket collect and the scoring joins). */
+  def searchIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = graft.sources.VersionedTable.readLatest(spark, s"$indexDir/stats").head()
+    val nDocs = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Long]("total_len").toDouble / nDocs
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val qTerms = queryTerms(queries, idCol, textCol).localCheckpoint(true)
+    val buckets = qTerms.select(tokBucket(nBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val tf = graft.sources.VersionedTable.readLatest(spark, s"$indexDir/tf")
+      .filter(col("tok_bucket").isin(buckets: _*))
+    scoreBm25(tf, nDocs, avgdl, qTerms, k, k1, b)
+  }
+
+  /** Build-if-absent convenience for a corpus derived from one data
+    * directory: the index lands under the JVM temp dir keyed by a
+    * fingerprint of the directory's `documents.parquet` (path, mtime,
+    * size), so a regenerated dataset gets a fresh index and an
+    * unchanged one reuses the build across sessions. Contract: the
+    * fingerprint keys on the DATA FILE, not the corpus filter — all
+    * callers for one dataDir must pass the same corpus derivation
+    * (the x7 query surface does). Returns the index dir. */
+  def ensureIndex(corpus: DataFrame, idCol: String, textCol: String,
+      dataDir: String): String = synchronized {
+    val f = new java.io.File(s"$dataDir/documents.parquet")
+    val key = s"${f.getAbsolutePath}:${f.lastModified}:${f.length}"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25/$fp"
+    if (graft.sources.VersionedTable.latestVersion(s"$idxDir/tf").isEmpty ||
+        graft.sources.VersionedTable.latestVersion(s"$idxDir/stats").isEmpty)
+      buildIndex(corpus, idCol, textCol, idxDir)
+    idxDir
   }
 }
