@@ -66,6 +66,53 @@ object Validate {
     df.select((idCol.as("id") +: flags :+ nFailed): _*)
   }
 
+  /** Full Schematron rule: Schematron distinguishes `<sch:assert>`
+    * (records a failure when the test is FALSE) from `<sch:report>`
+    * (records a finding when the test is TRUE — the inverse polarity,
+    * used for warnings/informational hits), groups rules into named
+    * patterns, and lets a `<sch:phase>` select which patterns are
+    * active for a run (lxml.isoschematron compiles all of this;
+    * validate.py:33-35 instantiates it). [[Rule]] covers the
+    * assert-only subset the reference's own .sch files use; this
+    * models the rest. NULL tests normalize like [[holds]]: an assert
+    * with a NULL test fails, a report with a NULL test does not fire. */
+  final case class SchRule(name: String, test: Column, message: String,
+      isReport: Boolean = false, pattern: String = "default")
+
+  /** A Schematron phase: the set of active pattern names. */
+  final case class SchPhase(name: String, patterns: Seq[String])
+
+  /** Evaluate the rules active under `phase` (all rules when the
+    * phase is not declared — Schematron's `#ALL` default) over every
+    * record: per-record failed-assert count, fired-report count, and
+    * the combined findings text in rule-declaration order (the
+    * reference's `schematron_failed_validation_text` analog, extended
+    * with report hits). One codegen'd projection — map-only. */
+  def schematronReport(df: DataFrame, rules: Seq[SchRule],
+      phases: Seq[SchPhase], phase: String, idCol: Column): DataFrame = {
+    val active = phases.find(_.name == phase) match {
+      case Some(p) => rules.filter(r => p.patterns.contains(r.pattern))
+      case None => rules
+    }
+    def fires(r: SchRule): Column = {
+      val t = coalesce(r.test, lit(false))
+      if (r.isReport) t else !t
+    }
+    val findings = filter(
+      array(active.map(r => when(fires(r), lit(r.message))): _*),
+      c => c.isNotNull)
+    val nAssertFailed = active.filterNot(_.isReport)
+      .map(r => when(fires(r), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val nReportFired = active.filter(_.isReport)
+      .map(r => when(fires(r), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    df.select(idCol.as("id"),
+      nAssertFailed.as("n_failed"),
+      nReportFired.as("n_reported"),
+      concat_ws("\n", findings).as("findings"))
+  }
+
   /** Column profile: the pre-validation survey step every ETL run
     * wants before writing rules — one scan, one row per profiled
     * column with null rate, distinct count, and bounds. At 100 TB

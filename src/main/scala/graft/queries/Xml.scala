@@ -45,9 +45,10 @@ object Xml {
       df("856", "u", col("source")),
       lit("</record>")).as("xml"))
 
-  /** The same record string in DuckDB. */
+  /** The same record string in DuckDB (lang/source carried through
+    * for oracles that also need the base columns). */
   private val marcXmlSql =
-    """SELECT doc_id, concat(
+    """SELECT doc_id, lang, source, concat(
          '<record><leader>00000nam a2200000 a 4500</leader>',
          CASE WHEN doc_id % 7 = 3 THEN ''
               WHEN doc_id % 7 = 5 THEN concat(
@@ -98,10 +99,67 @@ object Xml {
       .orderBy("id")
   }
 
+  /** t3: structural crosswalk — a rule TREE producing nested output
+    * (leaf values, a nested element, and two repeated-node for-each
+    * sections whose length varies per record), the stylesheet shape
+    * transform.py:20-76 runs through Saxon. Serialized with to_json
+    * for a stable oracle form; the oracle rebuilds the identical JSON
+    * text from its own regexp extraction. */
+  def t3Structural(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Transform._
+    val rules = Seq(
+      XLeaf("id", "/record/controlfield[@tag='001']/text()"),
+      XNode("meta", Seq(
+        XLeaf("lang", "/record/datafield[@tag='041']/subfield[@code='a']/text()"),
+        XLeaf("url", "/record/datafield[@tag='856']/subfield[@code='u']/text()"))),
+      XZip("cf", Seq(
+        "tag" -> "/record/controlfield/@tag",
+        "val" -> "/record/controlfield/text()")),
+      XZip("df", Seq(
+        "tag" -> "/record/datafield/@tag",
+        "val" -> "/record/datafield/subfield/text()")))
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        to_json(structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id")
+  }
+
+  /** v9: full Schematron semantics — assert AND report polarity,
+    * patterns, phase selection (lxml.isoschematron's surface,
+    * validate.py:33-35). Runs the same rule set under two phases and
+    * unions the verdicts, so the oracle checks that phase selection
+    * actually masks the content-pattern rules. */
+  def v9Schematron(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate._
+    val ids = Records.controlFieldValues(col("xml"), "001")
+    val xlang = xpath_string(col("xml"),
+      lit("/record/datafield[@tag='041']/subfield/text()"))
+    val rules = Seq(
+      SchRule("one_001", size(ids) === 1,
+        "record must carry exactly one 001", isReport = false, pattern = "structure"),
+      SchRule("multi_001", size(ids) > 1,
+        "duplicate 001 control fields", isReport = true, pattern = "structure"),
+      SchRule("known_lang", xlang.isInCollection(Seq("en", "de", "fr", "es", "zh")),
+        "unknown language", isReport = false, pattern = "content"),
+      SchRule("zh_record", xlang === "zh",
+        "record is chinese-language", isReport = true, pattern = "content"))
+    val phases = Seq(
+      SchPhase("structural", Seq("structure")),
+      SchPhase("full", Seq("structure", "content")))
+    val marc = marcXml(Tables.documents(spark, dir))
+    val s = schematronReport(marc, rules, phases, "structural", col("doc_id"))
+      .withColumn("phase", lit("structural"))
+    val f = schematronReport(marc, rules, phases, "full", col("doc_id"))
+      .withColumn("phase", lit("full"))
+    s.unionByName(f).orderBy("phase", "id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
     "v6_xml_validate" -> (v6XmlValidate _),
+    "t3_structural" -> (t3Structural _),
+    "v9_schematron" -> (v9Schematron _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,5 +191,42 @@ object Xml {
             + CASE WHEN NOT coalesce(xlang IN ('en','de','fr','es','zh'), FALSE) THEN 1 ELSE 0 END
             + CASE WHEN NOT coalesce(length(xurl) > 0, FALSE) THEN 1 ELSE 0 END) AS n_failed
          FROM ex ORDER BY id""",
+    "t3_structural" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, source, $idsSql AS ids FROM marc)
+         SELECT doc_id, concat(
+           '{"id":"', CASE WHEN len(ids) = 0 THEN '' ELSE ids[1] END,
+           '","meta":{"lang":"', lang, '","url":"', source,
+           '"},"cf":[',
+           array_to_string(list_transform(ids,
+             x -> concat('{"tag":"001","val":"', x, '"}')), ','),
+           '],"df":[{"tag":"041","val":"', lang,
+           '"},{"tag":"856","val":"', source, '"}]}') AS rec
+         FROM ex ORDER BY doc_id""",
+    "v9_schematron" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, len($idsSql) AS n1 FROM marc),
+         s AS (SELECT doc_id AS id,
+             CASE WHEN n1 != 1 THEN 1 ELSE 0 END AS n_failed,
+             CASE WHEN n1 > 1 THEN 1 ELSE 0 END AS n_reported,
+             concat_ws(chr(10),
+               CASE WHEN n1 != 1 THEN 'record must carry exactly one 001' END,
+               CASE WHEN n1 > 1 THEN 'duplicate 001 control fields' END) AS findings,
+             'structural' AS phase
+           FROM ex),
+         f AS (SELECT doc_id AS id,
+             (CASE WHEN n1 != 1 THEN 1 ELSE 0 END
+              + CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS n_failed,
+             (CASE WHEN n1 > 1 THEN 1 ELSE 0 END
+              + CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS n_reported,
+             concat_ws(chr(10),
+               CASE WHEN n1 != 1 THEN 'record must carry exactly one 001' END,
+               CASE WHEN n1 > 1 THEN 'duplicate 001 control fields' END,
+               CASE WHEN lang NOT IN ('en','de','fr','es','zh') THEN 'unknown language' END,
+               CASE WHEN lang = 'zh' THEN 'record is chinese-language' END) AS findings,
+             'full' AS phase
+           FROM ex)
+         SELECT * FROM (SELECT * FROM s UNION ALL SELECT * FROM f)
+         ORDER BY phase, id""",
   )
 }

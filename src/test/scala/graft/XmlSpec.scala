@@ -65,6 +65,56 @@ class XmlSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("structural crosswalk builds nested trees from a multi-level template") {
+    import graft.operators.Transform._
+    // a three-level template over a hand-built record: leaf value,
+    // nested element, and a repeated-node for-each with two fields —
+    // the XSLT structural-recursion shape beyond flat field mapping
+    val xml = """<book><title>Dune</title><pub><year>1965</year><place>NY</place></pub>""" +
+      """<author role="main"><name>Herbert</name></author>""" +
+      """<author role="ed"><name>Hart</name></author></book>"""
+    val df = spark.range(1).select(lit(xml).as("x"))
+    val rules = Seq(
+      XLeaf("title", "/book/title/text()"),
+      XNode("published", Seq(
+        XLeaf("year", "/book/pub/year/text()"),
+        XLeaf("place", "/book/pub/place/text()"))),
+      XZip("authors", Seq(
+        "role" -> "/book/author/@role",
+        "name" -> "/book/author/name/text()")),
+      XAll("names", "/book/author/name/text()"))
+    val row = df.select(structuralCrosswalk(col("x"), rules).as("r")).head()
+    val r = row.getStruct(0)
+    assert(r.getString(0) == "Dune")
+    assert(r.getStruct(1).getString(0) == "1965")
+    assert(r.getStruct(1).getString(1) == "NY")
+    val authors = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(authors.map(a => (a.getString(0), a.getString(1))) ==
+      Seq(("main", "Herbert"), ("ed", "Hart")))
+    assert(r.getSeq[String](3) == Seq("Herbert", "Hart"))
+    // absent leaf collapses to "" (stable JSON shape), absent
+    // repeated node to []
+    val empty = spark.range(1).select(lit("<book/>").as("x"))
+      .select(structuralCrosswalk(col("x"), rules).as("r")).head().getStruct(0)
+    assert(empty.getString(0) == "")
+    assert(empty.getSeq[org.apache.spark.sql.Row](2).isEmpty)
+  }
+
+  test("schematron phases mask inactive patterns; report polarity is inverted") {
+    val df = SparkEntry.queries("v9_schematron")(spark, sf).cache()
+    val s = df.filter(col("phase") === "structural")
+    val f = df.filter(col("phase") === "full")
+    assert(s.count() == f.count())
+    // structural phase never evaluates content rules: no zh report hits
+    assert(s.filter(col("findings").contains("chinese")).count() == 0)
+    assert(f.filter(col("findings").contains("chinese")).count() > 0)
+    // report polarity: multi-001 records FIRE the report and FAIL the
+    // assert simultaneously
+    val multi = f.filter(col("id") % 7 === 5)
+    assert(multi.filter(col("n_failed") === 0 || col("n_reported") === 0).count() == 0)
+    df.unpersist()
+  }
+
   test("CSV report sink round-trips the v2 invalid report") {
     val report = SparkEntry.queries("v2_invalid_report")(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_csvrep").toString + "/report"
