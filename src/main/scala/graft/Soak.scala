@@ -85,7 +85,62 @@ object Soak {
       parts, col("p_partkey"), col("p_name"), col("p_brand"), maxDist = 2).count())
     parts.unpersist()
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd}""")
+    // --- round-5 additions: the quadratic-risk newcomers ---
+
+    // d11 SemDeDup at replica scale: the label set is FIXED (10), so
+    // replicas grow the largest cluster linearly and the
+    // within-cluster pair volume QUADRATICALLY — the documented d11
+    // knob (SemDedup.scala cluster-count note). Capped at 10 replicas:
+    // the quadratic growth is the data's, and 20k vecs / 10 clusters
+    // already exercises ~4M dim-64 pairs per cluster.
+    val semReplicas = math.min(nReplicas, 10)
+    val embBase = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        functions.Vectors.toDouble(col("embedding")).as("v"))
+    val embs = (0 until semReplicas).map { i =>
+      embBase.select((col("vec_id") + lit(i * 1000000L)).as("id"), col("label"),
+        transform(sequence(lit(0), lit(63)), j =>
+          try_element_at(col("v"), j + 1)
+            + lit(0.02 * i) * try_element_at(col("v"), pmod(j + 1, lit(64)) + 1))
+          .as("v"))
+    }.reduce(_ unionByName _).cache()
+    val nEmb = embs.count()
+    val (tSem, nSem) = time(dedup.SemDedup.semDedup(embs, "label", tau = 0.99)
+      .filter(!col("is_kept")).count())
+
+    // s7 MMR at query scale: the greedy loop's cost contract is
+    // |queries| x nCands^2 REGARDLESS of corpus size — soak it by
+    // growing the query count with replicas while the corpus stays
+    // fixed; candidate generation (the corpus-sized stage) is
+    // materialized first so the timing isolates the re-rank loop.
+    val nQ = 20 * math.min(nReplicas, 10)
+    val qs = embBase.select(col("vec_id").as("id"), col("v")).filter(col("id") < nQ)
+    val cs = embBase.select(col("vec_id").as("id"), col("v")).filter(col("id") >= 1000)
+    val cands = cs.select(col("id").as("n_id"), col("v").as("n_v"))
+      .join(broadcast(similarity.Knn.bruteForce(qs, cs, k = 40)
+        .select("q_id", "n_id", "cos")), "n_id")
+      .select("q_id", "n_id", "cos", "n_v").cache()
+    val nCands = cands.count()
+    val (tMmr, nMmr) = time(
+      similarity.Mmr.rerank(cands, k = 8, lam = 0.5).count())
+    cands.unpersist()
+
+    // x7 BM25 at corpus scale: build the persisted index over the
+    // replicated corpus (charged once — the build-once/search-many
+    // contract), then probe it; the probe must track query-term
+    // postings volume, not corpus re-tokenize cost — the ad-hoc
+    // more-like-this run on the same corpus is the contrast.
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_soak_bm25").toString
+    val bmQueries = base.filter(col("doc_id") < 5)
+    val (tBuild, _) = time {
+      operators.Retrieval.buildIndex(corpus, "doc_id", "text", idxDir)
+    }
+    val (tProbe, nProbe) = time(operators.Retrieval.searchIndex(
+      spark, idxDir, bmQueries, "doc_id", "text", k = 5).count())
+    val (tAdhoc, _) = time(operators.Retrieval.bm25MoreLikeThis(
+      corpus, bmQueries, "doc_id", "text", k = 5).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
