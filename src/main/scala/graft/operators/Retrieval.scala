@@ -55,7 +55,7 @@ object Retrieval {
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
 
   /** Per-query distinct token sets: (q_id, tok). */
-  private def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[operators] def queryTerms(queries: DataFrame, idCol: String, textCol: String): DataFrame =
     queries.select(col(idCol).as("q_id"),
       explode(array_distinct(split(trim(lower(col(textCol))), "\\s+"))).as("tok"))
 
@@ -65,7 +65,7 @@ object Retrieval {
     * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Robertson/Lucene form).
     */
-  private def scoreBm25(tf: DataFrame, nDocs: Long, avgdl: Double,
+  private[operators] def scoreBm25(tf: DataFrame, nDocs: Long, avgdl: Double,
       qTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     // df only for terms the queries actually use: the full-vocabulary
     // df table is corpus-sized at 100 TB and must never broadcast —

@@ -245,6 +245,35 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** x8: search over the SEGMENTED incrementally-maintained BM25
+    * index (operators/SegmentedBm25.scala — the Lucene/Solr segment
+    * lifecycle: harvest.py:185-208 feeds a long-lived collection
+    * incrementally). Two appends build the index: batch 1 is the
+    * corpus minus the ≡1-mod-3 stripe; batch 2 adds that stripe AND
+    * re-ingests the ≡0-mod-7 docs of batch 1 with changed text, so
+    * the search must serve batch-2 text via tombstoned replacement —
+    * the oracle scores the logical live corpus directly, proving the
+    * dead postings stay dead and the manifest stats corrections are
+    * exact (nDocs/avgdl feed every score). */
+  def x8SegSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val idx = SegmentedBm25.ensureIndex(dir, "x8") { d =>
+      val batch1 = corpus.filter(col("doc_id") % 3 =!= 1)
+      val replaced = corpus
+        .filter(col("doc_id") % 3 =!= 1 && col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" appendix")))
+      SegmentedBm25.append(batch1, "doc_id", "text", d)
+      SegmentedBm25.append(
+        corpus.filter(col("doc_id") % 3 === 1).unionByName(replaced),
+        "doc_id", "text", d)
+      ()
+    }
+    SegmentedBm25.search(spark, idx, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** v8: profile drift between the corpus and a perturbed snapshot
     * (20% of rows dropped, lang nulled on a 1-in-7 stripe) — the
     * schema-erosion guard that should fail a run before the index
@@ -261,6 +290,7 @@ object Etl {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x8_seg_search" -> (x8SegSearch _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
     "x7_bm25" -> (x7Bm25 _),
@@ -486,6 +516,49 @@ object Etl {
             OR distinct_ratio >= 2.0 OR distinct_ratio IS NULL
             OR bounds_changed) AS drifted
          FROM j ORDER BY col_name""",
+    // x8: identical BM25 arithmetic to x7, but over the LOGICAL LIVE
+    // corpus after the segmented index's two appends — the ≡0-mod-7
+    // non-stripe docs carry their batch-2 replacement text. A stale
+    // posting or a wrong stats correction on the Spark side shifts
+    // scores and breaks the hash.
+    "x8_seg_search" ->
+      """WITH corpus AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 != 1 AND doc_id % 7 = 0
+                  THEN text || ' appendix' ELSE text END AS text
+           FROM documents WHERE doc_id >= 5),
+         toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM corpus),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         q AS (SELECT DISTINCT doc_id AS q_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+           FROM documents WHERE doc_id < 5),
+         d AS (SELECT tok, count(*) AS df FROM tf
+           WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+         sc AS (
+           SELECT q.q_id, tf.doc_id AS n_id,
+             CAST(round(
+               ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                         / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+               * 1000000.0) AS BIGINT) AS cq
+           FROM tf JOIN q USING (tok) JOIN d USING (tok)
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN stats s),
+         agg AS (SELECT q_id, n_id,
+             round(CAST(sum(cq) AS BIGINT) / 1000000.0, 4) AS score
+           FROM sc GROUP BY 1, 2)
+         SELECT q_id, n_id, score, rank FROM (
+           SELECT q_id, n_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, n_id ASC) AS INT) AS rank
+           FROM agg)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     // x7: the BM25 arithmetic replays exactly — every per-term
     // contribution is computed in the same scalar op order as the
     // Spark expression, quantized to a long at 1e-6 before the sum

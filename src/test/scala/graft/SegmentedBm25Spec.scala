@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Retrieval, SegmentedBm25}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle contract for the segmented BM25 index: incremental
+  * appends with replacement must serve EXACTLY what a from-scratch
+  * index over the logical live corpus serves — scores included
+  * (which also proves the manifest's stats corrections, since nDocs
+  * and avgdl feed every score) — and compaction must be invisible. */
+class SegmentedBm25Spec extends AnyFunSuite {
+  import TestSession._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_segbm25").toString
+
+  test("append+replace serves the live corpus exactly; compact is invisible") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    // batch1: ids not ≡1 mod 3; batch2: the rest, PLUS replacements
+    // (changed text) for ids ≡0 mod 7 already present in batch1
+    val batch1 = corpus.filter(col("doc_id") % 3 =!= 1)
+    val replaced = corpus.filter(col("doc_id") % 3 =!= 1 && col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" appendix")))
+    val batch2 = corpus.filter(col("doc_id") % 3 === 1).unionByName(replaced)
+
+    val idx = tmp()
+    val s1 = SegmentedBm25.append(batch1, "doc_id", "text", idx)
+    val s2 = SegmentedBm25.append(batch2, "doc_id", "text", idx)
+    assert(s1 == 1 && s2 == 2)
+
+    // logical live corpus after both appends
+    val live = corpus.withColumn("text",
+      when(col("doc_id") % 3 =!= 1 && col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" appendix"))).otherwise(col("text")))
+    val scratch = tmp()
+    Retrieval.buildIndex(live, "doc_id", "text", scratch)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val want = rows(Retrieval.searchIndex(spark, scratch, queries, "doc_id", "text", 5))
+    val got = rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5))
+    assert(got == want, "segmented search must equal the from-scratch index")
+    assert(got.nonEmpty)
+
+    // a replaced doc's OLD postings must be dead: no score may differ
+    // when the replaced docs' old text contained a query term — the
+    // equality above already proves it; spot-check the tombstone count
+    val manifest = graft.sources.VersionedTable.readLatest(
+      spark, s"$idx/manifest")
+    val nTombs = manifest.filter(col("kind") === "tomb").count()
+    val nReplaced = replaced.count()
+    assert(nTombs == nReplaced, s"one tombstone per replaced doc ($nTombs vs $nReplaced)")
+
+    // compaction: one segment, zero tombstones, identical results
+    SegmentedBm25.compact(spark, idx)
+    val m2 = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+    assert(m2.filter(col("kind") === "seg").count() == 1)
+    assert(m2.filter(col("kind") === "tomb").count() == 0)
+    val afterCompact = rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5))
+    assert(afterCompact == want, "compaction must not change results")
+
+    // re-replacing an already-replaced doc tombstones the COMPACTED
+    // copy (the only live one) — stats stay exact
+    val again = replaced.limit(3)
+      .withColumn("text", concat(col("text"), lit(" more")))
+    SegmentedBm25.append(again, "doc_id", "text", idx)
+    val live2 = live.join(again.select(col("doc_id").as("r_id")),
+        col("doc_id") === col("r_id"), "left_anti")
+      .unionByName(again)
+    val scratch2 = tmp()
+    Retrieval.buildIndex(live2, "doc_id", "text", scratch2)
+    val want2 = rows(Retrieval.searchIndex(spark, scratch2, queries, "doc_id", "text", 5))
+    val got2 = rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5))
+    assert(got2 == want2, "post-compaction replacement must still be exact")
+  }
+
+  test("streaming maintenance appends one segment per micro-batch, replay-safe") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val batch1 = corpus.filter(col("doc_id") % 3 =!= 1)
+    val replaced = corpus.filter(col("doc_id") % 3 =!= 1 && col("doc_id") % 7 === 0)
+      .withColumn("text", concat(col("text"), lit(" appendix")))
+    val batch2 = corpus.filter(col("doc_id") % 3 === 1).unionByName(replaced)
+
+    // stage two single-file batches with ordered mtimes so the file
+    // source delivers them as two micro-batches in order
+    val sdir = java.nio.file.Files.createTempDirectory("graft_bm25stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = sdir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stage(batch1, "b1.parquet", t0)
+    stage(batch2, "b2.parquet", t0 + 30000)
+
+    val idx = tmp()
+    val stream = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir.toString)
+    val q = graft.streaming.Bm25Stream.maintainBm25(
+      stream, idx, "doc_id", "text", lineage = "t1")
+    q.processAllAvailable(); q.stop()
+
+    val manifest = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+    assert(manifest.filter(col("kind") === "seg").count() == 2)
+
+    val live = corpus.withColumn("text",
+      when(col("doc_id") % 3 =!= 1 && col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" appendix"))).otherwise(col("text")))
+    val scratch = tmp()
+    Retrieval.buildIndex(live, "doc_id", "text", scratch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5)) ==
+      rows(Retrieval.searchIndex(spark, scratch, queries, "doc_id", "text", 5)))
+
+    // replay: a fresh query (new checkpoint) over the same files and
+    // lineage restarts batch ids at 0 — the markers must skip both
+    // batches, leaving the segment count untouched
+    val stream2 = spark.readStream.schema(batch1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir.toString)
+    val q2 = graft.streaming.Bm25Stream.maintainBm25(
+      stream2, idx, "doc_id", "text", lineage = "t1")
+    q2.processAllAvailable(); q2.stop()
+    val m2 = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+    assert(m2.filter(col("kind") === "seg").count() == 2,
+      "replayed batches must be skipped by the marker protocol")
+  }
+}
