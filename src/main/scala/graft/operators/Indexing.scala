@@ -108,6 +108,37 @@ object Indexing {
         floor((col("cum_bytes") - bytesCol) / targetBytes).cast("long"))
   }
 
+  /** Z-value: bit-interleave the low `bits` bits of two bucketized
+    * dimensions (Morton order). Sorting by z lays rows out along a
+    * space-filling curve, so each output file covers a COMPACT
+    * RECTANGLE in (a, b) space and parquet footer min/max stats
+    * prune files for range predicates on EITHER dimension — the
+    * multi-dimensional clustering a single-column sort can't give
+    * (a sort on `a` leaves every file spanning the full `b` range).
+    * Pure codegen'd bit math; inputs must already be quantized to
+    * `< 2^bits` (rank/bucket upstream). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i)
+        .plus(shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` z-ordered: range-partition + sort by the z-value so
+    * file boundaries follow the curve. `nFiles` sizes the layout —
+    * at 100 TB pick it from target file size, and recluster as part
+    * of compaction (the x6 executor composes: plan groups on the
+    * z-sorted inventory). */
+  def zorderWrite(df: DataFrame, zCol: Column, outDir: String,
+      nFiles: Int): Unit =
+    df.withColumn("__z", zCol)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

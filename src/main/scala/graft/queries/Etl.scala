@@ -274,6 +274,19 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** x9: z-value (Morton) computation parity — the bit-interleave
+    * behind the multi-dimensional layout (Indexing.zValue; the
+    * pruning property itself is ZorderSpec's footer-stat assertion,
+    * this query pins the curve arithmetic against an independent
+    * engine). Both dims quantized to 6 bits. */
+  def x9Zorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 64).cast("long").as("xq"),
+        (col("n_chars") % 64).cast("long").as("yq"))
+      .withColumn("z", Indexing.zValue(col("xq"), col("yq"), 6))
+      .orderBy("z", "doc_id")
+
   /** v8: profile drift between the corpus and a perturbed snapshot
     * (20% of rows dropped, lang nulled on a 1-in-7 stripe) — the
     * schema-erosion guard that should fail a run before the index
@@ -291,6 +304,7 @@ object Etl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x8_seg_search" -> (x8SegSearch _),
+    "x9_zorder" -> (x9Zorder _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
     "x7_bm25" -> (x7Bm25 _),
@@ -516,6 +530,19 @@ object Etl {
             OR distinct_ratio >= 2.0 OR distinct_ratio IS NULL
             OR bounds_changed) AS drifted
          FROM j ORDER BY col_name""",
+    // x9: the Morton interleave re-derived term by term with SQL bit
+    // ops — any bit-position slip breaks the hash
+    "x9_zorder" -> {
+      val zTerms = (0 until 6).map(i =>
+        s"(((xq >> $i) & 1) << ${2 * i}) + (((yq >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id,
+             CAST(doc_id % 64 AS BIGINT) AS xq,
+             CAST(n_chars % 64 AS BIGINT) AS yq
+           FROM documents)
+         SELECT doc_id, xq, yq, CAST($zTerms AS BIGINT) AS z
+         FROM b ORDER BY z, doc_id"""
+    },
     // x8: identical BM25 arithmetic to x7, but over the LOGICAL LIVE
     // corpus after the segmented index's two appends — the ≡0-mod-7
     // non-stripe docs carry their batch-2 replacement text. A stale
