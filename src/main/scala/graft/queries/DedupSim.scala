@@ -5,6 +5,7 @@ import graft.dedup.{Dedup, SimHash}
 import graft.functions.Vectors
 import graft.similarity.Knn
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dedup (d1–d10) and similarity-search (s1–s5) query surface
@@ -129,6 +130,36 @@ object DedupSim {
         seedKey = "label", tau = 0.99)
       .select(col("id").as("vec_id"), col("cluster_id"), col("is_kept"))
       .orderBy("vec_id")
+
+  /** d13: passage-level dedup — exact dedup at SUB-document
+    * granularity (the RefinedWeb/CCNet line-dedup shape: boilerplate
+    * repeats across documents even when whole documents don't).
+    * Non-overlapping 20-token windows, first occurrence kept by
+    * (doc_id, chunk_idx) order, and each document rebuilt from its
+    * kept passages. Two shuffles: the passage-hash window (uniform
+    * md5 key) and the per-doc reassembly — linear in corpus tokens,
+    * nothing pairwise. An exact copy of a document keeps ZERO
+    * passages; a 20-char-shifted near-dup re-aligns almost nowhere,
+    * so both engines must agree on every boundary. */
+  def d13PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pass = Dedup.augmentedDocs(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokenChunks(col("text"),
+          width = 20, stride = 20)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("passage"))
+    val w = Window.partitionBy(md5(col("passage")))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    pass.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum((col("rn") === 1).cast("long")).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("chunk_idx"), col("passage"))))),
+          s => s.getField("passage"))).as("dedup_text"))
+      .orderBy("doc_id")
+  }
 
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -256,6 +287,7 @@ object DedupSim {
     "d10_dupspans" -> (d10DupSpans _),
     "d11_semdedup" -> (d11SemDedup _),
     "d12_incremental" -> (d12Incremental _),
+    "d13_passage_dedup" -> (d13PassageDedup _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
     "s4_knn_ivf" -> (s4KnnIvf _),
@@ -348,6 +380,22 @@ object DedupSim {
       s"""WITH base AS ($augBase)
          SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM base GROUP BY md5(text) ORDER BY keep_id""",
+    "d13_passage_dedup" ->
+      s"""WITH base AS ($augBase),
+         t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM base),
+         s AS (SELECT doc_id, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT doc_id, CAST(st / 20 AS INT) AS chunk_idx,
+             array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ') AS passage
+           FROM s),
+         r AS (SELECT doc_id, chunk_idx, passage,
+             row_number() OVER (PARTITION BY md5(passage)
+               ORDER BY doc_id, chunk_idx) AS rn
+           FROM p)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
+             ORDER BY chunk_idx), '') AS dedup_text
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCte
          SELECT a_id, b_id, jaccard FROM (
