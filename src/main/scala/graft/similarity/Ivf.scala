@@ -113,18 +113,85 @@ object Ivf {
     (cv, lv)
   }
 
+  /** Append a batch of vectors to a persisted index WITHOUT touching
+    * the base assignment table (FAISS's add-after-train contract):
+    * the delta is assigned against the FROZEN centroid table (prior
+    * assignments stay valid by construction) and lands as an
+    * append-only segment tree `segments/seg=<N>/list_id=<l>/` — same
+    * per-list partitioning as the base, so probe pruning works
+    * identically on segments. The (tiny) segment manifest is a
+    * VersionedTable, so each append flips atomically and rollback is
+    * a pointer swap. Centroid drift from accumulated appends is
+    * repaired by a periodic [[buildIndex]] re-train + [[compactSegments]]
+    * — exactly Lucene's add-then-merge rhythm applied to ANN.
+    * Returns the new segment id. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame): Long = {
+    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    val scored = delta.select(col("id"), col("v")).crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
+    val assigned = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1).select("id", "v", "list_id")
+    val manifestDir = s"$dir/segmanifest"
+    val prior: Seq[Long] = graft.sources.VersionedTable.latestVersion(manifestDir)
+      .map(_ => graft.sources.VersionedTable.readLatest(spark, manifestDir)
+        .collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Seq.empty)
+    val segId = (prior :+ 0L).max + 1
+    assigned.write.mode("errorifexists").partitionBy("list_id")
+      .parquet(s"$dir/segments/seg=$segId")
+    import spark.implicits._
+    graft.sources.VersionedTable.write(
+      (prior :+ segId).toDF("seg_id"), manifestDir)
+    segId
+  }
+
+  /** Fold appended segments into the base assignment table: one new
+    * lists version containing base ∪ segments, and an empty manifest.
+    * Superseded segment trees stay on disk for manifest rollback. */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val merged = liveLists(spark, dir)
+    val lv = graft.sources.VersionedTable.writePartitioned(
+      merged.select("id", "v", "list_id"), s"$dir/lists", "list_id")
+    import spark.implicits._
+    graft.sources.VersionedTable.write(
+      Seq.empty[Long].toDF("seg_id"), s"$dir/segmanifest")
+    lv
+  }
+
+  /** Base assignments ∪ manifest-listed segments. */
+  private def liveLists(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.sources.VersionedTable.readLatest(spark, s"$dir/lists")
+    graft.sources.VersionedTable.latestVersion(s"$dir/segmanifest") match {
+      case None => base
+      case Some(_) =>
+        val segs = graft.sources.VersionedTable
+          .readLatest(spark, s"$dir/segmanifest")
+          .collect().map(_.getLong(0)).toSeq
+        if (segs.isEmpty) base
+        else base.unionByName(
+          spark.read.parquet(s"$dir/segments")
+            .filter(col("seg").isin(segs: _*))
+            .select("id", "v", "list_id"))
+    }
+  }
+
   /** Search a persisted index: probe selection reads only the (tiny)
     * centroid table; the distinct probed list ids — at most
     * nProbe × |queries| values, driver-safe by construction — become
     * a static `list_id IN (...)` partition filter, so the file scan
     * PRUNES to the probed directories before reading a byte (the
-    * whole point of building the index partitioned). The probe frame
-    * is eagerly checkpointed: it is consumed by two executions (the
-    * id collect and the scoring join). */
+    * whole point of building the index partitioned) — on the base
+    * AND on any appended segment trees, which share the per-list
+    * layout. The probe frame is eagerly checkpointed: it is consumed
+    * by two executions (the id collect and the scoring join). */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
-    val lists = graft.sources.VersionedTable.readLatest(spark, s"$dir/lists")
+    val lists = liveLists(spark, dir)
     val probes = probeLists(queries, cents, nProbe).localCheckpoint()
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.get(0))

@@ -32,6 +32,55 @@ class IvfIndexSpec extends AnyFunSuite {
       s"expected a partition filter on list_id in:\n$plan")
   }
 
+  test("append assigns against frozen centroids; compaction is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    val delta = embs.filter(col("id") >= 10 && col("id") % 4 === 0)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    Ivf.buildIndex(base, "label", "v", dir)
+    val s1 = Ivf.appendToIndex(spark, dir, delta.select("id", "v"))
+    assert(s1 == 1)
+
+    // expected: search over base ∪ delta-assigned-to-frozen-centroids,
+    // replicated in memory with the SAME centroid table
+    val cents = VersionedTable.readLatest(spark, s"$dir/centroids")
+    val scored = delta.select("id", "v").crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
+    val deltaAssigned = scored
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("r") === 1).select("id", "v", "list_id")
+    val all = base.select(col("id"), col("v"), col("label").as("list_id"))
+      .unionByName(deltaAssigned).localCheckpoint(true)
+    val probes = Ivf.probeLists(queries, cents, nProbe = 2)
+    val expected = probes.join(
+        all.select(col("id").as("n_id"), col("v").as("n_v"), col("list_id")),
+        "list_id")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    val want = expected
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(we))
+      .filter(col("rank") <= 5).select("q_id", "n_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet
+
+    def got() = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got() == want, "appended-index search must equal frozen-centroid union")
+    // delta vectors must actually be reachable
+    val hit = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .join(delta.select(col("id").as("n_id")), "n_id").count()
+    assert(hit > 0, "appended vectors never surfaced in any top-k")
+
+    Ivf.compactSegments(spark, dir)
+    assert(got() == want, "compaction must not change results")
+    assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 0)
+    assert(VersionedTable.readLatest(spark, s"$dir/lists").count() == all.count())
+  }
+
   test("rebuild publishes a new version; rollback serves the old one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val data = embs.filter(col("id") >= 10)
