@@ -81,6 +81,34 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, s"$dir/lists").count() == all.count())
   }
 
+  test("streaming IVF feed appends one segment per micro-batch, replay-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfs").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    val delta = embs.filter(col("id") >= 10 && col("id") % 4 === 0)
+      .select("id", "v")
+    Ivf.buildIndex(base, "label", "v", dir)
+
+    val sdir = java.nio.file.Files.createTempDirectory("graft_ivfstream")
+    delta.coalesce(1).write.parquet(sdir.resolve("d").toString)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(delta.schema)
+        .parquet(sdir.resolve("d").toString)
+      val q = graft.streaming.IvfStream.maintainIvf(stream, dir, lineage = "s1")
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val m1 = VersionedTable.readLatest(spark, s"$dir/segmanifest").count()
+    assert(m1 == 1, s"one segment after one micro-batch, got $m1")
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val hit = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .join(delta.select(col("id").as("n_id")), "n_id").count()
+    assert(hit > 0, "streamed vectors never surfaced in any top-k")
+    // fresh checkpoint replay over the same lineage: markers skip it
+    run()
+    assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 1,
+      "replayed micro-batch must be skipped by the marker protocol")
+  }
+
   test("rebuild publishes a new version; rollback serves the old one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val data = embs.filter(col("id") >= 10)
