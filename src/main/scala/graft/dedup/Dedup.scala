@@ -308,8 +308,15 @@ object Dedup {
     // trade
     val benchSh = benchmark
       .select(explode(hashedShingles(col("text"))).as("s")).distinct()
-    val expected = math.max(benchSh.count(), 1L)
-    val bloom = benchSh.stat.bloomFilter("s", expected, fpp)
+    val nBenchSh = benchSh.count()
+    // empty eval set: nothing can be contaminated — and Spark's
+    // stat.bloomFilter NPEs on a zero-row frame (readFrom on a null
+    // aggregation buffer), so this is a required short-circuit, not
+    // just a fast path
+    if (nBenchSh == 0)
+      return corpus.select(col("doc_id"), lit(0L).as("n_hits"),
+        lit(false).as("contaminated"))
+    val bloom = benchSh.stat.bloomFilter("s", nBenchSh, fpp)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: Long) => bloomBc.value.mightContainLong(s))
     val corpusEx = corpus

@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input contracts: a corpus slice with no rows (an empty
+  * harvest window, a filter that matches nothing, a quiet
+  * micro-batch) must yield empty RESULTS, never a crash — the
+  * round-4 ADVICE NPE class (connectedComponents summed an empty
+  * labels frame) pinned as a contract across the operator surface. */
+class EmptyInputSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def emptyDocs = Tables.documents(spark, sf)
+    .select("doc_id", "text", "lang", "n_chars").filter(lit(false))
+
+  test("connected components of an empty pair set is empty (the r4 ADVICE NPE)") {
+    val pairs = emptyDocs.select(col("doc_id").as("a_id"),
+      col("doc_id").as("b_id"))
+    assert(Dedup.connectedComponents(pairs, "a_id", "b_id").count() == 0)
+    assert(Dedup.connectedComponentsStar(pairs, "a_id", "b_id").count() == 0)
+  }
+
+  test("dedup candidate generators yield empty results on an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs, k = 8, bands = 4, threshold = 0.8).count() == 0)
+    assert(Dedup.dupSpanStats(emptyDocs).count() == 0)
+    assert(graft.dedup.SimHash.nearDupPairs(emptyDocs, maxHamming = 6).count() == 0)
+  }
+
+  test("decontamination against an empty benchmark keeps everything") {
+    val docs = Tables.documents(spark, sf).limit(20)
+      .select("doc_id", "text").localCheckpoint(true)
+    val out = Dedup.decontaminateBloom(docs, emptyDocs.select("doc_id", "text"),
+      minSharedShingles = 1)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("contaminated")).count() == 0)
+  }
+
+  test("BM25 search with an empty query set returns no rows") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = graft.operators.Retrieval.ensureIndex(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text", sf)
+    val out = graft.operators.Retrieval.searchIndex(spark, idx,
+      docs.filter(lit(false)), "doc_id", "text", k = 5)
+    assert(out.count() == 0)
+  }
+
+  test("MMR of an empty candidate frame is empty") {
+    val cands = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(0.5).as("cos"), Vectors.toDouble(col("embedding")).as("n_v"))
+      .filter(lit(false))
+    assert(graft.similarity.Mmr.rerank(cands, k = 3).count() == 0)
+  }
+
+  test("TopKPerKey of an empty frame is empty") {
+    val df = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars")).filter(lit(false))
+    assert(graft.plans.TopKPerKey.topKPerKey(
+      df, Seq("lang"), Seq(("n_chars", true)), 3).count() == 0)
+  }
+}
