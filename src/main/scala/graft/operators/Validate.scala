@@ -135,6 +135,27 @@ object Validate {
         "p.min_str", "p.max_str")
   }
 
+  /** Fixed-width histogram of a numeric column — the distribution
+    * view the v5 profile's min/max/distinct can't give (bimodal
+    * collapse, truncation spikes). Two passes: an exact integer
+    * min/max aggregate, then one bucket-groupBy scan. The bucket
+    * formula is engine-stable by construction: products are exact
+    * integers, the quotient is floored, and the `span+1` denominator
+    * puts the max in the last bucket without a cap — no float edge
+    * can flip a bucket across engines. */
+  def histogram(df: DataFrame, valueCol: Column, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val mm = df.agg(min(valueCol.cast("long")).as("lo"),
+      max(valueCol.cast("long")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = hi - lo + 1
+    df.select(floor((valueCol.cast("long") - lo) * bins / span).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+      .select(col("bucket"),
+        (lit(lo) + floor(col("bucket") * span / bins)).cast("long").as("bucket_lo"),
+        col("n_rows"))
+  }
+
   /** Profile drift between two snapshots (the schema-erosion guard:
     * an upstream feed silently nulling a field, collapsing its value
     * domain, or shifting its bounds should fail the run BEFORE the

@@ -274,6 +274,13 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** v10: fixed-width histogram of document lengths — engine-stable
+    * bucket math (exact integer products, floored quotient, span+1
+    * denominator so the max lands in the last bucket). */
+  def v10Histogram(spark: SparkSession, dir: String): DataFrame =
+    Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
+      .orderBy("bucket")
+
   /** x9: z-value (Morton) computation parity — the bit-interleave
     * behind the multi-dimensional layout (Indexing.zValue; the
     * pruning property itself is ZorderSpec's footer-stat assertion,
@@ -305,6 +312,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
+    "v10_histogram" -> (v10Histogram _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
     "x7_bm25" -> (x7Bm25 _),
@@ -530,6 +538,17 @@ object Etl {
             OR distinct_ratio >= 2.0 OR distinct_ratio IS NULL
             OR bounds_changed) AS drifted
          FROM j ORDER BY col_name""",
+    // v10: identical exact-integer bucket arithmetic; min/max come
+    // from a scalar subquery instead of a driver pre-pass
+    "v10_histogram" ->
+      """WITH mm AS (SELECT CAST(min(n_chars) AS BIGINT) AS lo,
+             CAST(max(n_chars) AS BIGINT) AS hi FROM documents)
+         SELECT CAST(floor((CAST(n_chars AS BIGINT) - lo) * 20.0 / (hi - lo + 1)) AS BIGINT) AS bucket,
+           CAST(lo + floor(CAST(floor((CAST(n_chars AS BIGINT) - lo) * 20.0 / (hi - lo + 1)) AS BIGINT)
+             * (hi - lo + 1) / 20.0) AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM documents, mm
+         GROUP BY 1, 2 ORDER BY bucket""",
     // x9: the Morton interleave re-derived term by term with SQL bit
     // ops — any bit-position slip breaks the hash
     "x9_zorder" -> {
