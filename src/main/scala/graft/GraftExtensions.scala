@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{DotProduct, FreqSketch, HllSketch, IntersectCount}
+import graft.plans.{DotProduct, FreqSketch, HllSketch, IntersectCount, QuantileSketch}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.intersectEntry)
     e.injectFunction(GraftExtensions.hllEntry)
     e.injectFunction(GraftExtensions.freqEntry)
+    e.injectFunction(GraftExtensions.quantilesEntry)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
@@ -78,6 +79,30 @@ object GraftExtensions {
         "graft_freq(c[, k]) - Misra-Gries heavy hitters of c as map<item, count-lower-bound>"),
       freqBuilder)
 
+  private val quantilesBuilder: Seq[Expression] => Expression = { args =>
+    import org.apache.spark.unsafe.types.UTF8String
+    val (k, pcts) = args match {
+      case Seq(_) => (1024, Seq(50, 90, 99))
+      case Seq(_, Literal(kv: Int, _)) => (kv, Seq(50, 90, 99))
+      case Seq(_, Literal(kv: Int, _), Literal(ps: UTF8String, _)) =>
+        (kv, ps.toString.split(',').toSeq.map(_.trim.toInt))
+      case _ => throw new IllegalArgumentException(
+        "graft_quantiles expects (col), (col, k literal), or " +
+          s"(col, k literal, 'p1,p2,..' percent literal), got ${args.length} args")
+    }
+    QuantileSketch(
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType), k, pcts)
+      .toAggregateExpression(isDistinct = false)
+  }
+
+  private[graft] val quantilesEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_quantiles"),
+      info("graft_quantiles",
+        "graft_quantiles(c[, k[, 'p1,p2,..']]) - KLL quantile sketch of c; " +
+          "array<double> of the value at each integer-percent probe"),
+      quantilesBuilder)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -88,5 +113,7 @@ object GraftExtensions {
       "graft_hll", hllBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_freq", freqBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_quantiles", quantilesBuilder, "scala_udf")
   }
 }

@@ -221,6 +221,27 @@ object TextEvents {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** e12: per-type percentiles through the KLL quantile sketch —
+    * e4's scale path (fixed memory per group, sketches shuffle, not
+    * values). Capacity 4096 ≥ the sf0.01 group sizes, so no
+    * compactor ever fires and the sketch returns the EXACT discrete
+    * order statistic at rank ceil(p·n/100) — the hash-oracled path
+    * (ta12's capacity≥domain trick); QuantileSpec carries the
+    * small-capacity error bound on bigger data. Rank math is integer
+    * on both engines. */
+  def e12QuantileSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        graft.plans.QuantileSketch.quantiles(col("value"), 4096, Seq(50, 90, 99)).as("qs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("event_type"), col("n_rows"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+      .orderBy("event_type")
+
   /** e5: last-click attribution — every purchase attributed to the
     * user's most recent prior click (an as-of join against the same
     * stream, collapsed to one window pass). */
@@ -326,6 +347,7 @@ object TextEvents {
     "e11_interval_overlap" -> (e11IntervalOverlap _),
     "e7_range_join" -> (e7RangeJoin _),
     "e4_percentiles" -> (e4Percentiles _),
+    "e12_quantile_sketch" -> (e12QuantileSketch _),
     "e5_attribution" -> (e5Attribution _),
     "e6_pivot" -> (e6Pivot _),
     "e8_asof" -> (e8AsOf _),
@@ -449,6 +471,20 @@ object TextEvents {
            round(quantile_cont(value, 0.9), 4) AS p90,
            round(quantile_cont(value, 0.99), 4) AS p99
          FROM events GROUP BY 1 ORDER BY 1""",
+    // e12: the discrete order statistic at rank ceil(p*n/100),
+    // re-derived with an explicit row_number so the rank arithmetic
+    // is the same pure-integer `(p*n + 99) // 100` as the sketch's
+    "e12_quantile_sketch" ->
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+           round(max(CASE WHEN rn = (50*n + 99) // 100 THEN value END), 4) AS p50,
+           round(max(CASE WHEN rn = (90*n + 99) // 100 THEN value END), 4) AS p90,
+           round(max(CASE WHEN rn = (99*n + 99) // 100 THEN value END), 4) AS p99
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "ta7_repetition" ->
       """SELECT doc_id, n_shingles, n_distinct,
            round(1.0 - n_distinct / CAST(n_shingles AS DOUBLE), 4) AS rep_ratio
