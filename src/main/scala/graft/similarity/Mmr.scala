@@ -1,8 +1,6 @@
 package graft.similarity
 
-import graft.functions.Vectors
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
@@ -12,50 +10,101 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the expensive, corpus-sized stage is candidate
   * GENERATION (any of s1/s2/s4 in front); re-ranking only ever
-  * touches |queries| × nCands rows, so the k-step greedy loop — k
-  * blocking rounds of (anti-join, max-sim aggregate, argmax window),
-  * all partitioned by q_id — shuffles a bounded frame no matter how
-  * big the corpus is. Candidate and pairwise-sim frames are eagerly
-  * checkpointed: both are consumed by every round of the loop.
+  * touches |queries| × nCands rows. One groupByKey shuffle moves
+  * each query's bounded candidate set to one task, and the whole
+  * k-step greedy loop runs in-memory per group — ONE Spark job for
+  * any k, no per-round anti-join/aggregate/checkpoint cycle (the
+  * previous shape launched k blocking jobs; per-job overhead
+  * dominated the bounded compute). Groups distribute across the
+  * cluster, so a billion queries parallelize; per-group cost is
+  * O(nCands²·dim) worst case, constant in corpus size.
   *
-  * Determinism: relevance and pairwise sims are round(cos, 4); the
-  * MMR score is two exact-halving multiplies and one subtraction on
-  * those values, bitwise identical in any IEEE engine, and ties
-  * break on n_id — so the greedy trajectory replays exactly in the
-  * DuckDB oracle's recursive CTE. */
+  * Determinism: candidate relevance arrives rounded (cos4) and
+  * pairwise sims are rounded with the same BigDecimal HALF_UP
+  * arithmetic Spark's `round` uses, dot products accumulate in
+  * forward index order exactly like the DotProduct codegen — the
+  * greedy trajectory is bitwise identical to the declarative plan it
+  * replaces, to MmrPropertySpec's sequential reference, and to the
+  * DuckDB oracle's recursive CTE. Ties break on n_id. */
 object Mmr {
 
-  /** cands: (q_id, n_id, cos, n_v). Returns (q_id, n_id, cos, rank)
-    * with rank = pick order, 1..k. Queries with fewer than k
-    * candidates return them all. */
+  private def round4(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** cands: (q_id, n_id, cos, n_v) with long ids, double cos,
+    * array<double> vectors. Returns (q_id, n_id, cos, rank) with
+    * rank = pick order, 1..k. Queries with fewer than k candidates
+    * return them all. */
   def rerank(cands: DataFrame, k: Int, lam: Double = 0.5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val c = cands.localCheckpoint()
-    val sims = c.as("x").join(c.as("y"),
-        col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
-      .select(col("x.q_id").as("q_id"), col("x.n_id").as("a"),
-        col("y.n_id").as("b"), Vectors.cosine4(col("x.n_v"), col("y.n_v")).as("sim"))
-      .localCheckpoint()
-    val w1 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    var selected = c.withColumn("r", row_number().over(w1))
-      .filter(col("r") === 1)
-      .select(col("q_id"), col("n_id"), col("cos"), lit(1).as("rank"))
-      .localCheckpoint()
-    var step = 1
-    while (step < k) {
-      step += 1
-      val maxSim = sims
-        .join(selected.select(col("q_id"), col("n_id").as("b")), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a").as("n_id")).agg(max("sim").as("msim"))
-      val remaining = c.select("q_id", "n_id", "cos")
-        .join(selected.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_anti")
-      val ws = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id").asc)
-      val pick = remaining.join(maxSim, Seq("q_id", "n_id"))
-        .withColumn("mmr", lit(lam) * col("cos") - lit(1.0 - lam) * col("msim"))
-        .withColumn("r", row_number().over(ws)).filter(col("r") === 1)
-        .select(col("q_id"), col("n_id"), col("cos"), lit(step).as("rank"))
-      selected = selected.unionByName(pick).localCheckpoint()
-    }
-    selected
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("cos").cast("double"), col("n_v").cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        val cs = it.toArray // bounded: nCands rows per query
+        val n = cs.length
+        val kk = math.min(k, n)
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val v = cs(i)._4; var s = 0.0; var x = 0
+          while (x < v.length) { s += v(x) * v(x); x += 1 }
+          norms(i) = math.sqrt(s)
+          i += 1
+        }
+        // pairwise sims computed on first use; only pairs against
+        // already-picked items are ever needed (≤ k·n of the n²)
+        val simCache = Array.fill(n, n)(Double.NaN)
+        def sim(a: Int, b: Int): Double = {
+          if (simCache(a)(b).isNaN) {
+            val u = cs(a)._4; val w = cs(b)._4
+            var d = 0.0; var x = 0
+            while (x < u.length) { d += u(x) * w(x); x += 1 }
+            val s = round4(d / (norms(a) * norms(b)))
+            simCache(a)(b) = s; simCache(b)(a) = s
+          }
+          simCache(a)(b)
+        }
+        val picked = new Array[Boolean](n)
+        val order = new Array[Int](math.max(kk, 1))
+        // pick 1: (cos desc, n_id asc)
+        var best = -1
+        i = 0
+        while (i < n) {
+          if (best < 0 || cs(i)._3 > cs(best)._3 ||
+              (cs(i)._3 == cs(best)._3 && cs(i)._2 < cs(best)._2)) best = i
+          i += 1
+        }
+        if (n > 0) { order(0) = best; picked(best) = true }
+        var step = 1
+        while (step < kk) {
+          var bestI = -1
+          var bestScore = 0.0
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              var msim = Double.NegativeInfinity
+              var s = 0
+              while (s < step) {
+                val sm = sim(i, order(s)); if (sm > msim) msim = sm; s += 1
+              }
+              val score = lam * cs(i)._3 - (1.0 - lam) * msim
+              if (bestI < 0 || score > bestScore ||
+                  (score == bestScore && cs(i)._2 < cs(bestI)._2)) {
+                bestI = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          order(step) = bestI; picked(bestI) = true
+          step += 1
+        }
+        (0 until kk).iterator.map(r => (qid, cs(order(r))._2, cs(order(r))._3, r + 1))
+      }
+      .toDF("q_id", "n_id", "cos", "rank")
   }
 }
