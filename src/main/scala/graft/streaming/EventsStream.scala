@@ -48,6 +48,28 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming windowed quantile monitoring: value percentiles per
+    * (1-hour window, event_type) THROUGH the KLL sketch aggregate
+    * (plans/QuantileSketch.scala) — the latency/size-distribution
+    * dashboard shape. Because the sketch is a
+    * TypedImperativeAggregate, per-group streaming state is the
+    * serialized BOUNDED sketch, never the window's raw values — the
+    * property that keeps a 100 TB/day stream's state O(groups), not
+    * O(rows); the watermark evicts finalized windows. With capacity
+    * ≥ window volume the output is exact (StreamMultiSpec's batch
+    * parity); at real scale the same plan degrades to the
+    * QuantileSpec-bounded approximation. */
+  def quantileAgg(events: DataFrame, k: Int = 4096): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        graft.plans.QuantileSketch.quantiles(col("value"), k, Seq(50, 99)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p99"))
+
   /** Streaming re-harvest dedup (OAI semantics: the same identifier
     * re-appears across harvests; keep one). State is bounded by the
     * watermark — identifiers older than the horizon are evicted,

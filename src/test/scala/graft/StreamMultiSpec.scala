@@ -26,6 +26,37 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(s == b, s"stream-batch mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
   }
 
+  test("streaming windowed quantile sketch matches the batch aggregate exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val q = EventsStream.quantileAgg(
+        EventsStream.readEvents(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qs_stream").start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "event_type", "n", "p50", "p99")
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    // batch twin: identical expressions over the batch table —
+    // capacity >= window volume makes both sides exact, so the
+    // stream's incremental merges must land on the same values
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        graft.plans.QuantileSketch.quantiles(col("value"), 4096, Seq(50, 99)).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p99"))
+    val s = key(spark.table("qs_stream"))
+    val b = key(batch)
+    assert(s == b, s"stream-batch quantile mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
+  }
+
   test("streaming dedup keeps one row per identifier under duplicate input") {
     // stage the same events file twice: the stream sees every record
     // duplicated, like a re-harvest
