@@ -82,6 +82,37 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Positional phrase search — Solr's exact-phrase query run on the
+    * data plane: documents containing the n-word phrase as
+    * consecutive tokens, with occurrence counts. ONE corpus scan
+    * keeps only the phrase's own terms with their positions (the
+    * `isin` filter rides the scan; everything after operates on the
+    * tiny surviving frame, reused across all join branches of this
+    * single execution), then word i joins on (doc_id, pos − i) — an
+    * equi-join per word, no per-doc position arrays, no windows.
+    * After the first join the frame is bounded by the rarest term's
+    * postings, so an n-word phrase over 100 TB costs one scan plus
+    * n−1 joins on term-sized frames. */
+  def phraseSearch(docs: DataFrame, idCol: Column, textCol: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val hits = docs
+      .select(idCol.as("doc_id"),
+        posexplode(split(trim(lower(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+      .localCheckpoint(false) // single-plan multi-read: safe lazy
+    val first = hits.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("start"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        hits.filter(col("tok") === w)
+          .select(col("doc_id"), (col("pos") - i).as("start")),
+        Seq("doc_id", "start"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_pos"))
+  }
+
   /** Small-file compaction planner: assign a file inventory
     * (partition key, file id, bytes) to output groups of
     * ~targetBytes by running total within each partition — the

@@ -281,6 +281,15 @@ object Etl {
     Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
       .orderBy("bucket")
 
+  /** x10: exact-phrase search (Solr phrase query on the data plane):
+    * docs where "table hash" occur as consecutive tokens, with hit
+    * counts and first position. One scan + one join on term-sized
+    * frames (Indexing.phraseSearch). */
+  def x10Phrase(spark: SparkSession, dir: String): DataFrame =
+    Indexing.phraseSearch(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), Seq("table", "hash"))
+      .orderBy("doc_id")
+
   /** x9: z-value (Morton) computation parity — the bit-interleave
     * behind the multi-dimensional layout (Indexing.zValue; the
     * pruning property itself is ZorderSpec's footer-stat assertion,
@@ -312,6 +321,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
+    "x10_phrase" -> (x10Phrase _),
     "v10_histogram" -> (v10Histogram _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
@@ -549,6 +559,19 @@ object Etl {
            CAST(count(*) AS BIGINT) AS n_rows
          FROM documents, mm
          GROUP BY 1, 2 ORDER BY bucket""",
+    // x10: consecutive-token phrase match re-derived from the raw
+    // token array — start is the 0-based first-word position, same
+    // as Spark's posexplode index
+    "x10_phrase" ->
+      """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS tks
+           FROM documents),
+         p AS (SELECT doc_id, unnest(range(1, len(tks) + 1)) AS i, tks FROM t),
+         m AS (SELECT doc_id, i - 1 AS start FROM p
+           WHERE tks[i] = 'table' AND i + 1 <= len(tks) AND tks[i + 1] = 'hash')
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(start) AS BIGINT) AS first_pos
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     // x9: the Morton interleave re-derived term by term with SQL bit
     // ops — any bit-position slip breaks the hash
     "x9_zorder" -> {

@@ -71,6 +71,22 @@ class EtlSpec extends AnyFunSuite {
     assert(df.filter(col("collection").endsWith("-init")).count() == 0)
   }
 
+  test("phrase search: 3-word phrases, overlapping repeats, no false adjacency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" twice at 0 and 3; "a b" three times
+      (2L, "a a a a"),           // self-overlap: "a a" at 0,1,2
+      (3L, "a c b"),             // has all words, wrong order -> no hit
+      (4L, "b c")                // missing first word
+    ).toDF("doc_id", "text")
+    val abc = operators.Indexing.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("a", "b", "c")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(abc == Set((1L, 2L, 0L)), s"got $abc")
+    val aa = operators.Indexing.phraseSearch(docs, col("doc_id"), col("text"),
+        Seq("a", "a")).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(aa == Set((2L, 3L, 0L)), s"got $aa")
+  }
+
   test("validation is map-only: no shuffle in v1's plan") {
     val plan = SparkEntry.queries("v1_validate_filter")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -27,7 +27,11 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowNestedLoop = Set(
     "s1_knn_brute",    // broadcast(query side) × corpus scan, per-partition top-k
     "s4_knn_ivf",      // broadcast(centroids) × query/corpus assignment
-    "s6_filtered_knn") // broadcast(query side) × pre-filtered corpus
+    "s6_filtered_knn", // broadcast(query side) × pre-filtered corpus
+    "s7_mmr")          // s1's broadcast bruteForce feeds candidates; since the
+                       // one-job rerank rewrite there is no checkpoint truncating
+                       // the lineage, so the candidate stage's by-design NLJ
+                       // shows in s7's (single) plan
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
