@@ -82,6 +82,24 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Multi-field facet counts — Solr's `facet.field` list computed
+    * in ONE pass: the matching rows explode to (field, value) pairs
+    * and a single groupBy produces every facet — one scan and one
+    * shuffle for any number of facet fields, instead of a
+    * scan+aggregate per field. Facet values stringify (Solr facets
+    * are string buckets); nulls bucket as '(missing)', Solr's
+    * facet.missing semantics. */
+  def facetCounts(docs: DataFrame, predicate: Column,
+      facetFields: Seq[String]): DataFrame = {
+    require(facetFields.nonEmpty, "need at least one facet field")
+    val pairs = facetFields.flatMap(f =>
+      Seq(lit(f), coalesce(col(f).cast("string"), lit("(missing)"))))
+    docs.filter(predicate)
+      .select(explode(map(pairs: _*)).as(Seq("facet_field", "facet_value")))
+      .groupBy("facet_field", "facet_value")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Positional phrase search — Solr's exact-phrase query run on the
     * data plane: documents containing the n-word phrase as
     * consecutive tokens, with occurrence counts. ONE corpus scan

@@ -281,6 +281,14 @@ object Etl {
     Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
       .orderBy("bucket")
 
+  /** x11: faceted search — Solr facet.field=[lang, source] over the
+    * docs matching a text query, every facet from ONE scan + ONE
+    * shuffle (Indexing.facetCounts). */
+  def x11Facets(spark: SparkSession, dir: String): DataFrame =
+    Indexing.facetCounts(Tables.documents(spark, dir),
+        col("text").contains("vector"), Seq("lang", "source"))
+      .orderBy("facet_field", "facet_value")
+
   /** x10: exact-phrase search (Solr phrase query on the data plane):
     * docs where "table hash" occur as consecutive tokens, with hit
     * counts and first position. One scan + one join on term-sized
@@ -322,6 +330,7 @@ object Etl {
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
     "x10_phrase" -> (x10Phrase _),
+    "x11_facets" -> (x11Facets _),
     "v10_histogram" -> (v10Histogram _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
@@ -559,6 +568,19 @@ object Etl {
            CAST(count(*) AS BIGINT) AS n_rows
          FROM documents, mm
          GROUP BY 1, 2 ORDER BY bucket""",
+    // x11: each facet re-derived as its own group-by, unioned —
+    // the single-pass property is the Spark plan's job, not the
+    // oracle's
+    "x11_facets" ->
+      """WITH m AS (SELECT * FROM documents WHERE contains(text, 'vector'))
+         SELECT facet_field, facet_value, CAST(n AS BIGINT) AS n FROM (
+           SELECT 'lang' AS facet_field,
+             coalesce(CAST(lang AS VARCHAR), '(missing)') AS facet_value,
+             count(*) AS n FROM m GROUP BY 2
+           UNION ALL
+           SELECT 'source', coalesce(CAST(source AS VARCHAR), '(missing)'),
+             count(*) FROM m GROUP BY 2)
+         ORDER BY facet_field, facet_value""",
     // x10: consecutive-token phrase match re-derived from the raw
     // token array — start is the 0-based first-word position, same
     // as Spark's posexplode index
