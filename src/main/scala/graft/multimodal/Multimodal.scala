@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as
@@ -68,6 +68,52 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(sequence(lit(0),
         least(col(nFramesCol) - 1, lit((maxFrames - 1) * stride)), lit(stride))))
+
+  /** 60-bit block perceptual hash of a binary payload (blockhash-style:
+    * fixed threshold per sampled position, no mean/median coupling —
+    * perturbing one byte flips at most the bits that sample it, which
+    * is what makes Hamming distance track payload similarity). Bit j
+    * reads the byte at position ⌊j·n/60⌋; j·n ≤ ~10⁹ is exact in the
+    * double division, so the position math is engine-stable. 60 bits
+    * keeps the hash positive in a signed 64-bit long on any engine.
+    * A real image pHash (DCT of decoded pixels) plugs in through the
+    * same BinaryDecoder seam; the banding/joining downstream is
+    * codec-independent. */
+  def blockHash60(payload: Column): Column = {
+    val s = payload.cast("string")
+    val n = length(s)
+    (0 until 60).map { j =>
+      when(ascii(s.substr(floor(lit(j) * n / 60.0).cast("int") + 1, lit(1))) > 96,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-duplicate payload pairs by perceptual-hash Hamming distance
+    * ≤ maxHamming — the multimodal twin of d4's SimHash dedup, same
+    * pigeonhole scheme: split the 60-bit hash into maxHamming+1
+    * chunks; two hashes within the bound agree EXACTLY on at least
+    * one chunk, so candidates come from an equi-join on (chunk_idx,
+    * chunk_val) — never an all-pairs scan — and the exact bit_count
+    * filter runs only on bucket collisions. */
+  def phashNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && 60 % (maxHamming + 1) == 0,
+      s"maxHamming+1 must divide 60, got $maxHamming")
+    val nChunks = maxHamming + 1
+    val bits = 60 / nChunks
+    val chunks = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col(hashCol), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Binary metadata extraction (the oracled m1 surface): size,
     * magic prefix, content hash — pure expressions over the payload. */

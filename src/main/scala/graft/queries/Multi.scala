@@ -82,11 +82,33 @@ object Multi {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** m5: perceptual-hash near-dup detection over binary payloads —
+    * the multimodal twin of d4's SimHash dedup. Fixture plants
+    * near-dups: docs 0–49 reappear (id+1,000,000) with ONE byte
+    * changed, which flips at most the hash bits sampling that
+    * position, so every planted pair sits within Hamming ≤ 5 and is
+    * found through the pigeonhole chunk join (no all-pairs scan).
+    * The oracle re-derives the 60-bit hash term by term. */
+  def m5PhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 64)
+    val base = docs.select(col("doc_id").as("id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("id"),
+        concat(substring(col("text"), 1, 7), lit("q"),
+          expr("substring(text, 9)")).as("text"))
+    val hashed = base.unionByName(planted)
+      .select(col("id"),
+        Multimodal.blockHash60(col("text").cast("binary")).as("phash"))
+    Multimodal.phashNearDupPairs(hashed, "id", "phash", maxHamming = 5)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_modality_stats" -> (m2ModalityStats _),
     "m3_decode_features" -> (m3DecodeFeatures _),
-    "m4_frame_sample" -> (m4FrameSample _))
+    "m4_frame_sample" -> (m4FrameSample _),
+    "m5_phash_dedup" -> (m5PhashDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -135,5 +157,28 @@ object Multi {
          SELECT source, modality, count(*) AS n_items,
            CAST(sum(nb) AS BIGINT) AS total_bytes,
            round(avg(nb), 2) AS avg_bytes
-         FROM m GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    // m5: the 60-bit block hash re-derived term by term (any slipped
+    // sample position or threshold breaks the hash), then the same
+    // pigeonhole chunk join and exact bit_count filter
+    "m5_phash_dedup" -> {
+      val terms = (0 until 60).map(j =>
+        s"CASE WHEN ascii(substr(text, CAST(floor($j * length(text) / 60.0) AS INT) + 1, 1)) > 96 THEN ${1L << j} ELSE 0 END")
+        .mkString("\n             + ")
+      s"""WITH docs64 AS (SELECT doc_id, text FROM documents WHERE n_chars >= 64),
+         base AS (
+           SELECT doc_id AS id, text FROM docs64
+           UNION ALL
+           SELECT doc_id + 1000000 AS id,
+             concat(substr(text, 1, 7), 'q', substr(text, 9)) AS text
+           FROM docs64 WHERE doc_id < 50),
+         h AS (SELECT id, ($terms) AS phash FROM base),
+         c AS (SELECT id, phash, unnest(range(0, 6)) AS ci FROM h),
+         cc AS (SELECT id, phash, (phash >> CAST(ci * 10 AS INT)) & 1023 AS cv, ci FROM c),
+         p AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+               FROM cc a JOIN cc b ON a.ci = b.ci AND a.cv = b.cv AND a.id < b.id)
+         SELECT a_id, b_id, hamming FROM p WHERE hamming <= 5
+         ORDER BY a_id, b_id"""
+    })
 }

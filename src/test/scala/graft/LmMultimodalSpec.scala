@@ -66,4 +66,25 @@ class LmMultimodalSpec extends AnyFunSuite {
     decoded.unpersist()
     ()
   }
+
+  test("phash near-dup recall: every planted one-byte perturbation is found") {
+    import graft.multimodal.Multimodal
+    val df = SparkEntry.queries("m5_phash_dedup")(spark, sf)
+    val planted = df.filter(col("b_id") >= 1000000L &&
+      col("a_id") === col("b_id") - 1000000L)
+    val expected = Tables.documents(spark, sf)
+      .filter(col("n_chars") >= 64 && col("doc_id") < 50).count()
+    assert(planted.count() == expected,
+      s"expected $expected planted pairs, found ${planted.count()}")
+    // the pigeonhole guarantee: a one-byte change flips at most the
+    // bits sampling that byte, always <= maxHamming
+    assert(planted.filter(col("hamming") > 5).count() == 0)
+  }
+
+  test("blockHash60 stays in [0, 2^60) — positive in any signed 64-bit engine") {
+    import graft.multimodal.Multimodal
+    val h = Tables.documents(spark, sf)
+      .select(Multimodal.blockHash60(col("text").cast("binary")).as("ph"))
+    assert(h.filter(col("ph") < 0L || col("ph") >= (1L << 60)).count() == 0)
+  }
 }
