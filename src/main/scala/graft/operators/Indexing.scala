@@ -82,6 +82,24 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Search-hit highlighting — Solr's highlighter run on the data
+    * plane: for rows matching `term`, a context window around the
+    * FIRST occurrence with the hit wrapped in <em> tags. Pure
+    * per-row string expressions (map-only; the instr filter rides
+    * the scan), so a 100 TB corpus highlights at scan speed. */
+  def highlight(docs: DataFrame, idCol: Column, textCol: Column,
+      term: String, context: Int): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    val p = instr(textCol, term)
+    val start = greatest(p - context, lit(1))
+    docs.filter(p > 0)
+      .select(idCol.as("doc_id"), p.cast("int").as("pos"),
+        concat(
+          textCol.substr(start, p - start),
+          lit("<em>"), lit(term), lit("</em>"),
+          textCol.substr(p + term.length, lit(context))).as("snippet"))
+  }
+
   /** Multi-field facet counts — Solr's `facet.field` list computed
     * in ONE pass: the matching rows explode to (field, value) pairs
     * and a single groupBy produces every facet — one scan and one

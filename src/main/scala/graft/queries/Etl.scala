@@ -281,6 +281,13 @@ object Etl {
     Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
       .orderBy("bucket")
 
+  /** x12: search-hit highlighting — ±20-char snippet around the
+    * first 'vector' hit, map-only at scan speed. */
+  def x12Highlight(spark: SparkSession, dir: String): DataFrame =
+    Indexing.highlight(Tables.documents(spark, dir),
+        col("doc_id"), col("text"), term = "vector", context = 20)
+      .orderBy("doc_id")
+
   /** x11: faceted search — Solr facet.field=[lang, source] over the
     * docs matching a text query, every facet from ONE scan + ONE
     * shuffle (Indexing.facetCounts). */
@@ -331,6 +338,7 @@ object Etl {
     "x9_zorder" -> (x9Zorder _),
     "x10_phrase" -> (x10Phrase _),
     "x11_facets" -> (x11Facets _),
+    "x12_highlight" -> (x12Highlight _),
     "v10_histogram" -> (v10Histogram _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
@@ -568,6 +576,17 @@ object Etl {
            CAST(count(*) AS BIGINT) AS n_rows
          FROM documents, mm
          GROUP BY 1, 2 ORDER BY bucket""",
+    // x12: identical window arithmetic from strpos; substr handles
+    // the end-of-string clamp the same way in both engines
+    "x12_highlight" ->
+      """SELECT doc_id, CAST(strpos(text, 'vector') AS INT) AS pos,
+           concat(
+             substr(text, greatest(strpos(text, 'vector') - 20, 1),
+               strpos(text, 'vector') - greatest(strpos(text, 'vector') - 20, 1)),
+             '<em>', 'vector', '</em>',
+             substr(text, strpos(text, 'vector') + 6, 20)) AS snippet
+         FROM documents WHERE strpos(text, 'vector') > 0
+         ORDER BY doc_id""",
     // x11: each facet re-derived as its own group-by, unioned —
     // the single-pass property is the Spark plan's job, not the
     // oracle's
