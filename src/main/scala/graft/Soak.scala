@@ -140,7 +140,25 @@ object Soak {
     val (tAdhoc, _) = time(operators.Retrieval.bm25MoreLikeThis(
       corpus, bmQueries, "doc_id", "text", k = 5).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // m5 phash at replica scale: replicas drop i leading chars, so
+    // every sampled position shifts — replica hashes differ freely
+    // and the 60-bit space (vs ~150k docs) keeps pigeonhole buckets
+    // near-uniform; candidate volume must track bucket collisions,
+    // not n². (The planted-pair recall story is the spec's job; the
+    // soak watches join volume.)
+    val hashed = corpus.select(col("doc_id").as("id"),
+      multimodal.Multimodal.blockHash60(col("text").cast("binary")).as("ph"))
+    val (tPhash, nPhash) = time(multimodal.Multimodal
+      .phashNearDupPairs(hashed, "id", "ph", maxHamming = 5).count())
+
+    // x10 phrase search at corpus scale: postings for the phrase's
+    // terms grow linearly with replicas; the first join bounds the
+    // frame by the rarer term — runtime must track scan + term
+    // postings, never exploded-token volume
+    val (tPhrase, nPhrase) = time(operators.Indexing.phraseSearch(
+      corpus, col("doc_id"), col("text"), Seq("table", "hash")).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

