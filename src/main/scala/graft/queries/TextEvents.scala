@@ -223,7 +223,9 @@ object TextEvents {
 
   /** e12: per-type percentiles through the KLL quantile sketch —
     * e4's scale path (fixed memory per group, sketches shuffle, not
-    * values). Capacity 4096 ≥ the sf0.01 group sizes, so no
+    * values). Capacity 32768 ≥ the LARGEST group at every tested SF
+    * (sf0.1 max group 20302; at 4096 the sf0.1 parity run returned
+    * the in-bound approximation, not the exact statistic), so no
     * compactor ever fires and the sketch returns the EXACT discrete
     * order statistic at rank ceil(p·n/100) — the hash-oracled path
     * (ta12's capacity≥domain trick); QuantileSpec carries the
@@ -234,7 +236,7 @@ object TextEvents {
       .filter(col("value").isNotNull)
       .groupBy("event_type")
       .agg(
-        graft.plans.QuantileSketch.quantiles(col("value"), 4096, Seq(50, 90, 99)).as("qs"),
+        graft.plans.QuantileSketch.quantiles(col("value"), 32768, Seq(50, 90, 99)).as("qs"),
         count(lit(1)).as("n_rows"))
       .select(col("event_type"), col("n_rows"),
         round(element_at(col("qs"), 1), 4).as("p50"),
@@ -563,11 +565,17 @@ object TextEvents {
              CAST(concat('0x', substr(md5(concat('22:', CAST(bucket AS VARCHAR))), 1, 8)) AS BIGINT) % 2001 - 1000 AS w
            FROM b),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY 1)
-         SELECT doc_id, n_tokens,
-           round(s / (n_tokens * 1000.0), 4) + 0.0 AS score,
-           (round(s / (n_tokens * 1000.0), 4) > 0) AS positive
-         FROM agg ORDER BY doc_id""",
+             CAST(sum(w) AS BIGINT) AS s FROM w GROUP BY 1),
+         -- exact integer half-away-from-zero rounding of s*10/n in
+         -- 1e-4 units: float round() at a .5 decimal boundary is
+         -- engine-dependent (0.14075 is binarily 0.1407499..)
+         r AS (SELECT doc_id, n_tokens,
+             (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+               * ((abs(s) * 20 + n_tokens) // (2 * n_tokens)) AS q
+           FROM agg)
+         SELECT doc_id, n_tokens, q / 10000.0 AS score,
+           (q > 0) AS positive
+         FROM r ORDER BY doc_id""",
     "ta9_keywords" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -53,8 +53,17 @@ object Classifier {
     bucketed.join(broadcast(weights), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("s"))
+      // score = round(s/(n·1000), 4) computed as EXACT integer
+      // rounding: q = half-away-from-zero(s·10/n) in 1e-4 units on
+      // the absolute value (positive integer div is floor in every
+      // engine; float round() at a .5 decimal boundary is not —
+      // s/(n·1000)=0.14075 is binarily 0.14074999…, which Spark's
+      // string-based round sends up and DuckDB's binary round sends
+      // down; sf0.1 doc 736 hit exactly this)
+      .withColumn("q",
+        expr("CASE WHEN s < 0 THEN -1 ELSE 1 END * ((abs(s) * 20 + n_tokens) div (2 * n_tokens))"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s") / (col("n_tokens") * lit(1000.0)), 4).as("score"))
+        (col("q") / lit(10000.0)).as("score"))
       .withColumn("positive", col("score") > 0)
   }
 }
