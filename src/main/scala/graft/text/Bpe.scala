@@ -73,6 +73,34 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Corpus-scale encoding: the (small) trained merge list broadcasts
+    * inside a UDF closure and every document encodes in ONE map-only
+    * pass — no shuffle, no state; the corpus-sized work is
+    * embarrassingly parallel, which is the whole point of separating
+    * tokenizer TRAINING (vocab-table iterations) from APPLICATION.
+    * Words are joined with the explicit separator token `"␠"` so the
+    * token stream is LOSSLESS: split on the separator, concatenate
+    * subwords per word, re-join with spaces = the normalized text
+    * (ExportSpec's round-trip). Output: (id, tokens, n_tokens). */
+  def encodeCorpus(docs: DataFrame, idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ms = merges // stable local for the closure
+    val enc = udf { (text: String) =>
+      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val out = Seq.newBuilder[String]
+      var first = true
+      words.foreach { w =>
+        if (!first) out += "␠"
+        first = false
+        out ++= encodeWord(w, ms)
+      }
+      out.result()
+    }
+    docs.select(idCol.as("id"), enc(textCol).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   /** Driver-side single-word encoder with the SAME left-to-right
     * merge-application order as training — usable directly, or
     * wrapped in a UDF with the (small) merge list broadcast for

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Corpus
+import graft.sources.Sources
+import graft.text.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end training-shard export: BPE-train on the corpus, encode
+  * every doc map-only (broadcast merges), pack token streams into
+  * budgeted chunks per hash shard, write scanner-prunable shard
+  * directories — then prove the export is LOSSLESS (every doc decodes
+  * back to its normalized text), complete (every doc exactly once),
+  * budget-respecting, and deterministic across runs. The compose is
+  * the deliverable: train → encode → pack → sink are the existing
+  * operators, chained the way a real pipeline would. */
+class ExportSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("BPE shard export: lossless, complete, budgeted, deterministic") {
+    val docs = Tables.documents(spark, sf).limit(120)
+      .select(col("doc_id"), col("text")).cache()
+    val merges = Bpe.train(Bpe.wordCounts(docs, "text"), nMerges = 30)
+    assert(merges.nonEmpty)
+
+    def buildExport(outDir: String): Unit = {
+      val enc = Bpe.encodeCorpus(docs, col("doc_id"), col("text"), merges)
+      val packed = Corpus.packSequencesSharded(enc,
+        keyCol = lit("train"), orderCol = col("id"),
+        tokensCol = col("n_tokens"), budget = 2000L, nShards = 4)
+      Sources.writeBatched(
+        packed.select(col("id"), col("tokens"), col("n_tokens"),
+          col("pack_shard"), col("chunk_id")),
+        statusCol = "pack_shard", fileIdxCol = "chunk_id", outDir)
+    }
+
+    val out1 = java.nio.file.Files.createTempDirectory("graft_export").toString
+    buildExport(out1)
+    val back = spark.read.parquet(out1).cache()
+
+    // complete: every doc exactly once
+    assert(back.count() == docs.count())
+    assert(back.select("id").distinct().count() == docs.count())
+
+    // lossless: separator-split tokens reassemble the normalized text
+    val decode = udf { (tokens: Seq[String]) =>
+      tokens.foldLeft(Vector("")) { (acc, t) =>
+        if (t == "␠") acc :+ "" else acc.updated(acc.length - 1, acc.last + t)
+      }.mkString(" ")
+    }
+    val mismatch = back.select(col("id"), decode(col("tokens")).as("rt"))
+      .join(docs.select(col("doc_id").as("id"),
+        regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm")), "id")
+      .filter(col("rt") =!= col("norm"))
+    assert(mismatch.count() == 0,
+      s"round-trip mismatch: ${mismatch.take(1).mkString}")
+
+    // budgeted: chunk token totals <= budget + one straddling doc
+    val maxDoc = back.agg(max("n_tokens")).head().getLong(0)
+    val over = back.groupBy("pack_shard", "chunk_id")
+      .agg(sum("n_tokens").as("chunk_tokens"))
+      .filter(col("chunk_tokens") > lit(2000L) + lit(maxDoc))
+    assert(over.count() == 0)
+
+    // deterministic: a second export is row-identical
+    val out2 = java.nio.file.Files.createTempDirectory("graft_export2").toString
+    buildExport(out2)
+    val back2 = spark.read.parquet(out2)
+    assert(back.exceptAll(back2).isEmpty && back2.exceptAll(back).isEmpty)
+
+    back.unpersist(); docs.unpersist()
+    ()
+  }
+}
