@@ -171,6 +171,27 @@ object Core {
          ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
   }
 
+  /** q14: explicit GROUPING SETS — the third grouping-set form next
+    * to q8's ROLLUP and q11's CUBE: a hand-picked set list ((status,
+    * priority), (status), ()) in one Expand + single shuffle. Money
+    * sums as exact integer cents (the invariant), GROUPING() ids
+    * disambiguate genuine NULLs from subtotal rows. */
+  def q14GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("g14_base")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+         count(*) AS n
+         FROM g14_base
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY g_status ASC, g_prio ASC,
+           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
   /** q12: frame windows — per customer, running total and 3-order
     * moving average over order history (rowsBetween frames; one
     * shuffle on the key shared by both windows). */
@@ -204,6 +225,7 @@ object Core {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_grouping_sets" -> (q14GroupingSets _),
     "q13_setops" -> (q13SetOps _),
     "q12_moving_window" -> (q12MovingWindow _),
     "q11_cube" -> (q11Cube _),
@@ -220,6 +242,18 @@ object Core {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // q14: identical set list; grouping() flags ride along so the
+    // hash distinguishes genuine-NULL rows from subtotal rows
+    "q14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+         ORDER BY g_status ASC, g_prio ASC,
+           o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q13_setops" ->
       """SELECT custkey, relation FROM (
            SELECT custkey, 'both' AS relation FROM (
