@@ -156,6 +156,24 @@ object Validate {
         col("n_rows"))
   }
 
+  /** Referential-integrity report for one FK relationship: child
+    * rows, orphan rows (no matching parent), and null-key rows in a
+    * single pass — one left join + one aggregate, the parent side
+    * deduplicated to its key (broadcast when small). An ETL's
+    * pre-publish gate: a harvest that references deleted parents
+    * should fail BEFORE the index swap, same posture as v7/v8. */
+  def fkIntegrity(child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column, relName: String): DataFrame = {
+    val p = parent.select(parentKey.as("_pk")).distinct()
+    child.select(childKey.as("_ck"))
+      .join(p, col("_ck") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("_ck").isNotNull && col("_pk").isNull, 1)).as("n_orphans"),
+        count(when(col("_ck").isNull, 1)).as("n_null_keys"))
+      .select(lit(relName).as("relation"), col("n_child"),
+        col("n_orphans"), col("n_null_keys"))
+  }
+
   /** Profile drift between two snapshots (the schema-erosion guard:
     * an upstream feed silently nulling a field, collapsing its value
     * domain, or shifting its bounds should fail the run BEFORE the

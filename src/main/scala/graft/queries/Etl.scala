@@ -305,6 +305,21 @@ object Etl {
         col("doc_id"), col("text"), Seq("table", "hash"))
       .orderBy("doc_id")
 
+  /** v11: referential-integrity report over the TPC-H FK chain —
+    * one row per relationship with child/orphan/null-key counts
+    * (Validate.fkIntegrity; each relation is one left join + one
+    * aggregate). */
+  def v11Integrity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    Validate.fkIntegrity(li, col("l_orderkey"), o, col("o_orderkey"),
+        "lineitem->orders")
+      .unionByName(Validate.fkIntegrity(o, col("o_custkey"), c,
+        col("c_custkey"), "orders->customer"))
+      .orderBy("relation")
+  }
+
   /** x9: z-value (Morton) computation parity — the bit-interleave
     * behind the multi-dimensional layout (Indexing.zValue; the
     * pruning property itself is ZorderSpec's footer-stat assertion,
@@ -340,6 +355,7 @@ object Etl {
     "x11_facets" -> (x11Facets _),
     "x12_highlight" -> (x12Highlight _),
     "v10_histogram" -> (v10Histogram _),
+    "v11_integrity" -> (v11Integrity _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
     "x7_bm25" -> (x7Bm25 _),
@@ -613,6 +629,25 @@ object Etl {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
            CAST(min(start) AS BIGINT) AS first_pos
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // v11: same per-relation left-join aggregate
+    "v11_integrity" ->
+      """WITH r1 AS (
+           SELECT 'lineitem->orders' AS relation,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN l.l_orderkey IS NOT NULL AND o._pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+             CAST(count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_null_keys
+           FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
+             ON l.l_orderkey = o._pk),
+         r2 AS (
+           SELECT 'orders->customer' AS relation,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(CASE WHEN od.o_custkey IS NOT NULL AND c._pk IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+             CAST(count(CASE WHEN od.o_custkey IS NULL THEN 1 END) AS BIGINT) AS n_null_keys
+           FROM orders od LEFT JOIN
+             (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+             ON od.o_custkey = c._pk)
+         SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY relation""",
     // x9: the Morton interleave re-derived term by term with SQL bit
     // ops — any bit-position slip breaks the hash
     "x9_zorder" -> {

@@ -23,6 +23,24 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsStar(pairs, "a_id", "b_id").count() == 0)
   }
 
+  test("r5 search/multimodal/sketch ops yield empty results on an empty corpus") {
+    import graft.operators.Indexing
+    import graft.multimodal.Multimodal
+    assert(Indexing.phraseSearch(emptyDocs, col("doc_id"), col("text"),
+      Seq("table", "hash")).count() == 0)
+    assert(Indexing.facetCounts(emptyDocs, lit(true), Seq("lang")).count() == 0)
+    assert(Indexing.highlight(emptyDocs, col("doc_id"), col("text"),
+      "vector", 20).count() == 0)
+    val hashed = emptyDocs.select(col("doc_id").as("id"),
+      Multimodal.blockHash60(col("text").cast("binary")).as("ph"))
+    assert(Multimodal.phashNearDupPairs(hashed, "id", "ph", maxHamming = 5)
+      .count() == 0)
+    // quantile sketch over zero groups: empty result, no null-eval NPE
+    assert(emptyDocs.groupBy("lang")
+      .agg(graft.plans.QuantileSketch.quantiles(col("n_chars"), 64, Seq(50)))
+      .count() == 0)
+  }
+
   test("dedup candidate generators yield empty results on an empty corpus") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs, k = 8, bands = 4, threshold = 0.8).count() == 0)

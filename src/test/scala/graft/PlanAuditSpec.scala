@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e9_funnel",         // O(stages)-row final rollup
     "q5_filter_project", // 1-row result of a selective filter
     "v5_profile",        // global column-profile aggregate (tiny)
-    "v8_profile_drift")  // two v5-shaped global profiles + |cols|-row join
+    "v8_profile_drift",  // two v5-shaped global profiles + |cols|-row join
+    "v11_integrity")     // per-relation global count rollup (1 row each);
+                         // the join itself is key-partitioned — only the
+                         // 3-counter reduction serializes
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
