@@ -70,6 +70,24 @@ object EventsStream {
         round(element_at(col("qs"), 1), 4).as("p50"),
         round(element_at(col("qs"), 2), 4).as("p99"))
 
+  /** Streaming windowed heavy hitters through the Misra–Gries sketch
+    * (plans/FreqSketch.scala) — the trending-keys dashboard shape,
+    * quantileAgg's counting sibling: per-group streaming state is the
+    * serialized k-counter sketch, never the window's raw keys, and
+    * the pairwise MG merge keeps the undercount bound additive across
+    * micro-batches (mergeable summaries). With k ≥ the window's key
+    * universe the sketch never decrements and the counts are exact
+    * (StreamMultiSpec's batch parity — the ta12 trick incrementally);
+    * at real scale the same plan returns the bounded approximation. */
+  def heavyHittersAgg(events: DataFrame, keyCol: String, k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.plans.FreqSketch.freq(col(keyCol), k).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"),
+        explode(col("m")).as(Seq("item", "est")))
+
   /** Streaming re-harvest dedup (OAI semantics: the same identifier
     * re-appears across harvests; keep one). State is bounded by the
     * watermark — identifiers older than the horizon are evicted,

@@ -57,6 +57,31 @@ class StreamMultiSpec extends AnyFunSuite {
     assert(s == b, s"stream-batch quantile mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
   }
 
+  test("streaming windowed heavy-hitters sketch matches the batch aggregate exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hhstream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    // k=64 >= the 5-value event_type universe: exact counts per window
+    val q = EventsStream.heavyHittersAgg(
+        EventsStream.readEvents(spark, dir.toString), "event_type")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream").start()
+    q.processAllAvailable(); q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.get(0).toString, r.getLong(1),
+        r.getString(2), r.getLong(3))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.plans.FreqSketch.freq(col("event_type"), 64).as("m"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"),
+        explode(col("m")).as(Seq("item", "est")))
+    val s = key(spark.table("hh_stream").select("window_start", "n", "item", "est"))
+    val b = key(batch)
+    assert(s == b, s"stream-batch heavy-hitter mismatch: ${(s diff b).take(3)} / ${(b diff s).take(3)}")
+  }
+
   test("streaming dedup keeps one row per identifier under duplicate input") {
     // stage the same events file twice: the stream sees every record
     // duplicated, like a re-harvest
