@@ -82,6 +82,26 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Range facet — Solr's `facet.range` over a numeric field for the
+    * rows matching a predicate: fixed-width buckets from an explicit
+    * [lo, hi) grid (Solr takes start/end/gap the same way — no data-
+    * dependent min/max pass, so the whole facet is ONE scan + one
+    * groupBy). Bucket math is exact integer (floored div on the
+    * shifted value); out-of-grid rows clamp into the edge buckets,
+    * Solr's facet.range.other=before/after folded in. */
+  def rangeFacet(docs: DataFrame, predicate: Column, valueCol: Column,
+      lo: Long, gap: Long, nBuckets: Int): DataFrame = {
+    require(gap >= 1 && nBuckets >= 1, s"need gap>=1, nBuckets>=1")
+    val raw = floor((valueCol.cast("long") - lo) / gap).cast("long")
+    val b = least(greatest(raw, lit(0L)), lit(nBuckets - 1L))
+    docs.filter(predicate)
+      .select(b.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * gap).as("bucket_lo"), col("n"))
+  }
+
   /** Search-hit highlighting — Solr's highlighter run on the data
     * plane: for rows matching `term`, a context window around the
     * FIRST occurrence with the hit wrapped in <em> tags. Pure

@@ -281,6 +281,16 @@ object Etl {
     Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
       .orderBy("bucket")
 
+  /** x13: range facet — Solr facet.range over n_chars for the docs
+    * matching the text query: explicit [0, 4000) grid in 400-wide
+    * buckets, edge-clamped (facet.range.other folded in), one scan +
+    * one groupBy. */
+  def x13RangeFacet(spark: SparkSession, dir: String): DataFrame =
+    Indexing.rangeFacet(Tables.documents(spark, dir),
+        col("text").contains("vector"), col("n_chars"),
+        lo = 0L, gap = 400L, nBuckets = 10)
+      .orderBy("bucket")
+
   /** x12: search-hit highlighting — ±20-char snippet around the
     * first 'vector' hit, map-only at scan speed. */
   def x12Highlight(spark: SparkSession, dir: String): DataFrame =
@@ -354,6 +364,7 @@ object Etl {
     "x10_phrase" -> (x10Phrase _),
     "x11_facets" -> (x11Facets _),
     "x12_highlight" -> (x12Highlight _),
+    "x13_range_facet" -> (x13RangeFacet _),
     "v10_histogram" -> (v10Histogram _),
     "v11_integrity" -> (v11Integrity _),
     "x6_compact" -> (x6Compact _),
@@ -592,6 +603,14 @@ object Etl {
            CAST(count(*) AS BIGINT) AS n_rows
          FROM documents, mm
          GROUP BY 1, 2 ORDER BY bucket""",
+    // x13: same shifted floored-div bucket math, same edge clamp
+    "x13_range_facet" ->
+      """SELECT bucket, 0 + bucket * 400 AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT least(greatest(CAST(floor((CAST(n_chars AS BIGINT) - 0) / 400.0) AS BIGINT), 0), 9) AS bucket
+           FROM documents WHERE contains(text, 'vector'))
+         GROUP BY bucket ORDER BY bucket""",
     // x12: identical window arithmetic from strpos; substr handles
     // the end-of-string clamp the same way in both engines
     "x12_highlight" ->
