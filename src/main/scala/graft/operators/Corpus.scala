@@ -118,6 +118,31 @@ object Corpus {
       orderCol, tokensCol, budget)
   }
 
+  /** Temperature rebalancing downsample (α = 1/2, the Pile/ROOTS-
+    * style domain rebalance): acceptance rate per domain s is
+    * r_s = √(n_min/n_s), so the realized mixture flattens toward the
+    * smallest domain (expected kept = √(n_min·n_s)) — the
+    * data-DERIVED-weights sibling of mixtureSample's explicit
+    * weights. The Bernoulli draw is exact INTEGER arithmetic: with
+    * h = id-hash mod 2²⁰, keep ⟺ h²·n_s < n_min·2⁴⁰ — squaring the
+    * inequality removes the square root entirely (IEEE sqrt/pow can
+    * differ in the last ulp across engines; products of ≤2⁵⁴ cannot).
+    * Counts come from one groupBy (per-domain, tiny, broadcast back);
+    * n_min is a one-row stats read (the x7 pattern). Deterministic,
+    * append-stable per domain snapshot. */
+  def temperatureSample(df: DataFrame, sourceCol: Column, idCol: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("ts_source"))
+      .agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min("n_s")).head().getLong(0)
+    val h = pmod(
+      Hashing.h32(29, concat(sourceCol, lit(":"), idCol.cast("string"))),
+      lit(1L << 20))
+    df.join(broadcast(counts), sourceCol === col("ts_source"))
+      .withColumn("n_s", col("n_s"))
+      .withColumn("kept", h * h * col("n_s") < lit(nMin) * lit(1L << 40))
+      .drop("ts_source")
+  }
+
   /** Deterministic stratified sample: exactly min(nPer, |stratum|)
     * rows per stratum, chosen by md5-hash rank of the id — a
     * reproducible fixed-size-panel draw with no RNG (rerunning over

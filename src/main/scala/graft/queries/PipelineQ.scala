@@ -51,6 +51,16 @@ object PipelineQ {
       .select("doc_id", "source", "copy_id")
       .orderBy("doc_id", "copy_id")
 
+  /** p9: temperature rebalancing (α = 1/2) — per-source acceptance
+    * √(n_min/n_s) flattens the domain mixture toward the smallest
+    * source; the draw is exact integer math (h²·n_s < n_min·2⁴⁰). */
+  def p9Temperature(spark: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureSample(
+        Tables.documents(spark, dir).select("doc_id", "source"),
+        col("source"), col("doc_id"))
+      .select("doc_id", "source", "n_s", "kept")
+      .orderBy("doc_id")
+
   /** p5: overlapping token-window chunking — 40-token windows every
     * 30 tokens (10-token overlap), the RAG/context-prep layout. */
   def p5Chunk(spark: SparkSession, dir: String): DataFrame =
@@ -107,9 +117,22 @@ object PipelineQ {
     "p4_mixture" -> (p4Mixture _),
     "p5_chunk" -> (p5Chunk _),
     "p6_stratified" -> (p6Stratified _),
+    "p9_temperature" -> (p9Temperature _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p9: the squared-inequality draw re-derived; 2^40 literal
+    "p9_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           FROM documents GROUP BY 1),
+         m AS (SELECT min(n_s) AS n_min FROM c),
+         d AS (SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(concat('29:', source, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1048576 AS h
+           FROM documents)
+         SELECT d.doc_id, d.source, c.n_s,
+           (d.h * d.h * c.n_s < m.n_min * 1099511627776) AS kept
+         FROM d JOIN c USING (source), m
+         ORDER BY d.doc_id""",
     "p8_domain_cap" ->
       """SELECT doc_id, source,
            CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS domain_total,
