@@ -149,6 +149,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT near-dup (the quote/subset shape d2's
+    * symmetric Jaccard misses: a short doc embedded in a long one has
+    * low Jaccard but high containment |A∩B|/min(|A|,|B|)). Candidates
+    * cannot block on length (the contained doc may be 10× shorter),
+    * so they come from a shingle inverted-index self-join restricted
+    * to DISCRIMINATIVE shingles: 2 ≤ df ≤ maxDf. The df cap bounds
+    * pair volume by maxDf·Σdf (the stopword-shingle quadratic never
+    * materializes — the documented recall knob: a pair sharing ONLY
+    * ubiquitous shingles is missed, and such a pair is noise at any
+    * corpus size); exact containment then runs only on candidates via
+    * the native IntersectCount merge. All-integer contract: emits
+    * (n_shared, n_min) and thresholds as n_shared·100 ≥ pct·n_min —
+    * no float ratio can hit a cross-engine round boundary. */
+  def containmentPairs(docs: DataFrame, thresholdPct: Int, maxDf: Int): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100, s"pct in [1,100]")
+    val s = withHashedShingles(docs).localCheckpoint(false)
+    val posts = s.select(col("doc_id"), explode(col("sh")).as("h"))
+    val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val rp = posts.join(rare.select("h"), "h")
+    val cand = rp.as("a").join(rp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.plans.IntersectCount.intersectCount(col("a_sh"), col("b_sh"))
+          .cast("long").as("n_shared"),
+        least(size(col("a_sh")), size(col("b_sh"))).cast("long").as("n_min"))
+      .filter(col("n_shared") * 100 >= lit(thresholdPct) * col("n_min"))
+  }
+
   /** MinHash permutation constants: m_i = min over hashed shingles h
     * of (A_i·h + B_i) mod P. Products stay < 2^52 (A < 2^20,
     * h < 2^32), so the arithmetic is exact in any engine's 64-bit

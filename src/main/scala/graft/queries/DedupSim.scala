@@ -40,6 +40,14 @@ object DedupSim {
     Dedup.ngramJaccard(Dedup.augmentedDocs(spark, dir), threshold = 0.8, charWindow = 25)
       .orderBy("a_id", "b_id")
 
+  /** d14: asymmetric containment pairs — |A∩B|/min thresholded as
+    * pure integer math (n_shared·100 ≥ 70·n_min), candidates from
+    * the discriminative-shingle (2 ≤ df ≤ 4) inverted-index join. */
+  def d14Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Dedup.augmentedDocs(spark, dir),
+        thresholdPct = 70, maxDf = 4)
+      .orderBy("a_id", "b_id")
+
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Dedup.augmentedDocs(spark, dir), k = 8, bands = 4, threshold = 0.8)
       .orderBy("a_id", "b_id")
@@ -277,6 +285,7 @@ object DedupSim {
     "s3_hybrid" -> (s3Hybrid _),
     "d1_exact" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
+    "d14_containment" -> (d14Containment _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
     "d5_embed_cosine" -> (d5EmbedCosine _),
@@ -396,6 +405,26 @@ object DedupSim {
            coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' '
              ORDER BY chunk_idx), '') AS dedup_text
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    // d14: same discriminative-df candidate join, all-integer
+    // containment threshold (no float ratio, no round boundary)
+    "d14_containment" ->
+      s"""WITH $shingleCte,
+         posts AS (SELECT doc_id, unnest(sh) AS h FROM shh),
+         rare AS (SELECT h FROM (
+             SELECT h, count(*) AS df FROM posts GROUP BY 1)
+           WHERE df >= 2 AND df <= 4),
+         rp AS (SELECT p.doc_id, p.h FROM posts p JOIN rare USING (h)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id)
+         SELECT c.a_id, c.b_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+           CAST(least(len(sa.sh), len(sb.sh)) AS BIGINT) AS n_min
+         FROM cand c
+           JOIN shh sa ON sa.doc_id = c.a_id
+           JOIN shh sb ON sb.doc_id = c.b_id
+         WHERE len(list_intersect(sa.sh, sb.sh)) * 100
+           >= 70 * least(len(sa.sh), len(sb.sh))
+         ORDER BY a_id, b_id""",
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCte
          SELECT a_id, b_id, jaccard FROM (
