@@ -158,7 +158,15 @@ object Soak {
     val (tPhrase, nPhrase) = time(operators.Indexing.phraseSearch(
       corpus, col("doc_id"), col("text"), Seq("table", "hash")).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // d14 containment at replica scale: replica families share most
+    // shingles, pushing those shingles' df ABOVE the cap — the knob
+    // that keeps the inverted-index self-join bounded under exactly
+    // the data shape that would otherwise explode it; pair volume
+    // must track capped-df postings, never corpus²
+    val (tCont, nCont) = time(dedup.Dedup.containmentPairs(
+      corpus, thresholdPct = 70, maxDf = 4).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
