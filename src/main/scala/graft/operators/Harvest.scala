@@ -50,6 +50,24 @@ object Harvest {
     df.filter(lo && hi)
   }
 
+  /** Missing-day detection per feed — the scheduler-gap audit (a
+    * daily OAI harvest that silently skipped days should fail the
+    * backfill check, not surface as a mysteriously thin corpus):
+    * expected = the calendar between each feed's own first and last
+    * day, missing = expected ANTI-JOIN present. The sequence explode
+    * is calendar-bounded (days in span, never rows), and the present
+    * set is the distinct (feed, day) frame — one groupBy regardless
+    * of corpus size. */
+  def missingDays(df: DataFrame, keyCol: Column, tsCol: Column): DataFrame = {
+    val days = df.select(keyCol.as("key"), to_date(tsCol).as("d")).distinct()
+    val spans = days.groupBy("key").agg(min("d").as("lo"), max("d").as("hi"))
+    spans
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+      .join(days, Seq("key", "d"), "left_anti")
+      .select(col("key"), col("d").as("missing_day"))
+  }
+
   /** records_per_file batching (reference: harvest.py:185-208): the
     * reference counts records and cuts a new output file every
     * `recordsPerFile`. Here: deterministic file index per group via

@@ -52,6 +52,16 @@ object Etl {
       .select("event_id", "ts", "event_type")
       .orderBy("event_id")
 
+  /** h9: harvest-gap audit — drop a deterministic subset of days
+    * (day-of-month % 7 == 3, the planted gaps) and detect exactly
+    * those as missing per feed (Harvest.missingDays: per-feed
+    * calendar anti-join; the explode is calendar-bounded). */
+  def h9MissingDays(spark: SparkSession, dir: String): DataFrame =
+    Harvest.missingDays(
+        Tables.events(spark, dir).filter(dayofmonth(col("ts")) % 7 =!= 3),
+        col("event_type"), col("ts"))
+      .orderBy("key", "missing_day")
+
   def h5BatchAssign(spark: SparkSession, dir: String): DataFrame =
     Harvest.batchAssign(
         Harvest.flagDeleted(Tables.events(spark, dir), col("event_type"), deletedStatus),
@@ -372,6 +382,7 @@ object Etl {
     "x7_bm25" -> (x7Bm25 _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
+    "h9_missing_days" -> (h9MissingDays _),
     "x5_inverted" -> (x5Inverted _),
     "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
@@ -410,6 +421,20 @@ object Etl {
          SELECT part_key, file_id, bytes, cum_bytes,
            CAST(floor((cum_bytes - bytes) / 20000) AS BIGINT) AS group_id
          FROM c ORDER BY part_key, file_id""",
+    // h9: the calendar re-derived with generate_series; the same
+    // planted day-of-month gaps come back as the missing set
+    "h9_missing_days" ->
+      """WITH e AS (
+           SELECT event_type AS key, CAST(ts AS DATE) AS d FROM events
+           WHERE extract(day FROM ts) % 7 <> 3 GROUP BY 1, 2),
+         s AS (SELECT key, min(d) AS lo, max(d) AS hi FROM e GROUP BY 1),
+         x AS (SELECT key,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+               CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+           FROM s)
+         SELECT x.key AS key, x.d AS missing_day
+         FROM x LEFT JOIN e ON x.key = e.key AND x.d = e.d
+         WHERE e.d IS NULL ORDER BY 1, 2""",
     "h8_harvest_diff" ->
       """WITH cur AS (SELECT doc_id AS rec_id, md5(text) AS h FROM documents),
          prev AS (
