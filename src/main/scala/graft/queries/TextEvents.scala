@@ -50,6 +50,23 @@ object TextEvents {
       .orderBy("doc_id")
   }
 
+  /** ta13: vocabulary-health stats per language — token count, type
+    * (distinct-token) count, and hapax count (types seen once): the
+    * type-token-ratio / hapax-share corpus diagnostics that flag
+    * template spam (TTR collapses) or OCR noise (hapax share
+    * explodes). One token-count shuffle feeds all three; ALL-INTEGER
+    * outputs (ratios are the reader's division — no float parity
+    * surface at all). */
+  def ta13VocabStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("lang")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("n") === 1, 1)).as("n_hapax"))
+      .orderBy("lang")
+
   /** ta5: corpus n-gram statistics — top-5 tokens per language by
     * frequency (explode → count → windowed top-k; at scale the
     * count is the only real shuffle and TopKPerKey replaces the
@@ -364,6 +381,7 @@ object TextEvents {
     "ta10_classifier" -> (ta10Classifier _),
     "ta11_perplexity" -> (ta11Perplexity _),
     "ta12_heavy_hitters" -> (ta12HeavyHitters _),
+    "ta13_vocab_stats" -> (ta13VocabStats _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -576,6 +594,17 @@ object TextEvents {
          SELECT doc_id, n_tokens, q / 10000.0 AS score,
            (q > 0) AS positive
          FROM r ORDER BY doc_id""",
+    // ta13: same two-level aggregate; all-integer outputs
+    "ta13_vocab_stats" ->
+      """WITH tc AS (
+           SELECT lang, tok, count(*) AS n FROM (
+             SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax
+         FROM tc GROUP BY lang ORDER BY lang""",
     "ta9_keywords" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
