@@ -82,6 +82,23 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Keyset (cursor) pagination — Solr's cursorMark semantics: the
+    * next page is everything strictly AFTER the last (sort_key, id)
+    * seen, limited to the page size. OFFSET-based deep paging scans
+    * and discards `offset` rows (page 1M = a near-full sort); the
+    * keyset predicate pushes into the scan and the TopK rewrite
+    * bounds the sort to `pageSize` rows — O(page), not O(depth), at
+    * any corpus size. The (key, id) pair must be a total order (id
+    * breaks ties) or pages can skip/repeat rows across engines. */
+  def pageAfter(docs: DataFrame, sortKey: Column, idCol: Column,
+      afterKey: Long, afterId: Long, pageSize: Int): DataFrame = {
+    require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
+    docs.filter(sortKey > afterKey ||
+        (sortKey === afterKey && idCol > afterId))
+      .orderBy(sortKey.asc, idCol.asc)
+      .limit(pageSize)
+  }
+
   /** Range facet — Solr's `facet.range` over a numeric field for the
     * rows matching a predicate: fixed-width buckets from an explicit
     * [lo, hi) grid (Solr takes start/end/gap the same way — no data-

@@ -291,6 +291,16 @@ object Etl {
     Validate.histogram(Tables.documents(spark, dir), col("n_chars"), bins = 20)
       .orderBy("bucket")
 
+  /** x14: keyset-paginated scan — Solr cursorMark deep paging: the
+    * page strictly after cursor (n_chars=800, doc_id=100), 25 rows,
+    * O(page) not O(depth) (the predicate rides the scan and the
+    * TopK rewrite bounds the sort). */
+  def x14CursorPage(spark: SparkSession, dir: String): DataFrame =
+    Indexing.pageAfter(
+        Tables.documents(spark, dir).select("doc_id", "n_chars", "lang"),
+        col("n_chars"), col("doc_id"), afterKey = 800L, afterId = 100L,
+        pageSize = 25)
+
   /** x13: range facet — Solr facet.range over n_chars for the docs
     * matching the text query: explicit [0, 4000) grid in 400-wide
     * buckets, edge-clamped (facet.range.other folded in), one scan +
@@ -375,6 +385,7 @@ object Etl {
     "x11_facets" -> (x11Facets _),
     "x12_highlight" -> (x12Highlight _),
     "x13_range_facet" -> (x13RangeFacet _),
+    "x14_cursor_page" -> (x14CursorPage _),
     "v10_histogram" -> (v10Histogram _),
     "v11_integrity" -> (v11Integrity _),
     "x6_compact" -> (x6Compact _),
@@ -628,6 +639,13 @@ object Etl {
            CAST(count(*) AS BIGINT) AS n_rows
          FROM documents, mm
          GROUP BY 1, 2 ORDER BY bucket""",
+    // x14: the same strict (key, id) keyset predicate and total
+    // order; LIMIT after ORDER BY is deterministic because the sort
+    // is total
+    "x14_cursor_page" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+         WHERE n_chars > 800 OR (n_chars = 800 AND doc_id > 100)
+         ORDER BY n_chars, doc_id LIMIT 25""",
     // x13: same shifted floored-div bucket math, same edge clamp
     "x13_range_facet" ->
       """SELECT bucket, 0 + bucket * 400 AS bucket_lo,
