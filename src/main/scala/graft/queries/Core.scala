@@ -93,7 +93,15 @@ object Core {
     * distinct key set when it fits; Catalyst picks BroadcastHashJoin). */
   def q6AntiSemi(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    // Restrict the right side to one order year: "customers with no
+    // orders in 1997". The unrestricted variant is degenerate on
+    // TPC-H-shaped data (nearly every customer has orders → empty
+    // result at small SFs, making the oracle hash-match vacuous).
+    // The date range is a pushed-down scan filter on the right side.
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
     c.join(o, Seq("c_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
@@ -324,7 +332,9 @@ object Core {
            AND l_quantity < 24""",
     "q6_antisemi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01')
          ORDER BY c_custkey""",
     "q7_distinct" ->
       """SELECT l_returnflag,

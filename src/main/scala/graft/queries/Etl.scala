@@ -298,7 +298,7 @@ object Etl {
   def x14CursorPage(spark: SparkSession, dir: String): DataFrame =
     Indexing.pageAfter(
         Tables.documents(spark, dir).select("doc_id", "n_chars", "lang"),
-        col("n_chars"), col("doc_id"), afterKey = 800L, afterId = 100L,
+        col("n_chars"), col("doc_id"), afterKey = 300L, afterId = 100L,
         pageSize = 25)
 
   /** x13: range facet — Solr facet.range over n_chars for the docs
@@ -644,7 +644,7 @@ object Etl {
     // is total
     "x14_cursor_page" ->
       """SELECT doc_id, n_chars, lang FROM documents
-         WHERE n_chars > 800 OR (n_chars = 800 AND doc_id > 100)
+         WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 100)
          ORDER BY n_chars, doc_id LIMIT 25""",
     // x13: same shifted floored-div bucket math, same edge clamp
     "x13_range_facet" ->
