@@ -126,7 +126,12 @@ object Corpus {
     * weights. The Bernoulli draw is exact INTEGER arithmetic: with
     * h = id-hash mod 2²⁰, keep ⟺ h²·n_s < n_min·2⁴⁰ — squaring the
     * inequality removes the square root entirely (IEEE sqrt/pow can
-    * differ in the last ulp across engines; products of ≤2⁵⁴ cannot).
+    * differ in the last ulp across engines). The cross-multiply runs
+    * in DECIMAL(38,0) (exact, codegen'd; DuckDB twin uses HUGEINT):
+    * h² < 2⁴⁰ times n_s ≤ 2⁶³ stays under 2¹⁰³ ≪ 10³⁸, so the
+    * comparison is exact for ANY int64 domain size — signed-64
+    * arithmetic would wrap silently once a domain passes 2²³ (~8.4M)
+    * rows, exactly the 100 TB regime this targets.
     * Counts come from one groupBy (per-domain, tiny, broadcast back);
     * n_min is a one-row stats read (the x7 pattern). Deterministic,
     * append-stable per domain snapshot. */
@@ -137,9 +142,12 @@ object Corpus {
     val h = pmod(
       Hashing.h32(29, concat(sourceCol, lit(":"), idCol.cast("string"))),
       lit(1L << 20))
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
     df.join(broadcast(counts), sourceCol === col("ts_source"))
       .withColumn("n_s", col("n_s"))
-      .withColumn("kept", h * h * col("n_s") < lit(nMin) * lit(1L << 40))
+      .withColumn("kept",
+        (h * h).cast(big) * col("n_s").cast(big) <
+          lit(nMin).cast(big) * lit(1L << 40).cast(big))
       .drop("ts_source")
   }
 

@@ -84,10 +84,19 @@ object SegmentedBm25 {
       indexDir: String, nBuckets: Int = Retrieval.TfBuckets): Long = {
     val spark = docs.sparkSession
     val manifest = readManifest(spark, indexDir)
-    val priorSegs = manifest
-      .map(_.filter(col("kind") === "seg").select("seg_id")
-        .collect().map(_.getLong(0)).toSeq)
+    val priorSegRows = manifest
+      .map(_.filter(col("kind") === "seg").select("seg_id", "n_buckets")
+        .collect().toSeq)
       .getOrElse(Seq.empty)
+    val priorSegs = priorSegRows.map(_.getLong(0))
+    // tok_bucket values are hash(tok) mod n_buckets: a segment written
+    // with a different bucket count would silently miss postings under
+    // the isin pruning in search/compact — refuse mixed counts up
+    // front (compact + rebuild to change the bucket count)
+    val priorNb = priorSegRows.map(_.getInt(1)).distinct
+    require(priorNb.forall(_ == nBuckets),
+      s"append nBuckets=$nBuckets but index has n_buckets=${priorNb.mkString(",")}; " +
+        "bucket pruning requires one uniform count per index")
     // skip past orphans from crashed appends too
     val segId = ((priorSegs ++ listSegDirs(indexDir)) :+ 0L).max + 1
 
@@ -115,8 +124,13 @@ object SegmentedBm25 {
           .collect().map(_.getAs[Number]("doc_bucket").longValue()).toSeq
         val priorTombs = m.filter(col("kind") === "tomb")
           .select(col("doc_id").as("t_doc"), col("before_seg"))
+        // manifest-listed prior segments ONLY: `seg < segId` would also
+        // sweep orphan docmeta dirs a crashed/replayed append left
+        // behind, tombstoning "prior copies" the manifest never served
+        // and permanently corrupting nDocs/avgdl
         val priorMeta = spark.read.parquet(docMetaRoot(indexDir))
-          .filter(col("seg") < segId && col("doc_bucket").isin(batchBuckets: _*))
+          .filter(col("seg").isin(priorSegs: _*) &&
+            col("doc_bucket").isin(batchBuckets: _*))
           .join(dmBack.select(col("doc_id")), "doc_id")
           .join(priorTombs,
             col("doc_id") === col("t_doc") && col("seg") < col("before_seg"),
@@ -162,11 +176,16 @@ object SegmentedBm25 {
       sum(when(isSeg, col("total_len"))).as("seg_len"),
       max(when(isSeg, col("n_buckets"))).as("n_buckets"),
       count(when(!isSeg, lit(1))).as("n_tomb"),
-      coalesce(sum(when(!isSeg, col("dl"))), lit(0L)).as("tomb_len")).head()
+      coalesce(sum(when(!isSeg, col("dl"))), lit(0L)).as("tomb_len"),
+      count_distinct(when(isSeg, col("n_buckets"))).as("nb_distinct")).head()
     val segs = agg.getSeq[Long](0)
     val nDocs = agg.getLong(1) - agg.getLong(4)
     val totalLen = agg.getLong(2) - agg.getLong(5)
     val nBuckets = agg.getInt(3)
+    // append enforces uniformity; this guards manual segment surgery —
+    // mixed counts would silently drop matching postings under pruning
+    require(agg.getLong(6) <= 1L,
+      s"segments disagree on n_buckets at $indexDir; compact to repair")
     val avgdl = totalLen.toDouble / nDocs
 
     val qRows = Retrieval.queryTerms(queries, idCol, textCol)
@@ -212,7 +231,10 @@ object SegmentedBm25 {
     val segRows = manifest.filter(col("kind") === "seg")
       .select("seg_id", "n_buckets").collect()
     val segs = segRows.map(_.getLong(0)).toSeq
-    val nBuckets = segRows.map(_.getInt(1)).max
+    val nbs = segRows.map(_.getInt(1)).distinct
+    require(nbs.length == 1,
+      s"segments disagree on n_buckets (${nbs.mkString(",")}) at $indexDir")
+    val nBuckets = nbs.head
     val segId = (segs ++ listSegDirs(indexDir)).max + 1
     val tombs = manifest.filter(col("kind") === "tomb")
       .select(col("doc_id").as("t_doc"), col("before_seg"))

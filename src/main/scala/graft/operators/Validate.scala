@@ -147,6 +147,18 @@ object Validate {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val mm = df.agg(min(valueCol.cast("long")).as("lo"),
       max(valueCol.cast("long")).as("hi")).head()
+    // empty frame / all-null column → min and max are null: empty
+    // result, never a crash (the library-wide empty-input contract)
+    if (mm.isNullAt(0) || mm.isNullAt(1))
+      return df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("bucket_lo",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType))))
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = hi - lo + 1
     df.select(floor((valueCol.cast("long") - lo) * bins / span).as("bucket"))

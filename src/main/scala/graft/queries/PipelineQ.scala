@@ -130,7 +130,8 @@ object PipelineQ {
              CAST(concat('0x', substr(md5(concat('29:', source, ':', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1048576 AS h
            FROM documents)
          SELECT d.doc_id, d.source, c.n_s,
-           (d.h * d.h * c.n_s < m.n_min * 1099511627776) AS kept
+           (CAST(d.h AS HUGEINT) * CAST(d.h AS HUGEINT) * CAST(c.n_s AS HUGEINT)
+             < CAST(m.n_min AS HUGEINT) * CAST(1099511627776 AS HUGEINT)) AS kept
          FROM d JOIN c USING (source), m
          ORDER BY d.doc_id""",
     "p8_domain_cap" ->

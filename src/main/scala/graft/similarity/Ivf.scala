@@ -139,7 +139,20 @@ object Ivf {
       .map(_ => graft.sources.VersionedTable.readLatest(spark, manifestDir)
         .collect().map(_.getLong(0)).toSeq)
       .getOrElse(Seq.empty)
-    val segId = (prior :+ 0L).max + 1
+    // skip past orphan seg dirs from crashed appends too (mirrors
+    // SegmentedBm25.listSegDirs): a crash between the segment write
+    // and the manifest flip leaves segments/seg=N on disk with no
+    // manifest row — deriving segId from the manifest alone would
+    // recompute the same id and die forever on errorifexists,
+    // wedging IvfStream's foreachBatch replay
+    val onDisk: Seq[Long] = {
+      val d = new java.io.File(s"$dir/segments")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+        .map(_.getName.stripPrefix("seg=").toLong)
+    }
+    val segId = ((prior ++ onDisk) :+ 0L).max + 1
     assigned.write.mode("errorifexists").partitionBy("list_id")
       .parquet(s"$dir/segments/seg=$segId")
     import spark.implicits._

@@ -80,4 +80,14 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.plans.TopKPerKey.topKPerKey(
       df, Seq("lang"), Seq(("n_chars", true)), 3).count() == 0)
   }
+
+  test("histogram of an empty frame and of an all-null column is empty (r5 ADVICE)") {
+    import graft.operators.Validate
+    val h1 = Validate.histogram(emptyDocs, col("n_chars"), bins = 8)
+    assert(h1.count() == 0)
+    assert(h1.columns.toSeq == Seq("bucket", "bucket_lo", "n_rows"))
+    val allNull = Tables.documents(spark, sf)
+      .select(lit(null).cast("long").as("v"))
+    assert(Validate.histogram(allNull, col("v"), bins = 8).count() == 0)
+  }
 }

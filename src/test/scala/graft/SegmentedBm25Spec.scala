@@ -78,6 +78,61 @@ class SegmentedBm25Spec extends AnyFunSuite {
     assert(got2 == want2, "post-compaction replacement must still be exact")
   }
 
+  test("orphan segment dirs from a crashed append are invisible to the replacement probe") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val batch1 = corpus.filter(col("doc_id") % 2 === 0)
+    val batch2 = corpus.filter(col("doc_id") % 2 === 1)
+
+    val idx = tmp()
+    assert(SegmentedBm25.append(batch1, "doc_id", "text", idx) == 1)
+
+    // simulate a crash AFTER the seg-2 data writes but BEFORE the
+    // manifest flip: segdata/docmeta for batch2 exist on disk, the
+    // manifest has never served them
+    val tfO = Retrieval.termFrequencies(batch2,
+        col("doc_id").cast("long"), col("text"))
+      .withColumn("tok_bucket",
+        pmod(xxhash64(col("tok")), lit(Retrieval.TfBuckets.toLong)))
+    tfO.write.partitionBy("tok_bucket").parquet(s"$idx/segdata/seg=2")
+    tfO.select("doc_id", "dl").distinct()
+      .withColumn("doc_bucket",
+        pmod(xxhash64(col("doc_id")), lit(SegmentedBm25.DocBuckets.toLong)))
+      .write.partitionBy("doc_bucket").parquet(s"$idx/docmeta/seg=2")
+
+    // the replayed append of the same batch must skip the orphan id
+    // AND create zero tombstones: the orphan's docmeta rows are not
+    // prior live copies (a tombstone for them would permanently
+    // over-subtract nDocs/avgdl)
+    assert(SegmentedBm25.append(batch2, "doc_id", "text", idx) == 3)
+    val manifest = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+    assert(manifest.filter(col("kind") === "tomb").count() == 0,
+      "orphan docmeta must not produce tombstones")
+
+    // stats correctness is observable through scores: segmented search
+    // must equal a from-scratch index over the logical live corpus
+    val scratch = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", scratch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5)) ==
+      rows(Retrieval.searchIndex(spark, scratch, queries, "doc_id", "text", 5)),
+      "orphan segments must not perturb nDocs/avgdl")
+  }
+
+  test("append refuses a mismatched n_buckets (pruning would silently drop postings)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val idx = tmp()
+    SegmentedBm25.append(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    val e = intercept[IllegalArgumentException] {
+      SegmentedBm25.append(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        idx, nBuckets = Retrieval.TfBuckets / 2)
+    }
+    assert(e.getMessage.contains("n_buckets"))
+  }
+
   test("streaming maintenance appends one segment per micro-batch, replay-safe") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val queries = docs.filter(col("doc_id") < 5)
