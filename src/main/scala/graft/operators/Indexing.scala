@@ -243,6 +243,33 @@ object Indexing {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Prefix suggester (the data-plane form of Solr's suggester
+    * component, which the reference's collections serve): top-`k`
+    * completions per `prefixLen`-char prefix ranked by corpus
+    * frequency, ties broken by token. Plan: map-only token explode →
+    * ONE (prefix, token) count shuffle → per-prefix top-k (window;
+    * rank kept, so deliberately not TopKPerKey-rewritten) — no
+    * global sort anywhere. At 100 TB the count shuffle is the only
+    * wide stage and its key space is the vocabulary (uniform-ish:
+    * token skew collapses at the count stage by map-side partial
+    * aggregation); the emitted suggestion table is the small serving
+    * artifact a real suggester would load. */
+  def suggest(docs: DataFrame, textCol: Column, prefixLen: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) >= prefixLen)
+    val counts = toks
+      .groupBy(substring(col("tok"), 1, prefixLen).as("prefix"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("prefix")
+      .orderBy(col("freq").desc, col("tok").asc)
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("prefix", "rank", "tok", "freq")
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

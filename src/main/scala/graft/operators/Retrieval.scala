@@ -195,18 +195,35 @@ object Retrieval {
     scoreBm25(tf, nDocs, avgdl, qTerms, k, k1, b)
   }
 
+  /** Fingerprint of a corpus path: for a plain file, (path, mtime,
+    * size); for a DIRECTORY (the normal shape of a real parquet
+    * table — many part files), the sorted recursive listing of
+    * (relative path, mtime, size), so adding, removing, or rewriting
+    * ANY part file changes the key. A single-file mtime+size probe
+    * would silently reuse a stale index when only one part of a
+    * multi-file corpus changed. */
+  private[graft] def corpusFingerprintKey(root: java.io.File): String = {
+    def entries(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .toSeq.flatMap(c => entries(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.lastModified}:${f.length}")
+    (root.getAbsolutePath +: entries(root, "")).mkString("\n")
+  }
+
   /** Build-if-absent convenience for a corpus derived from one data
     * directory: the index lands under the JVM temp dir keyed by a
-    * fingerprint of the directory's `documents.parquet` (path, mtime,
-    * size), so a regenerated dataset gets a fresh index and an
-    * unchanged one reuses the build across sessions. Contract: the
-    * fingerprint keys on the DATA FILE, not the corpus filter — all
-    * callers for one dataDir must pass the same corpus derivation
-    * (the x7 query surface does). Returns the index dir. */
+    * fingerprint of the directory's `documents.parquet` (full
+    * recursive file listing — path, mtime, size per part file), so a
+    * regenerated dataset gets a fresh index and an unchanged one
+    * reuses the build across sessions. Contract: the fingerprint
+    * keys on the DATA FILES, not the corpus filter — all callers for
+    * one dataDir must pass the same corpus derivation (the x7 query
+    * surface does). Returns the index dir. */
   def ensureIndex(corpus: DataFrame, idCol: String, textCol: String,
       dataDir: String): String = synchronized {
     val f = new java.io.File(s"$dataDir/documents.parquet")
-    val key = s"${f.getAbsolutePath}:${f.lastModified}:${f.length}"
+    val key = corpusFingerprintKey(f)
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25/$fp"

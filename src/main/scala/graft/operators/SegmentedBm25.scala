@@ -221,6 +221,34 @@ object SegmentedBm25 {
       dir
     }
 
+  /** Compaction-cadence contract (the bound that keeps a year of
+    * micro-batches from growing the driver-side manifest without
+    * limit): call after every append — the streaming maintainer
+    * [[graft.streaming.Bm25Stream]] does — and compaction fires
+    * whenever live segments exceed `maxSegments` OR tombstones exceed
+    * `maxTombPct`% of live docs (dead postings ride along in every
+    * probe until compacted away). Under that cadence the manifest
+    * holds ≤ maxSegments+1 seg rows plus only the tombstones created
+    * since the last compact — which at most `maxSegments` appends ago
+    * — so every driver-side manifest `collect()` in append/search/
+    * compact stays O(maxSegments + recent batch sizes) FOREVER,
+    * independent of index age or total corpus size. Returns the
+    * compacted segment id when compaction ran. */
+  def maintain(spark: SparkSession, indexDir: String, maxSegments: Int = 8,
+      maxTombPct: Int = 20): Option[Long] =
+    readManifest(spark, indexDir).flatMap { m =>
+      val isSeg = col("kind") === "seg"
+      val r = m.agg(
+        count(when(isSeg, lit(1))).as("n_seg"),
+        coalesce(sum(when(isSeg, col("n_docs"))), lit(0L)).as("gross_docs"),
+        count(when(!isSeg, lit(1))).as("n_tomb")).head()
+      val (nSeg, nTomb) = (r.getLong(0), r.getLong(2))
+      val nLive = r.getLong(1) - nTomb
+      if (nSeg > maxSegments || nTomb * 100L > nLive.max(1L) * maxTombPct)
+        Some(compact(spark, indexDir))
+      else None
+    }
+
   /** Fold all live postings into one fresh segment and clear the
     * tombstones (Solr/Lucene merge): bounds the segment count and the
     * anti-join side. Superseded segment directories stay on disk for

@@ -150,12 +150,11 @@ object DedupSim {
     * passages; a 20-char-shifted near-dup re-aligns almost nowhere,
     * so both engines must agree on every boundary. */
   def d13PassageDedup(spark: SparkSession, dir: String): DataFrame = {
-    val pass = Dedup.augmentedDocs(spark, dir)
-      .select(col("doc_id"),
-        explode(graft.text.TextAnalysis.tokenChunks(col("text"),
-          width = 20, stride = 20)).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk_text").as("passage"))
+    val pass = graft.text.TextAnalysis.explodeChunks(
+        Dedup.augmentedDocs(spark, dir).select("doc_id", "text"),
+        col("text"), width = 20, stride = 20)
+      .select(col("doc_id"), col("chunk_idx"),
+        col("chunk_text").as("passage"))
     val w = Window.partitionBy(md5(col("passage")))
       .orderBy(col("doc_id"), col("chunk_idx"))
     pass.withColumn("rn", row_number().over(w))
@@ -167,6 +166,32 @@ object DedupSim {
             struct(col("chunk_idx"), col("passage"))))),
           s => s.getField("passage"))).as("dedup_text"))
       .orderBy("doc_id")
+  }
+
+  /** s8: ANN recall@k evaluation — the acceptance gate every
+    * approximate index needs before it replaces the exact search:
+    * per query, how many of the true top-k (brute force, the s1
+    * plan) the IVF probe (the s4 plan) actually returned. ALL-
+    * INTEGER output (n_hits of k). At 100 TB the truth side runs on
+    * a SAMPLE of queries — the plan is identical, only the query-set
+    * filter changes; the corpus-side cost is one brute-force pass
+    * over the sampled queries plus the index probe being audited. */
+  def s8Recall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("id") < 10).select("id", "v")
+    val c = e.filter(col("id") >= 10)
+    val truth = Knn.bruteForce(q, c.select("id", "v"), k = 5)
+      .select(col("q_id"), col("n_id"))
+    val approx = graft.similarity.Ivf.search(q, c.select("id", "v", "label"),
+        listKey = "label", k = 5, nProbe = 2, centroidScale = 1000000L)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .withColumn("k", lit(5))
+      .orderBy("q_id")
   }
 
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -303,6 +328,7 @@ object DedupSim {
     "s5_quantize" -> (s5Quantize _),
     "s6_filtered_knn" -> (s6FilteredKnn _),
     "s7_mmr" -> (s7Mmr _),
+    "s8_recall" -> (s8Recall _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -747,5 +773,45 @@ object DedupSim {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS INT) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s8: recall@k of the s4 IVF probe against the s1 brute-force
+    // truth — both re-derived exactly as in their own oracles, so the
+    // recall is exact integer counting over two proven-deterministic
+    // top-k sets
+    "s8_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (SELECT vec_id AS n_id, label, v AS n_v FROM e WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ${cosSql("q_v", "n_v")} DESC, n_id ASC) AS rank
+             FROM q CROSS JOIN d)
+           WHERE rank <= 5),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(n_v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cents0 GROUP BY 1),
+         probes AS (
+           SELECT q_id, q_v, label FROM (
+             SELECT q.q_id, q.q_v, cents.label,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM q CROSS JOIN cents)
+           WHERE p <= 2),
+         approx AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id ASC) AS rank
+             FROM (SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+                   FROM probes JOIN d USING (label)) s)
+           WHERE rank <= 5)
+         SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits, 5 AS k
+         FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
+         GROUP BY t.q_id ORDER BY t.q_id""",
   )
 }

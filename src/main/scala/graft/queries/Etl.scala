@@ -305,6 +305,15 @@ object Etl {
     * matching the text query: explicit [0, 4000) grid in 400-wide
     * buckets, edge-clamped (facet.range.other folded in), one scan +
     * one groupBy. */
+  /** x16: prefix suggester table — top-3 completions per 3-char
+    * token prefix by corpus frequency (operators/Indexing.suggest;
+    * the Solr suggester component's data plane, reference:
+    * solr_api_utils.py's collection serving surface). */
+  def x16Suggest(spark: SparkSession, dir: String): DataFrame =
+    Indexing.suggest(Tables.documents(spark, dir), col("text"),
+        prefixLen = 3, k = 3)
+      .orderBy("prefix", "rank")
+
   def x13RangeFacet(spark: SparkSession, dir: String): DataFrame =
     Indexing.rangeFacet(Tables.documents(spark, dir),
         col("text").contains("vector"), col("n_chars"),
@@ -379,6 +388,7 @@ object Etl {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_suggest" -> (x16Suggest _),
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
     "x10_phrase" -> (x10Phrase _),
@@ -647,6 +657,21 @@ object Etl {
          WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 100)
          ORDER BY n_chars, doc_id LIMIT 25""",
     // x13: same shifted floored-div bucket math, same edge clamp
+    // x16: same \s+ split, substr prefix, and (freq desc, tok asc)
+    // tie-break; (prefix, rank) is a totally unique ORDER BY key
+    "x16_suggest" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         f AS (
+           SELECT substr(tok, 1, 3) AS prefix, tok, CAST(count(*) AS BIGINT) AS freq
+           FROM toks WHERE length(tok) >= 3 GROUP BY 1, 2)
+         SELECT prefix, rank, tok, freq FROM (
+           SELECT prefix, tok, freq,
+             CAST(row_number() OVER (PARTITION BY prefix
+               ORDER BY freq DESC, tok ASC) AS INT) AS rank
+           FROM f)
+         WHERE rank <= 3 ORDER BY prefix, rank""",
     "x13_range_facet" ->
       """SELECT bucket, 0 + bucket * 400 AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n

@@ -64,12 +64,10 @@ object PipelineQ {
   /** p5: overlapping token-window chunking — 40-token windows every
     * 30 tokens (10-token overlap), the RAG/context-prep layout. */
   def p5Chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokenChunks(col("text"), width = 40,
-          stride = 30)).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk_text").as("chunk_text"))
+    TextAnalysis.explodeChunks(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        col("text"), width = 40, stride = 30)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
       .withColumn("n_chunk_tokens", TextAnalysis.nTokens(col("chunk_text")))
       .orderBy("doc_id", "chunk_idx")
 

@@ -67,6 +67,25 @@ object TextEvents {
         count(when(col("n") === 1, 1)).as("n_hapax"))
       .orderBy("lang")
 
+  /** ta14: character-distribution Shannon entropy — the OCR-garbage /
+    * binary-noise quality signal (text/TextAnalysis.charEntropyQ:
+    * 28 replace-length counts, per-term quantized ln, map-only — NO
+    * explode, NO shuffle; at 100 TB this runs at scan speed). ALL-
+    * INTEGER output: s_q is the quantized ln-sum, ent_q4 the 4-dp
+    * entropy in 1e-4 nats computed by half-up INTEGER division
+    * ((−s_q + n·50) div (n·100)) — positive int div floors
+    * identically in every engine, immune to the .5-decimal-boundary
+    * float-round divergence that bit ta10 in r5. */
+  def ta14CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val (n, s) = TextAnalysis.charEntropyQ(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), n.cast("long").as("n_len"), s.as("s_q"))
+      .withColumn("ent_q4",
+        when(col("n_len") > 0,
+          expr("(-s_q + n_len * 50) div (n_len * 100)")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** ta5: corpus n-gram statistics — top-5 tokens per language by
     * frequency (explode → count → windowed top-k; at scale the
     * count is the only real shuffle and TopKPerKey replaces the
@@ -385,6 +404,7 @@ object TextEvents {
     "ta11_perplexity" -> (ta11Perplexity _),
     "ta12_heavy_hitters" -> (ta12HeavyHitters _),
     "ta13_vocab_stats" -> (ta13VocabStats _),
+    "ta14_char_entropy" -> (ta14CharEntropy _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -395,7 +415,35 @@ object TextEvents {
 
   private val stopList = "('the','a','of','and','in','to','is')"
 
+  // ta14 oracle: the same 28 replace-length counts + quantized-ln
+  // terms as TextAnalysis.charEntropyQ, generated so both engines
+  // share one definition (a–z, space, other-bucket)
+  private val ta14Sql: String = {
+    val chars = ('a' to 'z').map(c => s"'$c'") :+ "' '"
+    val cDefs = chars.zipWithIndex.map { case (c, i) =>
+      s"length(t) - length(replace(t, $c, '')) AS c$i" }.mkString(",\n             ")
+    val cNames = chars.indices.map(i => s"c$i")
+    def term(c: String) =
+      s"""CASE WHEN $c > 0 THEN CAST($c AS BIGINT) *
+         CAST(round(ln(CAST($c AS DOUBLE) / n_len) * 1000000.0) AS BIGINT)
+         ELSE 0 END"""
+    val terms = (cNames :+ "c27").map(term).mkString(" +\n           ")
+    s"""WITH b AS (SELECT doc_id, lower(text) AS t FROM documents),
+         c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_len,
+             $cDefs
+           FROM b),
+         c2 AS (SELECT *, n_len - (${cNames.mkString(" + ")}) AS c27 FROM c),
+         s AS (SELECT doc_id, n_len,
+           $terms AS s_q
+           FROM c2)
+       SELECT doc_id, n_len, s_q,
+         CASE WHEN n_len > 0 THEN (-s_q + n_len * 50) // (n_len * 100)
+              ELSE 0 END AS ent_q4
+       FROM s ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ta14_char_entropy" -> ta14Sql,
     // e11: the oracle may theta-join — DuckDB handles the small SF;
     // the Spark plan is the bucketized equi-join, plan-audited
     "e11_interval_overlap" ->

@@ -161,6 +161,22 @@ object Ivf {
     segId
   }
 
+  /** Compaction-cadence contract (same bound as
+    * [[graft.operators.SegmentedBm25.maintain]]): call after every
+    * append — [[graft.streaming.IvfStream]] does — and the segment
+    * manifest folds into the base table whenever it exceeds
+    * `maxSegments`, so the driver-side manifest `collect()` and the
+    * per-probe segment union stay O(maxSegments) forever, independent
+    * of how many micro-batches the index has absorbed. */
+  def maintain(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxSegments: Int = 8): Option[Long] = {
+    val manifestDir = s"$dir/segmanifest"
+    graft.sources.VersionedTable.latestVersion(manifestDir).flatMap { _ =>
+      val n = graft.sources.VersionedTable.readLatest(spark, manifestDir).count()
+      if (n > maxSegments) Some(compactSegments(spark, dir)) else None
+    }
+  }
+
   /** Fold appended segments into the base assignment table: one new
     * lists version containing base ∪ segments, and an empty manifest.
     * Superseded segment trees stay on disk for manifest rollback. */

@@ -23,8 +23,15 @@ object Bm25Stream {
         import java.nio.file.{Files, Paths}
         val marker = Paths.get(indexDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.operators.SegmentedBm25.append(batch, idCol, textCol, indexDir)
+            // compaction cadence: bounds segment count, tombstone
+            // volume, and the driver-side manifest for ANY number of
+            // micro-batches (see SegmentedBm25.maintain). Crash-safe
+            // mid-maintain: an interrupted compact leaves an orphan
+            // segment dir the manifest never references.
+            graft.operators.SegmentedBm25.maintain(batch.sparkSession, indexDir)
+          }
           Files.createDirectories(Paths.get(indexDir))
           val tmp = Paths.get(indexDir, s"_batch-$lineage-$batchId.tmp")
           Files.writeString(tmp, "done")

@@ -20,9 +20,14 @@ object IvfStream {
         import java.nio.file.{Files, Paths}
         val marker = Paths.get(indexDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.similarity.Ivf.appendToIndex(batch.sparkSession, indexDir,
               batch.toDF())
+            // compaction cadence: folds segments into the base table
+            // once they exceed the bound, keeping manifest + probe
+            // cost O(maxSegments) for any number of micro-batches
+            graft.similarity.Ivf.maintain(batch.sparkSession, indexDir)
+          }
           Files.createDirectories(Paths.get(indexDir))
           val tmp = Paths.get(indexDir, s"_batch-$lineage-$batchId.tmp")
           Files.writeString(tmp, "done")

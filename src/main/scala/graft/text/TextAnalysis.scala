@@ -4,9 +4,11 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for a training-data pipeline: token
-  * counting, quality scoring, language ID, fingerprinting. All are
-  * codegen'd expressions (no UDFs), map-only — at 100 TB these run at
-  * scan speed with zero shuffles.
+  * counting, quality scoring, language ID, fingerprinting. Map-only —
+  * at 100 TB these run at scan speed with zero shuffles. Builtin
+  * codegen'd expressions everywhere; the one HOF lambda left
+  * (tokenMatches) is a measured, documented exception — see its
+  * Scaladoc for the three-way benchmark that keeps it.
   *
   * The reference corpus operations (tulflow) stop at validation and
   * crosswalks; these extend the same record-stream model to the
@@ -42,18 +44,23 @@ object TextAnalysis {
 
   /** Overlapping token-window chunking (RAG / context-window prep):
     * windows of `width` tokens starting every `stride` tokens; the
-    * last window may be shorter. Pure map + explode over builtin
-    * array functions (sequence/slice) — codegen'd, no UDF, no
-    * shuffle; output size is the n/stride blowup the caller asked
-    * for, nothing more. Returns (chunk_idx, chunk_text) structs;
-    * explode at the call site. */
-  def tokenChunks(text: Column, width: Int, stride: Int): Column = {
+    * last window may be shorter. posexplode over a builtin `sequence`
+    * of starts, then `slice`+`concat_ws` — every expression is
+    * whole-stage-codegen'd (NO higher-order-function lambda: HOF
+    * lambdas evaluate interpreted per element, the d2 lesson, banned
+    * in hot array paths). Map-only, no shuffle; output size is the
+    * n/stride blowup the caller asked for, nothing more. Adds
+    * (chunk_idx, chunk_text) columns to `df`, one row per chunk. */
+  def explodeChunks(df: org.apache.spark.sql.DataFrame, text: Column,
+      width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     val toks = split(trim(text), "\\s+")
-    val n = size(toks)
-    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(stride))
-    transform(starts, s => struct(
-      (s / stride).cast("int").as("chunk_idx"),
-      concat_ws(" ", slice(toks, s + 1, lit(width))).as("chunk_text")))
+    df.withColumn("__toks", toks)
+      .select(col("*"), posexplode(
+        sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "__start")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(width))))
+      .drop("__toks", "__start")
   }
 
   /** Ratio of non-alphanumeric-non-space characters. */
@@ -62,14 +69,25 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** Count of whole tokens from `words` in `text`.
+    *
+    * DELIBERATELY an HOF `filter` + `isInCollection`, kept after
+    * measuring all three candidates at sf0.1 (r6, best-of-N,
+    * isolated): HOF 0.092 s (ta2) / 0.151 s (ta3), a regexp_count
+    * alternation 0.145 / 0.226, a JVM hash-set UDF 0.167 / 0.281.
+    * The repo's "no HOF lambdas in hot array paths" invariant is
+    * about HEAVY per-element work on long arrays (d2's shingle set
+    * ops, 483→9.6 s as a UDF); for a small membership probe per
+    * token the interpreted lambda is the cheapest of the three and
+    * map-only per-row cost scales unchanged to any corpus size. */
+  private def tokenMatches(text: Column, words: Seq[String]): Column =
+    size(filter(split(trim(text), "\\s+"), t => t.isInCollection(words)))
+
   /** Fraction of tokens that are stopwords — a fluency signal:
     * natural text sits in a band, keyword-stuffed or boilerplate
     * text falls outside it. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    val stops = filter(toks, t => t.isInCollection(Stopwords))
-    round(size(stops) / size(toks), 4)
-  }
+  def stopwordRatio(text: Column): Column =
+    round(tokenMatches(text, Stopwords) / nTokens(text), 4)
 
   /** Mean token length over word tokens. */
   def avgTokenLen(text: Column): Column =
@@ -86,7 +104,7 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et"))
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(split(trim(text), "\\s+"), t => t.isInCollection(markers)))
+    tokenMatches(text, markers)
 
   /** argmax over marker scores; earlier entry in LangMarkers wins
     * ties (deterministic, mirrored in the oracle's CASE chain). */
@@ -117,6 +135,34 @@ object TextAnalysis {
     val reasons = concat_ws("; ",
       checks.map { case (c, msg) => when(!c, lit(msg)) }: _*)
     (keep, reasons)
+  }
+
+  /** Character-distribution Shannon entropy over a fixed alphabet
+    * (a–z, space, plus one "other" bucket) — the OCR-garbage /
+    * binary-noise / key-mash quality signal: natural language sits
+    * near its language's characteristic char entropy, corrupted or
+    * machine-generated text falls far outside the band.
+    *
+    * Exact cross-engine parity with zero data movement: each
+    * character's count comes from the replace-length identity
+    * (length(t) − length(replace(t, c, ''))) — 28 codegen'd
+    * replace/length passes, NO explode, NO shuffle, NO UDF — and
+    * each ln is quantized to a long BEFORE the fixed-order 28-term
+    * sum (the ta11 technique: integer sums are order-independent and
+    * replay bit-identically in SQL). Returns (n_len, s_q) where
+    * s_q = Σ_c cnt_c · round(ln(cnt_c/n)·10⁶); the reader's entropy
+    * is −s_q / (n·10⁶) nats. */
+  def charEntropyQ(text: Column): (Column, Column) = {
+    val t = lower(text)
+    val n = length(t)
+    val alpha = ('a' to 'z').map(_.toString) :+ " "
+    val counts = alpha.map(c => n - length(replace(t, lit(c), lit(""))))
+    val all = counts :+ (n - counts.reduce(_ + _)) // "other" bucket
+    val terms = all.map(c =>
+      when(c > 0, c.cast("long") *
+        round(log(c.cast("double") / n) * 1e6).cast("long"))
+        .otherwise(lit(0L)))
+    (n, terms.reduce(_ + _))
   }
 
   /** Whole-document fingerprint: md5 of normalized text. */

@@ -58,4 +58,38 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(n1 == corpus.count() && n2 < n1,
       s"rollback must serve the full version again ($n1 vs $n2)")
   }
+
+  test("corpus fingerprint keys on EVERY file of a multi-file corpus (r5 VERDICT #5)") {
+    // a real corpus directory: two part files under documents.parquet
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_fp").toString
+    docs.limit(20).repartition(2)
+      .write.parquet(s"$dataDir/documents.parquet")
+    val root = new java.io.File(s"$dataDir/documents.parquet")
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 2, s"fixture should write 2 part files, got ${parts.length}")
+
+    val k0 = Retrieval.corpusFingerprintKey(root)
+    // rewriting ONE part (same name, new mtime) must change the key —
+    // the old single-file probe missed exactly this
+    assert(parts(1).setLastModified(parts(1).lastModified + 60000))
+    val k1 = Retrieval.corpusFingerprintKey(root)
+    assert(k1 != k0, "mtime change of one part file must change the fingerprint")
+    // adding a part must change it too; an untouched dir must not
+    java.nio.file.Files.copy(parts(0).toPath,
+      new java.io.File(root, "part-extra.parquet").toPath)
+    val k2 = Retrieval.corpusFingerprintKey(root)
+    assert(k2 != k1, "a new part file must change the fingerprint")
+    assert(Retrieval.corpusFingerprintKey(root) == k2,
+      "an untouched directory must fingerprint identically")
+
+    // end-to-end: ensureIndex rebuilds into a fresh index dir after
+    // the corpus changes
+    val corpus = spark.read.parquet(s"$dataDir/documents.parquet")
+    val i1 = Retrieval.ensureIndex(corpus, "doc_id", "text", dataDir)
+    assert(new java.io.File(root, "part-extra.parquet").setLastModified(
+      parts(0).lastModified + 120000))
+    val i2 = Retrieval.ensureIndex(corpus, "doc_id", "text", dataDir)
+    assert(i1 != i2, "a changed corpus must get a fresh index dir")
+  }
 }

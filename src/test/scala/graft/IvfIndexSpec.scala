@@ -81,6 +81,33 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, s"$dir/lists").count() == all.count())
   }
 
+  test("maintain keeps the segment manifest bounded; cadence is invisible to probes") {
+    val base = embs.filter(col("id") >= 10 && col("id") % 6 === 0)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    // twin indexes fed the same six appends: `dir` under the maintain
+    // cadence, `plain` never compacted — results must be identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
+    Ivf.buildIndex(base, "label", "v", dir)
+    Ivf.buildIndex(base, "label", "v", plain)
+    (1 to 6).foreach { i =>
+      val slice = embs.filter(col("id") >= 10 && col("id") % 6 === i % 6)
+        .select("id", "v")
+      Ivf.appendToIndex(spark, dir, slice)
+      Ivf.appendToIndex(spark, plain, slice)
+      Ivf.maintain(spark, dir, maxSegments = 2)
+      // the bound holds after every batch: ≤ maxSegments manifest rows
+      // (maintain compacts to zero the moment the count exceeds it)
+      assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() <= 2,
+        s"manifest unbounded at append $i")
+    }
+    val got = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val want = Ivf.searchIndex(spark, plain, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "compaction cadence must be invisible to probes")
+  }
+
   test("streaming IVF feed appends one segment per micro-batch, replay-safe") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfs").toString
     val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)

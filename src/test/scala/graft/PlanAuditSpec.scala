@@ -28,10 +28,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "s1_knn_brute",    // broadcast(query side) × corpus scan, per-partition top-k
     "s4_knn_ivf",      // broadcast(centroids) × query/corpus assignment
     "s6_filtered_knn", // broadcast(query side) × pre-filtered corpus
-    "s7_mmr")          // s1's broadcast bruteForce feeds candidates; since the
+    "s7_mmr",          // s1's broadcast bruteForce feeds candidates; since the
                        // one-job rerank rewrite there is no checkpoint truncating
                        // the lineage, so the candidate stage's by-design NLJ
                        // shows in s7's (single) plan
+    "s8_recall")       // composes s1's broadcast bruteForce (truth side) and
+                       // s4's broadcast-centroid assignment — both by design
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
@@ -58,6 +60,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins (lost equi-key?) in: $offenders")
+  }
+
+  // Scan-pruning tier (r5 VERDICT #6): the operator specs assert
+  // pruning on the operator APIs; this tier asserts it on the actual
+  // SparkEntry query bindings, so a query-surface refactor that
+  // silently un-prunes an indexed scan fails the suite, not just the
+  // bench. Each entry: query name -> substrings its executed plan
+  // must contain (a partition filter on the index's partition column,
+  // or a non-empty parquet pushdown).
+  private val requiredScanPruning: Map[String, Seq[String]] = Map(
+    // persisted BM25 probe: only query-term token buckets scanned
+    "x7_bm25" -> Seq("PartitionFilters: [", "tok_bucket"),
+    // segmented BM25 probe: manifest-listed segments + token buckets
+    "x8_seg_search" -> Seq("PartitionFilters: [", "tok_bucket"),
+    // selective filter+project must reach the parquet scan (a
+    // non-empty pushdown always leads with the IsNotNull guards)
+    "q5_filter_project" -> Seq("PushedFilters: [IsNotNull"))
+
+  test("indexed/selective scans keep their pruning filters (scan-pruning tier)") {
+    val failures = requiredScanPruning.toSeq.sortBy(_._1).flatMap {
+      case (name, needles) =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val missing = needles.filterNot(plan.contains)
+        if (missing.isEmpty) None
+        else Some(s"$name missing $missing in:\n${plan.take(2000)}")
+    }
+    assert(failures.isEmpty, failures.mkString("\n\n"))
   }
 
   test("single-partition exchanges only on tiny final reductions") {

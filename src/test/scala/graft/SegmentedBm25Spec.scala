@@ -133,6 +133,44 @@ class SegmentedBm25Spec extends AnyFunSuite {
     assert(e.getMessage.contains("n_buckets"))
   }
 
+  test("maintain bounds the manifest over any append history; search stays exact") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val idx = tmp()
+    // 12 micro-batches where every doc is re-appended three times
+    // (i % 4 slices repeat) — heavy replacement traffic, the worst
+    // case for tombstone growth — with the maintain cadence after
+    // each append, as the streaming maintainer runs it
+    var compactions = 0
+    (0 until 12).foreach { i =>
+      SegmentedBm25.append(corpus.filter(col("doc_id") % 4 === i % 4),
+        "doc_id", "text", idx)
+      if (SegmentedBm25.maintain(spark, idx, maxSegments = 3,
+          maxTombPct = 20).nonEmpty) compactions += 1
+      // the bound holds AFTER EVERY batch, not just at the end: seg
+      // rows never exceed maxSegments+1 (compact itself adds one)
+      val m = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+      assert(m.filter(col("kind") === "seg").count() <= 4)
+    }
+    assert(compactions >= 2, "the cadence should have fired repeatedly")
+    // tombstones were cleared by the last compact-cycle, so the whole
+    // manifest is O(maxSegments + replacements-since-last-compact),
+    // independent of the 12-batch history
+    val m = graft.sources.VersionedTable.readLatest(spark, s"$idx/manifest")
+    assert(m.count() <= 4 + corpus.count(),
+      "manifest must not accumulate history-proportional rows")
+    // and the served index is still exactly the live corpus
+    val scratch = tmp()
+    Retrieval.buildIndex(corpus, "doc_id", "text", scratch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5)) ==
+      rows(Retrieval.searchIndex(spark, scratch, queries, "doc_id", "text", 5)),
+      "compaction cadence must be invisible to search results")
+  }
+
   test("streaming maintenance appends one segment per micro-batch, replay-safe") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
     val queries = docs.filter(col("doc_id") < 5)

@@ -1,0 +1,72 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the lambda-free rewrites of the text primitives (r5 VERDICT
+  * #3): the regexp_count token matcher and the posexplode chunker
+  * must agree exactly with the split-based HOF definitions they
+  * replaced, on every boundary case the \s+ tokenization produces.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def ratioOf(s: String): Option[Double] = {
+    val r = Seq(s).toDF("text")
+      .select(TextAnalysis.stopwordRatio(col("text")).as("r")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("stopwordRatio counts whole tokens only, with multiplicity") {
+    // "a" appears twice (multiplicity), "and" must not match marker
+    // "a" as a prefix, "the" inside "theme" must not match
+    assert(ratioOf("a cat and a theme") == Some(0.6)) // a, and, a of 5
+    assert(ratioOf("band land sand") == Some(0.0))    // no suffix match
+    assert(ratioOf("the the the") == Some(1.0))
+    // consecutive whitespace: split(\s+) yields the same 3 tokens
+    assert(ratioOf("the  of\tis") == Some(1.0))
+    // leading/trailing whitespace trimmed before both count passes
+    assert(ratioOf("  the end  ") == Some(0.5))
+  }
+
+  test("langScore equals an independent JVM count on real documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val markers = TextAnalysis.LangMarkers.flatMap(_._2)
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.langScore(col("text"), markers).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val set = markers.toSet
+    val want = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).trim.split("\\s+").count(set)
+    }.toMap
+    assert(got == want)
+  }
+
+  test("explodeChunks matches slice-by-hand windows incl. short tail") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.explodeChunks(df, col("text"), width = 4,
+        stride = 3)
+      .select("chunk_idx", "chunk_text").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq(
+      0 -> "t1 t2 t3 t4", 1 -> "t4 t5 t6 t7", 2 -> "t7 t8 t9 t10",
+      3 -> "t10"))
+    // empty-ish text: one empty chunk (split(trim("")) = [""]), the
+    // contract the oracle SQL mirrors
+    val e = TextAnalysis.explodeChunks(Seq((2L, " ")).toDF("doc_id", "text"),
+      col("text"), 4, 3).select("chunk_idx", "chunk_text").collect()
+    assert(e.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(0 -> ""))
+  }
+
+  test("explodeChunks plan is lambda-free and generator-based") {
+    val df = Tables.documents(spark, sf).select("doc_id", "text")
+    val plan = TextAnalysis.explodeChunks(df, col("text"), 40, 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), "posexplode should plan a Generate")
+    assert(!plan.contains("lambdafunction"),
+      "no interpreted HOF lambda in the chunk path")
+  }
+}
