@@ -166,7 +166,32 @@ object Soak {
     val (tCont, nCont) = time(dedup.Dedup.containmentPairs(
       corpus, thresholdPct = 70, maxDf = 4).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // d16 source-overlap at replica scale: the source set is FIXED
+    // (20), so the pair matrix is bounded by |sources|² no matter how
+    // big the corpus gets — runtime must track the distinct
+    // (source, passage-hash) volume (linear in corpus tokens), never
+    // pair counts. Replicas re-use the same 20 sources with shifted
+    // text, so per-source passage sets grow ~linearly.
+    val srcCorpus = (0 until nReplicas).map { i =>
+      Tables.documents(spark, dir).select(col("source"),
+        substring(col("text"), (i % 40) + 1, Int.MaxValue).as("text"))
+    }.reduce(_ unionByName _)
+    val pass = text.TextAnalysis.explodeChunks(srcCorpus, col("text"), 20, 20)
+      .select(col("source"), md5(col("chunk_text")).as("h"))
+      .distinct().localCheckpoint(false)
+    val (tSrcOv, nSrcOv) = time(
+      pass.select(col("source").as("a"), col("h"))
+        .join(pass.select(col("source").as("b"), col("h")), "h")
+        .filter(col("a") < col("b")).groupBy("a", "b")
+        .agg(count(lit(1))).count())
+
+    // x16 suggester at corpus scale: vocabulary (and so prefix set)
+    // is fixed — counts grow, output stays the same size; runtime
+    // must track the one count shuffle, not output or corpus²
+    val (tSugg, nSugg) = time(operators.Indexing.suggest(
+      corpus, col("text"), prefixLen = 3, k = 3).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

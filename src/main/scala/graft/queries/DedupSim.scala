@@ -194,6 +194,33 @@ object DedupSim {
       .orderBy("q_id")
   }
 
+  /** d16: cross-source duplication matrix — for every source pair,
+    * how many distinct 20-token passages they share (the corpus-audit
+    * answer to "which sources reprint which", and the planning input
+    * for source-level dedup priorities). Plan: d13's chunker
+    * (posexplode, map-only) → md5 → DISTINCT (source, hash) — the
+    * per-source posting dedup that bounds everything downstream —
+    * → one hash-keyed self-join → pair count. The shared frame is a
+    * single-plan multi-read localCheckpoint (both join branches of
+    * ONE execution). At web scale add a d14-style df cap on the hash
+    * (a passage present in thousands of sources is boilerplate, not
+    * reprinting — capping it bounds the join fanout to df²·|hashes|);
+    * at the fixture's 20 sources the uncapped join is exact and tiny. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val p = graft.text.TextAnalysis.explodeChunks(
+        Tables.documents(spark, dir).select("source", "text"),
+        col("text"), width = 20, stride = 20)
+      .select(col("source"), md5(col("chunk_text")).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    p.select(col("source").as("source_a"), col("h"))
+      .join(p.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -329,6 +356,7 @@ object DedupSim {
     "s6_filtered_knn" -> (s6FilteredKnn _),
     "s7_mmr" -> (s7Mmr _),
     "s8_recall" -> (s8Recall _),
+    "d16_source_overlap" -> (d16SourceOverlap _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -813,5 +841,20 @@ object DedupSim {
          SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits, 5 AS k
          FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
          GROUP BY t.q_id ORDER BY t.q_id""",
+    // d16: d13's exact chunk boundaries (range start list, slice,
+    // space-join) then distinct per-source passage hashes and the
+    // source-pair count
+    "d16_source_overlap" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

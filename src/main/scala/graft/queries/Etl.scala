@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ETL query surface (SURVEY.md §2: h1–h7, r1–r3, v1–v4, t1–t2,
@@ -169,6 +170,38 @@ object Etl {
         md5(Transform.normalizeText(col("text")).cast("binary")).as("norm_hash"),
         length(Transform.normalizeText(col("text"))).as("norm_len"))
       .orderBy("doc_id")
+
+  /** t4: field-level record merge — Solr atomic-update semantics on
+    * the data plane (the reference re-posts partial records across
+    * harvests; the serving doc is the union of latest non-null
+    * fields, which row-level latest — h7 — gets wrong whenever the
+    * newest row is missing a field an older row carried). Field
+    * sparsity is simulated deterministically (value missing on
+    * event_id%3=0, type on %4=0 — the h8 planted-pattern precedent),
+    * so the merge genuinely differs from h7's whole-row winner.
+    * Plan: per-field filtered row_number windows + one count/max
+    * aggregate, ALL keyed on user_id — same-key shuffles, no global
+    * sort; the (ts desc, event_id desc) order is totally unique. */
+  def t4FieldMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"), col("ts"), col("user_id"),
+      when(col("event_id") % 4 =!= 0, col("event_type")).as("type_n"),
+      when(col("event_id") % 3 =!= 0, col("value")).as("value_n"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latest(c: String, out: String) =
+      e.filter(col(c).isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col(c).as(out))
+    val base = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_updates"), max(col("ts")).as("last_ts"))
+    base
+      .join(latest("type_n", "merged_type"), Seq("user_id"), "left")
+      .join(latest("value_n", "merged_value"), Seq("user_id"), "left")
+      .select("user_id", "merged_type", "merged_value", "n_updates", "last_ts")
+      .orderBy("user_id")
+  }
 
   // ---- Indexing ----
 
@@ -388,6 +421,7 @@ object Etl {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t4_field_merge" -> (t4FieldMerge _),
     "x16_suggest" -> (x16Suggest _),
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
@@ -657,6 +691,35 @@ object Etl {
          WHERE n_chars > 300 OR (n_chars = 300 AND doc_id > 100)
          ORDER BY n_chars, doc_id LIMIT 25""",
     // x13: same shifted floored-div bucket math, same edge clamp
+    // t4: identical sparsity simulation, per-field latest-non-null by
+    // the totally unique (ts desc, event_id desc) order
+    "t4_field_merge" ->
+      """WITH e2 AS (
+           SELECT event_id, ts, user_id,
+             CASE WHEN event_id % 4 <> 0 THEN event_type END AS type_n,
+             CASE WHEN event_id % 3 <> 0 THEN value END AS value_n
+           FROM events),
+         base AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_updates,
+             max(ts) AS last_ts
+           FROM e2 GROUP BY 1),
+         tl AS (
+           SELECT user_id, type_n AS merged_type FROM (
+             SELECT user_id, type_n,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e2 WHERE type_n IS NOT NULL) WHERE rn = 1),
+         vl AS (
+           SELECT user_id, value_n AS merged_value FROM (
+             SELECT user_id, value_n,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM e2 WHERE value_n IS NOT NULL) WHERE rn = 1)
+         SELECT b.user_id, tl.merged_type, vl.merged_value,
+           b.n_updates, b.last_ts
+         FROM base b
+         LEFT JOIN tl USING (user_id) LEFT JOIN vl USING (user_id)
+         ORDER BY b.user_id""",
     // x16: same \s+ split, substr prefix, and (freq desc, tok asc)
     // tie-break; (prefix, rank) is a totally unique ORDER BY key
     "x16_suggest" ->

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.Corpus
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-pipeline corpus-management queries (SURVEY.md §2):
@@ -106,7 +107,33 @@ object PipelineQ {
         col("source"), col("doc_id"), maxPerDomain = 150)
       .orderBy("doc_id")
 
+  /** p10: token-budget source selection — rank sources by token mass
+    * and keep the largest until the cumulative count passes 40% of
+    * the corpus (the "data budget" cut every training-mix plan
+    * starts from). Plan: one corpus-wide per-source token aggregate
+    * (map-side partial sums — the only wide stage), then the cumsum
+    * window runs on the SOURCE-level table: O(|sources|) rows, the
+    * deliberate tiny-final-reduction single partition (PlanAuditSpec
+    * allowlists it). ALL-INTEGER: the 40% rule compares
+    * cum·10 ≤ total·4, no ratios, no rounding. */
+  def p10TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), TextAnalysis.nTokens(col("text")).as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.partitionBy()
+    perSource
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("total_tokens", sum("n_tokens").over(total))
+      .withColumn("selected",
+        col("cum_tokens") * 10 <= col("total_tokens") * 4)
+      .select("source", "n_tokens", "cum_tokens", "selected")
+      .orderBy(col("n_tokens").desc, col("source").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_token_budget" -> (p10TokenBudget _),
     "p7_curriculum" -> (p7Curriculum _),
     "p8_domain_cap" -> (p8DomainCap _),
     "p1_hash_split" -> (p1HashSplit _),
@@ -119,6 +146,23 @@ object PipelineQ {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p10: same \s+ token count, same (n_tokens desc, source) total
+    // order, integer 40% rule; DuckDB window sums cast back from
+    // HUGEINT
+    "p10_token_budget" ->
+      """WITH ps AS (
+           SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         c AS (
+           SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+           FROM ps)
+         SELECT source, n_tokens, cum_tokens,
+           (cum_tokens * 10 <= total_tokens * 4) AS selected
+         FROM c ORDER BY n_tokens DESC, source ASC""",
     // p9: the squared-inequality draw re-derived; 2^40 literal
     "p9_temperature" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s

@@ -40,9 +40,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q5_filter_project", // 1-row result of a selective filter
     "v5_profile",        // global column-profile aggregate (tiny)
     "v8_profile_drift",  // two v5-shaped global profiles + |cols|-row join
-    "v11_integrity")     // per-relation global count rollup (1 row each);
+    "v11_integrity",     // per-relation global count rollup (1 row each);
                          // the join itself is key-partitioned — only the
                          // 3-counter reduction serializes
+    "p10_token_budget")  // cumsum window over the O(|sources|)-row
+                         // source-level aggregate — the corpus-wide
+                         // token count stays map-side partial
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
