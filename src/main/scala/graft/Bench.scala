@@ -47,12 +47,30 @@ object Bench {
     // land in rep 1 and are excluded, which matches the
     // build-once/search-many contract of the indexed operators.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // steady-state hygiene BETWEEN QUERIES (outside the timer):
+    // local-checkpoint blocks and persisted frames a query leaves in
+    // the block manager otherwise accumulate across the 119-query
+    // suite — by the tail, every query runs under memory pressure +
+    // old-gen GC debris, which false-flagged 10 queries in the r5
+    // driver run (ta10 3.23 s full-suite vs 0.78 s isolated, pure
+    // interference). The boundary is deliberately per-QUERY, not
+    // per-rep: reps of one query share block-manager warmth exactly
+    // like a long-lived serving cluster would (sweeping between reps
+    // measurably inflated d11/s3 ~40% by making every rep cold), but
+    // nothing leaks from one query's account into the next.
+    def sweep(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      sweep()
       name -> times.min
     }
     // ms precision keeps the line short enough for tail-bounded log
