@@ -221,6 +221,34 @@ object DedupSim {
       .orderBy("source_a", "source_b")
   }
 
+  /** s9: IVF recall-vs-nProbe sweep — the tuning curve that picks the
+    * probe count for a target recall (FAISS's standard operating
+    * chart), computed exactly: for nProbe ∈ {1,2,3}, total brute-force
+    * top-5 hits recovered across all queries. The truth side is
+    * computed ONCE and checkpointed (three union branches of one
+    * execution read it); each probe level re-ranks only the probed
+    * lists. ALL-INTEGER output (n_probe, total_hits, n_queries). */
+  def s9RecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("id") < 10).select("id", "v")
+    val c = e.filter(col("id") >= 10)
+    val truth = Knn.bruteForce(q, c.select("id", "v"), k = 5)
+      .select(col("q_id"), col("n_id")).localCheckpoint(false)
+    Seq(1, 2, 3).map { np =>
+      val approx = graft.similarity.Ivf.search(q,
+          c.select("id", "v", "label"), listKey = "label", k = 5,
+          nProbe = np, centroidScale = 1000000L)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("q_id", "n_id"), "left")
+        .agg(count(col("hit")).as("total_hits"),
+          count_distinct(col("q_id")).as("n_queries"))
+        .select(lit(np).as("n_probe"), col("total_hits"), col("n_queries"))
+    }.reduce(_ unionByName _)
+      .orderBy("n_probe")
+  }
+
   def s1KnnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -357,6 +385,7 @@ object DedupSim {
     "s7_mmr" -> (s7Mmr _),
     "s8_recall" -> (s8Recall _),
     "d16_source_overlap" -> (d16SourceOverlap _),
+    "s9_recall_sweep" -> (s9RecallSweep _),
   )
 
   /** Shared oracle CTE fragments. */
@@ -841,6 +870,53 @@ object DedupSim {
          SELECT t.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits, 5 AS k
          FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.n_id = a.n_id
          GROUP BY t.q_id ORDER BY t.q_id""",
+    // s9: the s8 recall derivation repeated per probe level (the
+    // per-level CTEs are generated from one template so all three
+    // share the exact centroid/probe/rank arithmetic)
+    "s9_recall_sweep" -> {
+      def approx(np: Int) =
+        s"""probes_$np AS (
+           SELECT q_id, q_v, label FROM (
+             SELECT q.q_id, q.q_v, cents.label,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM q CROSS JOIN cents)
+           WHERE p <= $np),
+         approx_$np AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, n_id ASC) AS rank
+             FROM (SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+                   FROM probes_$np JOIN d USING (label)) s)
+           WHERE rank <= 5)"""
+      def level(np: Int) =
+        s"""SELECT $np AS n_probe,
+           CAST(count(a.n_id) AS BIGINT) AS total_hits,
+           CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries
+         FROM truth t LEFT JOIN approx_$np a
+           ON t.q_id = a.q_id AND t.n_id = a.n_id"""
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (SELECT vec_id AS n_id, label, v AS n_v FROM e WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         truth AS (
+           SELECT q_id, n_id FROM (
+             SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY ${cosSql("q_v", "n_v")} DESC, n_id ASC) AS rank
+             FROM q CROSS JOIN d)
+           WHERE rank <= 5),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(n_v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cents0 GROUP BY 1),
+         ${Seq(1, 2, 3).map(approx).mkString(",\n         ")}
+         ${Seq(1, 2, 3).map(level).mkString(" UNION ALL\n         ")}
+         ORDER BY n_probe"""
+    },
     // d16: d13's exact chunk boundaries (range start list, slice,
     // space-join) then distinct per-source passage hashes and the
     // source-pair count

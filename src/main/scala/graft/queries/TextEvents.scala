@@ -76,13 +76,36 @@ object TextEvents {
     * ((−s_q + n·50) div (n·100)) — positive int div floors
     * identically in every engine, immune to the .5-decimal-boundary
     * float-round divergence that bit ta10 in r5. */
-  def ta14CharEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val (n, s) = TextAnalysis.charEntropyQ(col("text"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), n.cast("long").as("n_len"), s.as("s_q"))
+  def ta14CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropyQ(
+        Tables.documents(spark, dir).select("doc_id", "text"), col("text"))
+      .select("doc_id", "n_len", "s_q")
       .withColumn("ent_q4",
         when(col("n_len") > 0,
           expr("(-s_q + n_len * 50) div (n_len * 100)")).otherwise(0L))
+      .orderBy("doc_id")
+
+  /** ta15: n-gram novelty — per document, how many of its distinct
+    * 3-shingles are corpus-UNIQUE (df = 1): the diversity/novelty
+    * signal data curation uses to up-weight fresh content and spot
+    * template spam (novelty collapses). ALL-INTEGER output
+    * (n_shingles, n_unique — the ratio is the reader's division).
+    * Plan: the d2 JVM shingle UDF (hashed, distinct) explodes
+    * map-side; ONE df count shuffle on the uniform 32-bit shingle
+    * hash; the join back to the exploded stream is hash-keyed and
+    * skew-free by construction. The exploded frame feeds both
+    * branches of one execution (lazy localCheckpoint per the
+    * single-plan multi-read rule). */
+  def ta15Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.hashedShingles(col("text"))).as("h"))
+      .localCheckpoint(false)
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") === 1, 1)).as("n_unique"))
       .orderBy("doc_id")
   }
 
@@ -405,6 +428,7 @@ object TextEvents {
     "ta12_heavy_hitters" -> (ta12HeavyHitters _),
     "ta13_vocab_stats" -> (ta13VocabStats _),
     "ta14_char_entropy" -> (ta14CharEntropy _),
+    "ta15_novelty" -> (ta15Novelty _),
     "ta2_quality" -> (ta2Quality _),
     "ta3_langid" -> (ta3LangId _),
     "ta4_fingerprint" -> (ta4Fingerprint _),
@@ -444,6 +468,26 @@ object TextEvents {
 
   val oracleSql: Map[String, String] = Map(
     "ta14_char_entropy" -> ta14Sql,
+    // ta15: the d-family shingle normalization + seed-0 h32 hashing,
+    // then df over the whole corpus and per-doc unique counting
+    "ta15_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+           FROM toks),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS hs
+           FROM sh0),
+         p AS (SELECT doc_id, unnest(hs) AS h FROM shh),
+         d AS (SELECT h, count(*) AS df FROM p GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         FROM p JOIN d USING (h) GROUP BY doc_id ORDER BY doc_id""",
     // e11: the oracle may theta-join — DuckDB handles the small SF;
     // the Spark plan is the bucketized equi-join, plan-audited
     "e11_interval_overlap" ->

@@ -143,26 +143,35 @@ object TextAnalysis {
     * near its language's characteristic char entropy, corrupted or
     * machine-generated text falls far outside the band.
     *
-    * Exact cross-engine parity with zero data movement: each
-    * character's count comes from the replace-length identity
-    * (length(t) − length(replace(t, c, ''))) — 28 codegen'd
-    * replace/length passes, NO explode, NO shuffle, NO UDF — and
-    * each ln is quantized to a long BEFORE the fixed-order 28-term
-    * sum (the ta11 technique: integer sums are order-independent and
-    * replay bit-identically in SQL). Returns (n_len, s_q) where
-    * s_q = Σ_c cnt_c · round(ln(cnt_c/n)·10⁶); the reader's entropy
-    * is −s_q / (n·10⁶) nats. */
-  def charEntropyQ(text: Column): (Column, Column) = {
-    val t = lower(text)
-    val n = length(t)
-    val alpha = ('a' to 'z').map(_.toString) :+ " "
-    val counts = alpha.map(c => n - length(replace(t, lit(c), lit(""))))
-    val all = counts :+ (n - counts.reduce(_ + _)) // "other" bucket
+    * Exact cross-engine parity with zero data movement: the 27
+    * a–z/space counts come from ONE pass of the native
+    * [[graft.plans.CharClassCounts]] expression (codegen'd; the
+    * oracle's replace-length identity produces the identical
+    * integers, and a spec pins the equality), the "other" bucket is
+    * derived as length − Σcounts, and each ln is quantized to a long
+    * BEFORE the fixed-order 28-term sum (the ta11 technique: integer
+    * sums are order-independent and replay bit-identically in SQL).
+    * NO explode, NO shuffle, NO UDF — scan speed at any corpus size.
+    * Adds (n_len, s_q) where s_q = Σ_c cnt_c · round(ln(cnt_c/n)·10⁶);
+    * the reader's entropy is −s_q / (n·10⁶) nats. The counts array
+    * is materialized as its own projection column so the expression
+    * runs once per row (CollapseProject keeps multiply-referenced
+    * non-cheap aliases un-inlined). */
+  def charEntropyQ(df: org.apache.spark.sql.DataFrame,
+      text: Column): org.apache.spark.sql.DataFrame = {
+    val staged = df
+      .withColumn("__cc", graft.plans.TextExpr.charClassCounts(lower(text)))
+      .withColumn("__n", length(lower(text))) // oracle measures lower(t)
+    val counts = (0 until 27).map(i => element_at(col("__cc"), i + 1))
+    val all = counts :+ (col("__n") - counts.reduce(_ + _)) // "other"
     val terms = all.map(c =>
       when(c > 0, c.cast("long") *
-        round(log(c.cast("double") / n) * 1e6).cast("long"))
+        round(log(c.cast("double") / col("__n")) * 1e6).cast("long"))
         .otherwise(lit(0L)))
-    (n, terms.reduce(_ + _))
+    staged
+      .withColumn("n_len", col("__n").cast("long"))
+      .withColumn("s_q", terms.reduce(_ + _))
+      .drop("__cc", "__n")
   }
 
   /** Whole-document fingerprint: md5 of normalized text. */

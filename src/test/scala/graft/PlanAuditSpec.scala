@@ -32,8 +32,9 @@ class PlanAuditSpec extends AnyFunSuite {
                        // one-job rerank rewrite there is no checkpoint truncating
                        // the lineage, so the candidate stage's by-design NLJ
                        // shows in s7's (single) plan
-    "s8_recall")       // composes s1's broadcast bruteForce (truth side) and
+    "s8_recall",       // composes s1's broadcast bruteForce (truth side) and
                        // s4's broadcast-centroid assignment — both by design
+    "s9_recall_sweep") // s8's shape swept over three probe levels
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
@@ -43,9 +44,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "v11_integrity",     // per-relation global count rollup (1 row each);
                          // the join itself is key-partitioned — only the
                          // 3-counter reduction serializes
-    "p10_token_budget")  // cumsum window over the O(|sources|)-row
+    "p10_token_budget",  // cumsum window over the O(|sources|)-row
                          // source-level aggregate — the corpus-wide
                          // token count stays map-side partial
+    "s9_recall_sweep")   // three 1-row recall totals (one per probe
+                         // level) — the per-query counting is keyed;
+                         // only the final 2-counter sums serialize
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

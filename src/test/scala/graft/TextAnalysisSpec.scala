@@ -61,6 +61,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq(0 -> ""))
   }
 
+  test("CharClassCounts equals the replace-length identity on real documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val t = lower(col("text"))
+    val native = docs.select(col("doc_id"),
+      graft.plans.TextExpr.charClassCounts(t).as("cc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val alpha = ('a' to 'z').map(_.toString) :+ " "
+    val declarative = docs.select(col("doc_id") +:
+        alpha.map(c => (length(t) - length(replace(t, lit(c), lit("")))).as(c)): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 27).map(r.getInt)).toMap
+    assert(native.keySet == declarative.keySet)
+    native.foreach { case (id, cc) =>
+      assert(cc == declarative(id), s"count mismatch for doc $id")
+    }
+    // boundary cases: empty, all-other, mixed
+    val edge = Seq((1L, ""), (2L, "###"), (3L, "ab z")).toDF("id", "t")
+    val got = edge.select(col("id"),
+      graft.plans.TextExpr.charClassCounts(col("t")).as("cc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L).sum == 0 && got(2L).sum == 0)
+    assert(got(3L)(0) == 1 && got(3L)(1) == 1 && got(3L)(25) == 1 && got(3L)(26) == 1)
+  }
+
+  test("charEntropyQ evaluates the counts expression once per row") {
+    val df = TextAnalysis.charEntropyQ(
+      Tables.documents(spark, sf).select("doc_id", "text"), col("text"))
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    val hits = "charclasscounts".r.findAllIn(plan).length
+    assert(hits == 1,
+      s"CharClassCounts should appear exactly once in the plan, found $hits")
+  }
+
   test("explodeChunks plan is lambda-free and generator-based") {
     val df = Tables.documents(spark, sf).select("doc_id", "text")
     val plan = TextAnalysis.explodeChunks(df, col("text"), 40, 30)
