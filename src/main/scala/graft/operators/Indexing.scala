@@ -270,6 +270,34 @@ object Indexing {
       .select("prefix", "rank", "tok", "freq")
   }
 
+  /** Spellcheck suggester (the Solr spellcheck component's data
+    * plane): for each query token, the closest vocabulary token by
+    * edit distance ≤ `maxDist`, ties broken by corpus frequency desc
+    * then token asc (deterministic). Candidate generation is BLOCKED,
+    * never all-pairs — a candidate must share the first character and
+    * sit within ±1 length (the d6 lesson): both frames are
+    * vocabulary-sized, tiny relative to the corpus that produced
+    * them, and the blocking bounds the levenshtein calls to per-block
+    * crosses. `queries` needs a `query` column; `vocab` needs
+    * (tok, freq). */
+  def spellcheck(queries: DataFrame, vocab: DataFrame,
+      maxDist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("query"),
+      substring(col("query"), 1, 1).as("qc1"), length(col("query")).as("qlen"))
+    val v = vocab.select(col("tok"), col("freq"),
+      substring(col("tok"), 1, 1).as("vc1"), length(col("tok")).as("vlen"))
+    val cand = q.join(v, col("qc1") === col("vc1") &&
+        abs(col("qlen") - col("vlen")) <= 1)
+      .withColumn("dist", levenshtein(col("query"), col("tok")))
+      .filter(col("dist") <= maxDist)
+    val w = Window.partitionBy("query")
+      .orderBy(col("dist").asc, col("freq").desc, col("tok").asc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query"), col("tok").as("suggestion"), col("dist"), col("freq"))
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

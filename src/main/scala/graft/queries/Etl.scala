@@ -347,6 +347,24 @@ object Etl {
         prefixLen = 3, k = 3)
       .orderBy("prefix", "rank")
 
+  /** x17: spellcheck suggestions — deterministic misspellings (every
+    * ≥4-char vocab token with its 2nd character dropped, minus forms
+    * that collide with real tokens) resolved back through
+    * Indexing.spellcheck. The vocab aggregate feeds three branches
+    * of ONE plan (lazy checkpoint per the single-plan multi-read
+    * rule) so the corpus is scanned once, not three times. */
+  def x17Spellcheck(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
+    val qs = vocab.filter(length(col("tok")) >= 4)
+      .select(concat(substring(col("tok"), 1, 1),
+        expr("substring(tok, 3)")).as("query")).distinct()
+      .join(vocab.select(col("tok").as("query")), Seq("query"), "left_anti")
+    Indexing.spellcheck(qs, vocab, maxDist = 2).orderBy("query")
+  }
+
   def x13RangeFacet(spark: SparkSession, dir: String): DataFrame =
     Indexing.rangeFacet(Tables.documents(spark, dir),
         col("text").contains("vector"), col("n_chars"),
@@ -423,6 +441,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t4_field_merge" -> (t4FieldMerge _),
     "x16_suggest" -> (x16Suggest _),
+    "x17_spellcheck" -> (x17Spellcheck _),
     "x8_seg_search" -> (x8SegSearch _),
     "x9_zorder" -> (x9Zorder _),
     "x10_phrase" -> (x10Phrase _),
@@ -720,6 +739,30 @@ object Etl {
          FROM base b
          LEFT JOIN tl USING (user_id) LEFT JOIN vl USING (user_id)
          ORDER BY b.user_id""",
+    // x17: identical misspelling derivation, first-char + ±1-length
+    // blocking, and (dist, freq desc, tok) best-suggestion order;
+    // levenshtein uncast on both engines (the d6 precedent)
+    "x17_spellcheck" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+         qs AS (
+           SELECT DISTINCT concat(substr(tok, 1, 1), substr(tok, 3)) AS query
+           FROM vocab WHERE length(tok) >= 4),
+         qs2 AS (SELECT query FROM qs WHERE query NOT IN (SELECT tok FROM vocab)),
+         cand AS (
+           SELECT q.query, v.tok, v.freq, levenshtein(q.query, v.tok) AS dist
+           FROM qs2 q JOIN vocab v
+             ON substr(q.query, 1, 1) = substr(v.tok, 1, 1)
+             AND abs(length(q.query) - length(v.tok)) <= 1),
+         best AS (
+           SELECT query, tok AS suggestion, dist, freq,
+             row_number() OVER (PARTITION BY query
+               ORDER BY dist ASC, freq DESC, tok ASC) AS rn
+           FROM cand WHERE dist <= 2)
+         SELECT query, suggestion, dist, freq FROM best WHERE rn = 1
+         ORDER BY query""",
     // x16: same \s+ split, substr prefix, and (freq desc, tok asc)
     // tie-break; (prefix, rank) is a totally unique ORDER BY key
     "x16_suggest" ->
