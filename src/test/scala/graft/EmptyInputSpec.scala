@@ -81,6 +81,26 @@ class EmptyInputSpec extends AnyFunSuite {
       df, Seq("lang"), Seq(("n_chars", true)), 3).count() == 0)
   }
 
+  test("r6 text/index ops yield empty results on an empty corpus") {
+    import graft.operators.Indexing
+    import graft.text.TextAnalysis
+    assert(TextAnalysis.explodeChunks(emptyDocs, col("text"), 40, 30)
+      .count() == 0)
+    assert(TextAnalysis.charEntropyQ(emptyDocs, col("text")).count() == 0)
+    assert(Indexing.suggest(emptyDocs, col("text"), prefixLen = 3, k = 3)
+      .count() == 0)
+    // spellcheck: empty queries against a real vocab, and a real
+    // query set against an empty vocab — both empty, no crash
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val noQueries = vocab.select(col("tok").as("query")).filter(lit(false))
+    assert(Indexing.spellcheck(noQueries, vocab, maxDist = 2).count() == 0)
+    val someQueries = vocab.select(col("tok").as("query")).limit(3)
+    assert(Indexing.spellcheck(someQueries, vocab.filter(lit(false)),
+      maxDist = 2).count() == 0)
+  }
+
   test("histogram of an empty frame and of an all-null column is empty (r5 ADVICE)") {
     import graft.operators.Validate
     val h1 = Validate.histogram(emptyDocs, col("n_chars"), bins = 8)
