@@ -255,14 +255,27 @@ object Indexing {
     * aggregation); the emitted suggestion table is the small serving
     * artifact a real suggester would load. */
   def suggest(docs: DataFrame, textCol: Column, prefixLen: Int,
+      k: Int): DataFrame =
+    suggestFromVocab(tokenCounts(docs, textCol), prefixLen, k)
+
+  /** Corpus vocabulary (tok, freq) — the shared input of the
+    * suggester and spellcheck components, and the serving artifact
+    * VocabIndex maintains incrementally. One corpus-sized stage:
+    * map-only token explode → count shuffle keyed on the vocabulary
+    * (map-side partial aggregation collapses token skew). */
+  def tokenCounts(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+
+  /** The vocab→suggestion stage of [[suggest]]: top-k per prefix
+    * from an existing (tok, freq) table. Vocabulary-sized input, so
+    * the window shuffle is small regardless of corpus size. */
+  def suggestFromVocab(vocab: DataFrame, prefixLen: Int,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(explode(split(trim(lower(textCol)), "\\s+")).as("tok"))
-      .filter(length(col("tok")) >= prefixLen)
-    val counts = toks
-      .groupBy(substring(col("tok"), 1, prefixLen).as("prefix"), col("tok"))
-      .agg(count(lit(1)).as("freq"))
+    val counts = vocab.filter(length(col("tok")) >= prefixLen)
+      .select(substring(col("tok"), 1, prefixLen).as("prefix"),
+        col("tok"), col("freq"))
     val w = Window.partitionBy("prefix")
       .orderBy(col("freq").desc, col("tok").asc)
     counts.withColumn("rank", row_number().over(w).cast("int"))

@@ -32,13 +32,32 @@ object VersionedTable {
   }
 
   /** Write `df` as the next version and atomically swap the pointer
-    * to it. Returns the new version number. */
-  def write(df: DataFrame, dir: String): Long = {
+    * to it. Returns the new version number.
+    *
+    * `tag` makes the write IDEMPOTENCE-CHECKABLE for replayed
+    * writers: the tag lands in `v=N/_TAG` after the parquet completes
+    * and before the swap, so [[taggedVersion]] finds a committed
+    * version even if the writer crashed before the swap (a tagged
+    * version always has complete data; a half-written version can
+    * never carry a tag). This is what lets a non-idempotent merge
+    * (e.g. VocabIndex's count accumulation) run exactly once under
+    * the streaming `(lineage, batchId)` replay protocol. */
+  def write(df: DataFrame, dir: String, tag: Option[String] = None): Long = {
     val next = listVersions(dir).lastOption.getOrElse(0L) + 1
     df.write.mode("errorifexists").parquet(s"$dir/v=$next")
+    tag.foreach { t =>
+      Files.writeString(Paths.get(dir, s"v=$next", "_TAG"), t); () }
     swapTo(dir, next)
     next
   }
+
+  /** Newest version carrying `tag`, if any (committed data; the
+    * pointer may still lag it if the writer crashed pre-swap). */
+  def taggedVersion(dir: String, tag: String): Option[Long] =
+    listVersions(dir).filter { v =>
+      val p = Paths.get(dir, s"v=$v", "_TAG")
+      Files.exists(p) && Files.readString(p).trim == tag
+    }.maxOption
 
   /** Like [[write]], but the version is laid out partitioned by
     * `partCol` — readers filtering on it prune whole directories
