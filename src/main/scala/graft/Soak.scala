@@ -191,7 +191,29 @@ object Soak {
     val (tSugg, nSugg) = time(operators.Indexing.suggest(
       corpus, col("text"), prefixLen = 3, k = 3).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // df-capped d16 under boilerplate pressure: the source SET grows
+    // with replicas (20·nReplicas distinct sources) and every source
+    // carries the same appended boilerplate line, so each boilerplate
+    // passage hash has df = |sources| — the exact shape whose
+    // self-join fanout is |sources|² per hash uncapped. The cap drops
+    // those hashes before the join; pair volume and runtime must
+    // track genuine reprint postings (linear in replicas), never
+    // |sources|². Genuine overlap survives: replica-shifted copies of
+    // the same fixture source still share most passages pairwise.
+    val capCorpus = (0 until nReplicas).map { i =>
+      Tables.documents(spark, dir).select(
+        concat(col("source"), lit(f"#$i%02d")).as("source"),
+        concat(substring(col("text"), (i % 40) + 1, Int.MaxValue),
+          lit(" common boilerplate navigation header licence footer"
+            + " terms of use all rights reserved subscribe newsletter"
+            + " cookie policy privacy contact about sitemap rss feed")
+        ).as("text"))
+    }.reduce(_ unionByName _)
+    val (tCapOv, nCapOv) = time(dedup.Dedup.sourceOverlap(
+      capCorpus, col("source"), col("text"), width = 20, stride = 20,
+      maxDf = Some(2 * nReplicas)).count())
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -586,6 +586,48 @@ object Dedup {
       .select(col("id"), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
+  /** Cross-source duplication matrix (d16's operator form): for
+    * every source pair, how many distinct `width`-token passages they
+    * share. Plan: d13's chunker (posexplode, map-only) → md5 →
+    * DISTINCT (source, hash) — the per-source posting dedup that
+    * bounds everything downstream — → one hash-keyed self-join →
+    * pair count. The shared posting frame is a single-plan
+    * multi-read localCheckpoint (every branch belongs to ONE
+    * execution).
+    *
+    * `maxDf` is the 100 TB knob (d14's recall/volume trade): a
+    * passage present in more than `maxDf` sources is boilerplate
+    * (licence headers, navigation chrome), not reprinting — and it
+    * is exactly the hash whose self-join fanout is df² per hash.
+    * Capping bounds total pair volume by maxDf·Σdf instead of
+    * |sources|²·|boilerplate hashes|. With cap ≥ the true max df the
+    * result is exact (spec-pinned); uncapped (`None`) is the small-
+    * source-set form the d16 oracle runs. */
+  def sourceOverlap(docs: DataFrame, sourceCol: Column, textCol: Column,
+      width: Int, stride: Int, maxDf: Option[Int] = None): DataFrame = {
+    val p = graft.text.TextAnalysis.explodeChunks(
+        docs.select(sourceCol.as("source"), textCol.as("text")),
+        col("text"), width, stride)
+      .select(col("source"), md5(col("chunk_text")).as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val kept = maxDf match {
+      case Some(cap) =>
+        // df over DISTINCT sources (p is already per-source distinct);
+        // semi-join keeps only discriminative hashes. The df frame is
+        // another branch of the same single execution.
+        p.join(p.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("h"),
+          Seq("h"), "left_semi")
+      case None => p
+    }
+    kept.select(col("source").as("source_a"), col("h"))
+      .join(kept.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Embedding near-dup pairs: block on a coarse cluster key (here
     * the label column, playing the IVF-centroid role), exact cosine
     * within blocks, threshold on the rounded value. Cosine runs on

@@ -202,24 +202,29 @@ object DedupSim {
     * per-source posting dedup that bounds everything downstream —
     * → one hash-keyed self-join → pair count. The shared frame is a
     * single-plan multi-read localCheckpoint (both join branches of
-    * ONE execution). At web scale add a d14-style df cap on the hash
-    * (a passage present in thousands of sources is boilerplate, not
-    * reprinting — capping it bounds the join fanout to df²·|hashes|);
-    * at the fixture's 20 sources the uncapped join is exact and tiny. */
-  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val p = graft.text.TextAnalysis.explodeChunks(
-        Tables.documents(spark, dir).select("source", "text"),
-        col("text"), width = 20, stride = 20)
-      .select(col("source"), md5(col("chunk_text")).as("h"))
-      .distinct()
-      .localCheckpoint(false)
-    p.select(col("source").as("source_a"), col("h"))
-      .join(p.select(col("source").as("source_b"), col("h")), "h")
-      .filter(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_shared"))
+    * ONE execution). At web scale pass maxDf (Dedup.sourceOverlap's
+    * d14-style df cap — boilerplate hashes are dropped before the
+    * self-join, soak-exercised in Soak.scala); at the fixture's 20
+    * sources the uncapped join is exact and tiny. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.sourceOverlap(Tables.documents(spark, dir),
+        col("source"), col("text"), width = 20, stride = 20,
+        maxDf = None)
       .orderBy("source_a", "source_b")
-  }
+
+  /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
+    * engaged (maxDf=3): passage hashes present in more than 3
+    * sources are treated as boilerplate and dropped BEFORE the
+    * self-join, bounding pair fanout by maxDf·Σdf instead of
+    * |sources|² per ubiquitous hash. The cap BITES at every SF
+    * (1/1/32 hashes dropped at sf0.001/0.01/0.1, pair counts 29/27/
+    * 139 vs d16's 33/32/187) so the oracle exercises both branches:
+    * hashes kept under the cap and hashes excluded above it. */
+  def d17CappedOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.sourceOverlap(Tables.documents(spark, dir),
+        col("source"), col("text"), width = 20, stride = 20,
+        maxDf = Some(3))
+      .orderBy("source_a", "source_b")
 
   /** s9: IVF recall-vs-nProbe sweep — the tuning curve that picks the
     * probe count for a target recall (FAISS's standard operating
@@ -385,6 +390,7 @@ object DedupSim {
     "s7_mmr" -> (s7Mmr _),
     "s8_recall" -> (s8Recall _),
     "d16_source_overlap" -> (d16SourceOverlap _),
+    "d17_capped_overlap" -> (d17CappedOverlap _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
 
@@ -931,6 +937,20 @@ object DedupSim {
          SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_shared
          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d17_capped_overlap" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p),
+         keep AS (SELECT source, h FROM sh
+           WHERE h IN (SELECT h FROM sh GROUP BY h HAVING count(*) <= 3))
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM keep a JOIN keep b ON a.h = b.h AND a.source < b.source
          GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

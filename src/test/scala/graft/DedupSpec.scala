@@ -6,6 +6,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("sourceOverlap df cap: exact when cap covers max df, drops only boilerplate above it") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf).select("source", "text")
+    val uncapped = Dedup.sourceOverlap(docs, col("source"), col("text"),
+      width = 20, stride = 20, maxDf = None)
+    // a cap at/above the source count can never exclude a hash
+    val nSources = docs.select("source").distinct().count().toInt
+    val capped = Dedup.sourceOverlap(docs, col("source"), col("text"),
+      width = 20, stride = 20, maxDf = Some(nSources))
+    assert(capped.exceptAll(uncapped).isEmpty
+      && uncapped.exceptAll(capped).isEmpty,
+      "cap ≥ |sources| changed the result")
+
+    // plant a boilerplate passage in every source plus one genuine
+    // reprint between two sources; cap=2 must drop the boilerplate
+    // pairs and keep the reprint
+    val boiler = (" the quick brown fox jumps over the lazy dog again"
+      * 2).trim // 20 tokens
+    val reprint = ("unique reprint passage alpha beta gamma delta "
+      + "epsilon zeta eta theta iota kappa lambda mu nu xi omicron "
+      + "pi rho") // 20 tokens
+    val planted = spark.createDataFrame(Seq(
+      ("s1", s"$boiler"), ("s2", s"$boiler"), ("s3", s"$boiler"),
+      ("s1", s"$reprint"), ("s2", s"$reprint")))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(planted, col("source"), col("text"),
+      width = 20, stride = 20, maxDf = Some(2))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set(("s1", "s2", 1L)),
+      s"cap=2 expected only the s1-s2 reprint pair, got ${got.mkString(",")}")
+  }
+
   test("d1 finds exactly the planted exact-duplicate pairs") {
     val df = SparkEntry.queries("d1_exact")(spark, sf)
     val nDocs = Tables.documents(spark, sf).count()

@@ -99,6 +99,13 @@ class EmptyInputSpec extends AnyFunSuite {
     val someQueries = vocab.select(col("tok").as("query")).limit(3)
     assert(Indexing.spellcheck(someQueries, vocab.filter(lit(false)),
       maxDist = 2).count() == 0)
+    // source overlap: empty corpus → empty matrix, capped and not
+    val emptySrc = emptyDocs.withColumn("source", lit("s"))
+      .filter(lit(false))
+    assert(graft.dedup.Dedup.sourceOverlap(emptySrc, col("source"),
+      col("text"), 20, 20, maxDf = None).count() == 0)
+    assert(graft.dedup.Dedup.sourceOverlap(emptySrc, col("source"),
+      col("text"), 20, 20, maxDf = Some(3)).count() == 0)
   }
 
   test("histogram of an empty frame and of an all-null column is empty (r5 ADVICE)") {
