@@ -118,8 +118,13 @@ object Multimodal {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the
+      // pair, so the two orders are equivalent — dropping failed
+      // candidates map-side keeps the distinct's shuffle at
+      // matched-pair volume instead of chunk-collision-candidate
+      // volume
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Binary metadata extraction (the oracled m1 surface): size,
