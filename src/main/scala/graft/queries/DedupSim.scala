@@ -212,6 +212,41 @@ object DedupSim {
         maxDf = None)
       .orderBy("source_a", "source_b")
 
+  /** d18: duplicate-cluster representative selection — the canonical
+    * dedup OUTPUT: d8's clustering reduced to the keep-list a
+    * pipeline actually writes (keep the LONGEST member per cluster,
+    * ties to the smallest doc_id — the planted exact copies tie on
+    * n_chars, so the tie branch is oracle-exercised at every SF).
+    * Singleton clusters are excluded: the keep-list's interesting
+    * rows are the ones where something was dropped. Plan: the d8
+    * pipeline (LSH candidates → min-label propagation) → ONE shared
+    * membership frame (single-plan lazy checkpoint: the counts and
+    * window branches belong to one execution) → per-cluster
+    * row_number + member count, both shuffles keyed on cluster_id. */
+  def d18ClusterRep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.augmentedDocs(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    val mem = docs
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_chars"))
+      .localCheckpoint(false)
+    val counts = mem.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(counts, Seq("cluster_id"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col("n_chars").as("rep_n_chars"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
     * engaged (maxDf=3): passage hashes present in more than 3
     * sources are treated as boilerplate and dropped BEFORE the
@@ -391,6 +426,7 @@ object DedupSim {
     "s8_recall" -> (s8Recall _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d17_capped_overlap" -> (d17CappedOverlap _),
+    "d18_cluster_rep" -> (d18ClusterRep _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
 
@@ -546,6 +582,34 @@ object DedupSim {
            (coalesce(l.cluster_id, b.doc_id) = b.doc_id) AS is_canonical
          FROM base b LEFT JOIN lbl l USING (doc_id)
          ORDER BY doc_id""",
+    "d18_cluster_rep" ->
+      s"""WITH RECURSIVE $shingleCte,
+         $minhashPairsCtes,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach(v, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lbl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+           FROM reach GROUP BY v),
+         mem AS (
+           SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+             CAST(b.n_chars AS BIGINT) AS n_chars
+           FROM base b LEFT JOIN lbl l USING (doc_id)),
+         cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM mem GROUP BY 1),
+         rep AS (
+           SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM mem)
+         SELECT r.cluster_id, r.rep_id, r.rep_n_chars, c.n_members
+         FROM rep r JOIN cnt c USING (cluster_id)
+         WHERE r.rn = 1 AND c.n_members >= 2
+         ORDER BY r.cluster_id""",
     // d12: the incremental probe replayed — same sig/band CTEs as d3,
     // but candidates are (delta >= 1000000) x (base < 1000000) only
     "d12_incremental" ->

@@ -132,7 +132,34 @@ object PipelineQ {
       .orderBy(col("n_tokens").desc, col("source").asc)
   }
 
+  /** p11: contamination-aware split accounting — the audit a
+    * pipeline runs before training: p1's deterministic hash split
+    * joined with d7's decontamination verdict, aggregated to
+    * (split, contaminated) counts. Answers "how much of each split
+    * survives decontamination, and does eval leakage concentrate in
+    * any split". Plan: the d7 pipeline (benchmark shingles
+    * broadcast, corpus-side explode map-thinned by the join) plus a
+    * map-only split assignment — the doc_id aggregate is the only
+    * wide stage beyond d7's own; output is O(splits) rows. Both
+    * verdict branches live at every SF (e.g. 559 of 4502 train docs
+    * contaminated at sf0.1). */
+  def p11DecontamSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val verdict = graft.dedup.Dedup.decontaminate(
+      corpus = docs.filter(col("doc_id") >= 10),
+      benchmark = docs.filter(col("doc_id") < 10),
+      minSharedShingles = 3)
+    val splits = Corpus.hashSplit(
+      docs.filter(col("doc_id") >= 10).select("doc_id"),
+      col("doc_id"), pctTrain = 90, pctVal = 5)
+    splits.join(verdict.select("doc_id", "contaminated"), Seq("doc_id"))
+      .groupBy("split", "contaminated")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "contaminated")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_decontam_split" -> (p11DecontamSplit _),
     "p10_token_budget" -> (p10TokenBudget _),
     "p7_curriculum" -> (p7Curriculum _),
     "p8_domain_cap" -> (p8DomainCap _),
@@ -146,6 +173,34 @@ object PipelineQ {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p11: d7's shingle-hit verdict (same '0:'-seeded md5 shingle
+    // hash) x p1's md5 bucket split, aggregated
+    "p11_decontam_split" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+           FROM toks),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+           FROM sh0),
+         bench AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id < 10),
+         cex AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id >= 10),
+         hits AS (SELECT doc_id, count(*) AS n_hits FROM cex JOIN bench USING (s) GROUP BY 1),
+         verdict AS (
+           SELECT d.doc_id, coalesce(h.n_hits, 0) >= 3 AS contaminated,
+             CAST(CAST(concat('0x', substr(md5(concat('7:', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 AS INT) AS bucket
+           FROM documents d LEFT JOIN hits h USING (doc_id)
+           WHERE d.doc_id >= 10)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+           contaminated, CAST(count(*) AS BIGINT) AS n_docs
+         FROM verdict GROUP BY 1, 2 ORDER BY 1, 2""",
     // p10: same \s+ token count, same (n_tokens desc, source) total
     // order, integer 40% rule; DuckDB window sums cast back from
     // HUGEINT
