@@ -586,6 +586,23 @@ object Dedup {
       .select(col("id"), coalesce(col("m"), col("id")).as("cluster_id"))
   }
 
+  /** Edge-count-adaptive connected components: route to min-label
+    * propagation or the large/small-star twin from the MEASURED soak
+    * crossover (Soak.scala, identical clusters both sides: min-label
+    * 4.7 vs 6.6 s at 243k edges, star 14.6 vs 17.7 s at 2.16M —
+    * min-label's per-round edges⋈labels join grows with edge volume,
+    * star contraction amortizes it above ~1M edges). The pair frame
+    * is eagerly checkpointed once — the count that steers and every
+    * iteration read the materialized blocks, so the (possibly
+    * expensive) candidate pipeline runs exactly once. */
+  def connectedComponentsAdaptive(pairs: DataFrame, aCol: String,
+      bCol: String, crossover: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint(true)
+    if (p.count() <= crossover) connectedComponents(p, "a", "b")
+    else connectedComponentsStar(p, "a", "b")
+  }
+
   /** Cross-source duplication matrix (d16's operator form): for
     * every source pair, how many distinct `width`-token passages they
     * share. Plan: d13's chunker (posexplode, map-only) → md5 →

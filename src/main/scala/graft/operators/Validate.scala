@@ -197,12 +197,23 @@ object Validate {
     * bound moved. */
   def profileDrift(prev: DataFrame, cur: DataFrame, cols: Seq[String],
       nullRateThreshold: Double = 0.05,
+      distinctRatioLo: Double = 0.5): DataFrame =
+    profileDriftFromProfiles(profile(prev, cols), profile(cur, cols),
+      nullRateThreshold, distinctRatioLo)
+
+  /** The comparison stage of [[profileDrift]] over ALREADY-computed
+    * [[profile]] frames — what an incremental monitor stores and
+    * replays: profiles are O(|cols|) rows, so keeping the previous
+    * one and comparing per batch costs the new batch's scan plus a
+    * tiny join, never a rescan of history (streaming/DriftStream). */
+  def profileDriftFromProfiles(prevProf: DataFrame, curProf: DataFrame,
+      nullRateThreshold: Double = 0.05,
       distinctRatioLo: Double = 0.5): DataFrame = {
-    val p = profile(prev, cols).select(col("col_name"),
+    val p = prevProf.select(col("col_name"),
       col("n_rows").as("prev_rows"), col("n_null").as("prev_null"),
       col("n_distinct").as("prev_distinct"),
       col("min_str").as("prev_min"), col("max_str").as("prev_max"))
-    val c = profile(cur, cols).select(col("col_name"),
+    val c = curProf.select(col("col_name"),
       col("n_rows").as("cur_rows"), col("n_null").as("cur_null"),
       col("n_distinct").as("cur_distinct"),
       col("min_str").as("cur_min"), col("max_str").as("cur_max"))

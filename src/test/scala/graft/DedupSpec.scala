@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite {
   import TestSession._
 
+  test("adaptive connected components matches both algorithms on either side of the crossover") {
+    import graft.dedup.Dedup
+    val docs = Dedup.augmentedDocs(spark, sf)
+    val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.8)
+      .localCheckpoint(true)
+    val viaMin = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    // default crossover: fixture edge count is far below 1M → min-label route
+    val adaptLo = Dedup.connectedComponentsAdaptive(pairs, "a_id", "b_id")
+    assert(adaptLo.exceptAll(viaMin).isEmpty
+      && viaMin.exceptAll(adaptLo).isEmpty)
+    // crossover=0 forces the star route; labels must be identical
+    val adaptHi = Dedup.connectedComponentsAdaptive(pairs, "a_id", "b_id",
+      crossover = 0L)
+    assert(adaptHi.exceptAll(viaMin).isEmpty
+      && viaMin.exceptAll(adaptHi).isEmpty)
+  }
+
   test("sourceOverlap df cap: exact when cap covers max df, drops only boilerplate above it") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf).select("source", "text")

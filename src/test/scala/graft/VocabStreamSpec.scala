@@ -131,6 +131,29 @@ class VocabStreamSpec extends AnyFunSuite {
       "suggestions after mid-crash recovery")
   }
 
+  test("12 heavy appends under maintain() keep the history bounded and serving exact") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val parts = (0 until 12).map(i => docs.filter(col("doc_id") % 12 === i))
+    val idx = java.nio.file.Files.createTempDirectory("graft_vcad")
+      .resolve("vocabindex").toString
+    VocabIndex.build(parts.head, "text", idx, prefixLen = 3, k = 3,
+      tag = Some("t0"))
+    parts.tail.zipWithIndex.foreach { case (p, i) =>
+      VocabIndex.append(p, "text", idx, 3, 3, tag = Some(s"t${i + 1}"))
+      VocabIndex.maintain(idx, keep = 3)
+    }
+    Seq("vocab", "suggest").foreach { t =>
+      val vs = VersionedTable.listVersions(s"$idx/$t")
+      assert(vs.size <= 3, s"$t history unbounded after 12 appends: $vs")
+      assert(vs.contains(VersionedTable.latestVersion(s"$idx/$t").get))
+    }
+    assertSameRows(VocabIndex.servingVocab(spark, idx),
+      Indexing.tokenCounts(docs, col("text")), "vocab after 12 appends")
+    assertSameRows(VocabIndex.servingSuggest(spark, idx),
+      Indexing.suggest(docs, col("text"), 3, 3),
+      "suggestions after 12 appends")
+  }
+
   test("appending an empty batch leaves the serving tables untouched") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     val idx = java.nio.file.Files.createTempDirectory("graft_vempty")
