@@ -53,6 +53,9 @@ object Soak {
     val (tCcStar, nCcStar) = time(
       dedup.Dedup.connectedComponentsStar(lshPairs, "a_id", "b_id")
         .agg(count_distinct(col("cluster_id"))).head.getLong(0))
+    // which side the production adaptive router (d8/d18) would take
+    // at this soaked edge count — star above the ~1M crossover
+    val ccRoute = dedup.Dedup.ccRouteForCount(nLsh)
     lshPairs.unpersist()
     val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
     // Bloom-prefiltered decontamination at 10x: the corpus side (the
@@ -220,7 +223,7 @@ object Soak {
       capCorpus, col("source"), col("text"), width = 20, stride = 20,
       maxDf = Some(2 * nReplicas)).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

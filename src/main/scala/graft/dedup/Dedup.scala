@@ -183,6 +183,52 @@ object Dedup {
       .filter(col("n_shared") * 100 >= lit(thresholdPct) * col("n_min"))
   }
 
+  /** Containment KEEP-LIST — [[containmentPairs]] reduced to the
+    * per-document decision a pipeline applies. Asymmetric semantics:
+    * in a containment pair the CONTAINED document (the smaller
+    * shingle set — the quote) is dropped and the superset document
+    * kept; when the sets tie in size (mutual containment, the planted
+    * exact copies) the larger doc_id drops, so the tie branch is
+    * data-exercised. A document contained in several supersets drops
+    * once, reported with its smallest container and the container
+    * count. Same candidate generation and df cap as the pair form —
+    * one extra groupBy on the (already thresholded) pair output, so
+    * the scale posture is unchanged. Returns
+    * (dropped_id, kept_in, n_containers). */
+  def containmentKeepList(docs: DataFrame, thresholdPct: Int,
+      maxDf: Int): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100, s"pct in [1,100]")
+    val s = withHashedShingles(docs).localCheckpoint(false)
+    val posts = s.select(col("doc_id"), explode(col("sh")).as("h"))
+    val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val rp = posts.join(rare.select("h"), "h")
+    val cand = rp.as("a").join(rp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val scored = cand
+      .join(s.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        graft.plans.IntersectCount.intersectCount(col("a_sh"), col("b_sh"))
+          .cast("long").as("n_shared"),
+        size(col("a_sh")).cast("long").as("n_a"),
+        size(col("b_sh")).cast("long").as("n_b"))
+      .filter(col("n_shared") * 100
+        >= lit(thresholdPct) * least(col("n_a"), col("n_b")))
+    val verdicts = scored.select(
+      when(col("n_a") < col("n_b"), col("a_id"))
+        .when(col("n_b") < col("n_a"), col("b_id"))
+        .otherwise(greatest(col("a_id"), col("b_id"))).as("dropped_id"),
+      when(col("n_a") < col("n_b"), col("b_id"))
+        .when(col("n_b") < col("n_a"), col("a_id"))
+        .otherwise(least(col("a_id"), col("b_id"))).as("container_id"))
+    verdicts.groupBy("dropped_id")
+      .agg(min(col("container_id")).as("kept_in"),
+        count(lit(1)).as("n_containers"))
+  }
+
   /** MinHash permutation constants: m_i = min over hashed shingles h
     * of (A_i·h + B_i) mod P. Products stay < 2^52 (A < 2^20,
     * h < 2^32), so the arithmetic is exact in any engine's 64-bit
@@ -595,11 +641,17 @@ object Dedup {
     * is eagerly checkpointed once — the count that steers and every
     * iteration read the materialized blocks, so the (possibly
     * expensive) candidate pipeline runs exactly once. */
+  /** The routing rule, exposed so callers (Soak's router line, specs)
+    * can observe which algorithm a given edge count selects. */
+  def ccRouteForCount(nEdges: Long, crossover: Long = 1000000L): String =
+    if (nEdges <= crossover) "minlabel" else "star"
+
   def connectedComponentsAdaptive(pairs: DataFrame, aCol: String,
       bCol: String, crossover: Long = 1000000L): DataFrame = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .localCheckpoint(true)
-    if (p.count() <= crossover) connectedComponents(p, "a", "b")
+    if (ccRouteForCount(p.count(), crossover) == "minlabel")
+      connectedComponents(p, "a", "b")
     else connectedComponentsStar(p, "a", "b")
   }
 

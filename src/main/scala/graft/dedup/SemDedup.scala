@@ -65,4 +65,57 @@ object SemDedup {
       .select(col("id"), col("cluster_id"),
         coalesce(!col("is_dropped"), lit(true)).as("is_kept"))
   }
+
+  /** SemDeDup cluster REPRESENTATIVE selection — the keep-list
+    * reduction of [[semDedup]] (the d18-for-d11 shape): per coarse
+    * cluster, the CENTROID-NEAREST surviving member (rank on the
+    * rounded assignment cosine desc, id asc — rank-on-rounded is the
+    * cross-engine-deterministic technique the assignment itself
+    * uses), plus member/kept/dropped counts. Only clusters where the
+    * greedy pass dropped at least one member are emitted — the rows
+    * where the keep decision did something. One extra
+    * cluster_id-keyed aggregate + window over the membership frame;
+    * the quadratic term stays bounded by the largest cluster exactly
+    * as in [[semDedup]]. Returns
+    * (cluster_id, rep_id, n_members, n_kept, n_dropped). */
+  def semDedupRep(vecs: DataFrame, seedKey: String, tau: Double,
+      centroidScale: Long = 1000000L): DataFrame = {
+    val cents = Ivf.centroidsQuantized(vecs, seedKey, "v", centroidScale)
+    val scored = vecs.select(col("id"), col("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
+    val assigned = scored.withColumn("p", row_number().over(w))
+      .filter(col("p") === 1)
+      .select(col("id"), col("v"), col("list_id").as("cluster_id"),
+        col("c_cos"))
+      .localCheckpoint(false) // single plan reads it 3x: pair sides + membership
+    val a = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
+      col("cluster_id"))
+    val b = assigned.select(col("id").as("b_id"), col("v").as("b_v"),
+      col("cluster_id"))
+    val dropped = a.join(b, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id")
+        && Vectors.cosine4(col("a_v"), col("b_v")) >= tau)
+      .select(col("b_id").as("id")).distinct()
+      .withColumn("is_dropped", lit(true))
+    val mem = assigned.select("id", "cluster_id", "c_cos")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cluster_id"), col("c_cos"),
+        coalesce(!col("is_dropped"), lit(true)).as("is_kept"))
+      .localCheckpoint(false) // single plan reads it 2x: counts + rep window
+    val counts = mem.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("is_kept").cast("long")).as("n_kept"),
+        sum((!col("is_kept")).cast("long")).as("n_dropped"))
+    val rw = Window.partitionBy("cluster_id")
+      .orderBy(col("c_cos").desc, col("id").asc)
+    mem.filter(col("is_kept"))
+      .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+      .join(counts, Seq("cluster_id"))
+      .filter(col("n_dropped") >= 1)
+      .select(col("cluster_id"), col("id").as("rep_id"),
+        col("n_members"), col("n_kept"), col("n_dropped"))
+  }
 }

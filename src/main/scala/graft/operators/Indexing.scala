@@ -291,8 +291,14 @@ object Indexing {
     * sit within ±1 length (the d6 lesson): both frames are
     * vocabulary-sized, tiny relative to the corpus that produced
     * them, and the blocking bounds the levenshtein calls to per-block
-    * crosses. `queries` needs a `query` column; `vocab` needs
-    * (tok, freq). */
+    * crosses. KNOWN RECALL LIMIT of that blocking: a typo in the
+    * FIRST character ('qipeline'→'pipeline', dist 1) or a 2-edit
+    * query whose length differs by 2 never meets its correction,
+    * even though dist <= maxDist — the standard trade Solr's own
+    * n-gram-blocked spellchecker makes; widen the block (first OR
+    * last char, ±maxDist length) if fuller recall is worth the extra
+    * levenshtein volume. `queries` needs a `query` column; `vocab`
+    * needs (tok, freq). */
   def spellcheck(queries: DataFrame, vocab: DataFrame,
       maxDist: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

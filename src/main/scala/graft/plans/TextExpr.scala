@@ -47,15 +47,23 @@ case class CharClassCounts(child: Expression) extends UnaryExpression {
 }
 
 object CharClassCounts {
-  /** One pass; shared by interpreted eval and generated code. */
+  /** One pass over the raw UTF-8 bytes; shared by interpreted eval
+    * and generated code. All counted chars (a–z, space) are
+    * single-byte ASCII, and every byte of a multi-byte UTF-8
+    * sequence is >= 0x80 — so a plain byte scan can never
+    * mis-attribute part of a multi-byte code point to a counted
+    * class. No String copy (the r6 version's `toString` allocated
+    * one per row on the 100 TB scan path). */
   def count(s: UTF8String): Array[Int] = {
-    val str = s.toString
+    val base = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes
     val out = new Array[Int](27)
     var i = 0
-    while (i < str.length) {
-      val c = str.charAt(i)
-      if (c >= 'a' && c <= 'z') out(c - 'a') += 1
-      else if (c == ' ') out(26) += 1
+    while (i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, offset + i)
+      if (b >= 0x61 && b <= 0x7a) out(b - 0x61) += 1
+      else if (b == 0x20) out(26) += 1
       i += 1
     }
     out

@@ -99,11 +99,15 @@ object DedupSim {
   /** d8: the full dedup decision — MinHash-LSH pairs (the d3
     * pipeline) → connected components → every document labeled with
     * its cluster's canonical (minimum) id; `is_canonical` marks the
-    * one document per cluster a training pipeline would keep. */
+    * one document per cluster a training pipeline would keep. The CC
+    * step routes through the edge-count-adaptive picker (min-label
+    * below the measured ~1M-edge crossover, large/small-star above —
+    * both routes equivalence-spec'd, so the label output is route-
+    * independent). */
   def d8Cluster(spark: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.augmentedDocs(spark, dir)
     val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.8)
-    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val cc = Dedup.connectedComponentsAdaptive(pairs, "a_id", "b_id")
       .withColumnRenamed("id", "doc_id")
     docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
@@ -226,7 +230,7 @@ object DedupSim {
   def d18ClusterRep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.augmentedDocs(spark, dir)
     val pairs = Dedup.minhashLsh(docs, k = 8, bands = 4, threshold = 0.8)
-    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val cc = Dedup.connectedComponentsAdaptive(pairs, "a_id", "b_id")
       .withColumnRenamed("id", "doc_id")
     val mem = docs
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
@@ -401,8 +405,33 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** d19: containment KEEP-LIST — d14's asymmetric pairs reduced to
+    * the per-document drop decision (keep the superset, drop the
+    * contained quote; size ties — the planted exact copies — drop the
+    * larger id, so the tie branch is oracle-exercised at every SF).
+    * One groupBy past the d14 plan; df cap unchanged. */
+  def d19ContainKeep(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentKeepList(Dedup.augmentedDocs(spark, dir),
+        thresholdPct = 70, maxDf = 4)
+      .orderBy("dropped_id")
+
+  /** d20: SemDeDup cluster representatives — d11 reduced to the
+    * per-cluster keep decision (centroid-nearest surviving member,
+    * rank on the ROUNDED assignment cosine desc / id asc — the same
+    * rank-on-rounded technique the assignment itself uses), with
+    * member/kept/dropped counts; only clusters where the greedy pass
+    * dropped something. */
+  def d20SemdedupRep(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.SemDedup.semDedupRep(
+        augmentedEmbeddings(spark, dir)
+          .select(col("vec_id").as("id"), col("label"), col("v")),
+        seedKey = "label", tau = 0.99)
+      .orderBy("cluster_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_hybrid" -> (s3Hybrid _),
+    "d19_contain_keep" -> (d19ContainKeep _),
+    "d20_semdedup_rep" -> (d20SemdedupRep _),
     "d1_exact" -> (d1Exact _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d14_containment" -> (d14Containment _),
@@ -550,6 +579,39 @@ object DedupSim {
          WHERE len(list_intersect(sa.sh, sb.sh)) * 100
            >= 70 * least(len(sa.sh), len(sb.sh))
          ORDER BY a_id, b_id""",
+    // d19: the d14 pipeline with per-side set sizes, then the
+    // asymmetric drop rule (smaller set drops; ties drop the larger
+    // id) and one group-by on the dropped side
+    "d19_contain_keep" ->
+      s"""WITH $shingleCte,
+         posts AS (SELECT doc_id, unnest(sh) AS h FROM shh),
+         rare AS (SELECT h FROM (
+             SELECT h, count(*) AS df FROM posts GROUP BY 1)
+           WHERE df >= 2 AND df <= 4),
+         rp AS (SELECT p.doc_id, p.h FROM posts p JOIN rare USING (h)),
+         cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         scored AS (
+           SELECT c.a_id, c.b_id,
+             CAST(len(sa.sh) AS BIGINT) AS n_a,
+             CAST(len(sb.sh) AS BIGINT) AS n_b
+           FROM cand c
+             JOIN shh sa ON sa.doc_id = c.a_id
+             JOIN shh sb ON sb.doc_id = c.b_id
+           WHERE len(list_intersect(sa.sh, sb.sh)) * 100
+             >= 70 * least(len(sa.sh), len(sb.sh))),
+         v AS (
+           SELECT
+             CASE WHEN n_a < n_b THEN a_id
+                  WHEN n_b < n_a THEN b_id
+                  ELSE greatest(a_id, b_id) END AS dropped_id,
+             CASE WHEN n_a < n_b THEN b_id
+                  WHEN n_b < n_a THEN a_id
+                  ELSE least(a_id, b_id) END AS container_id
+           FROM scored)
+         SELECT dropped_id, min(container_id) AS kept_in,
+           CAST(count(*) AS BIGINT) AS n_containers
+         FROM v GROUP BY 1 ORDER BY dropped_id""",
     "d2_ngram_jaccard" ->
       s"""WITH $shingleCte
          SELECT a_id, b_id, jaccard FROM (
@@ -653,6 +715,50 @@ object DedupSim {
          SELECT asn.vec_id, cluster_id,
            (asn.vec_id NOT IN (SELECT id FROM dropped)) AS is_kept
          FROM asn ORDER BY vec_id""",
+    // d20: d11's assignment + greedy drop replayed, then the
+    // per-cluster representative (rank on the ROUNDED assignment
+    // cosine desc, id asc over kept members) and counts; only
+    // clusters where something was dropped
+    "d20_semdedup_rep" ->
+      s"""WITH aug AS ($augEmb),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM aug CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label AS c_id, list(m ORDER BY dim) AS centroid
+           FROM cents0 GROUP BY 1),
+         asn AS (
+           SELECT vec_id, v, c_id AS cluster_id, c_cos FROM (
+             SELECT a.vec_id, a.v, c.c_id,
+               ${cosSql("a.v", "c.centroid")} AS c_cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.v", "c.centroid")} DESC, c.c_id ASC) AS p
+             FROM aug a CROSS JOIN cents c)
+           WHERE p = 1),
+         dropped AS (SELECT DISTINCT b.vec_id AS id
+           FROM asn a JOIN asn b
+             ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+           WHERE ${cosSql("a.v", "b.v")} >= 0.99),
+         mem AS (
+           SELECT vec_id, cluster_id, c_cos,
+             (vec_id NOT IN (SELECT id FROM dropped)) AS is_kept
+           FROM asn),
+         cnt AS (SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN is_kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+           FROM mem GROUP BY 1),
+         rep AS (
+           SELECT cluster_id, vec_id AS rep_id,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY c_cos DESC, vec_id ASC) AS rn
+           FROM mem WHERE is_kept)
+         SELECT r.cluster_id, r.rep_id, c.n_members, c.n_kept, c.n_dropped
+         FROM rep r JOIN cnt c USING (cluster_id)
+         WHERE r.rn = 1 AND c.n_dropped >= 1
+         ORDER BY r.cluster_id""",
     "d5_embed_cosine" ->
       s"""WITH aug AS ($augEmb)
          SELECT a_id, b_id, cos FROM (

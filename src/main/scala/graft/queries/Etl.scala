@@ -378,10 +378,16 @@ object Etl {
     VocabIndex.servingSuggest(spark, idx).orderBy("prefix", "rank")
   }
 
+  /** x13: range facet over a [100,500) grid chosen so BOTH edge-clamp
+    * branches (Solr facet.range.other=before/after folded into the
+    * edge buckets) carry real mass at every SF — matching docs run
+    * n_chars 48..577, so rows below 100 clamp into bucket 0 and rows
+    * at/above 500 clamp into bucket 7 (r6 verdict: the old [0,4000)
+    * grid left the clamp arithmetic oracle-dead). */
   def x13RangeFacet(spark: SparkSession, dir: String): DataFrame =
     Indexing.rangeFacet(Tables.documents(spark, dir),
         col("text").contains("vector"), col("n_chars"),
-        lo = 0L, gap = 400L, nBuckets = 10)
+        lo = 100L, gap = 50L, nBuckets = 8)
       .orderBy("bucket")
 
   /** x12: search-hit highlighting — ±20-char snippet around the
@@ -806,10 +812,10 @@ object Etl {
            FROM f)
          WHERE rank <= 3 ORDER BY prefix, rank""",
     "x13_range_facet" ->
-      """SELECT bucket, 0 + bucket * 400 AS bucket_lo,
+      """SELECT bucket, 100 + bucket * 50 AS bucket_lo,
            CAST(count(*) AS BIGINT) AS n
          FROM (
-           SELECT least(greatest(CAST(floor((CAST(n_chars AS BIGINT) - 0) / 400.0) AS BIGINT), 0), 9) AS bucket
+           SELECT least(greatest(CAST(floor((CAST(n_chars AS BIGINT) - 100) / 50.0) AS BIGINT), 0), 7) AS bucket
            FROM documents WHERE contains(text, 'vector'))
          GROUP BY bucket ORDER BY bucket""",
     // x12: identical window arithmetic from strpos; substr handles

@@ -24,7 +24,11 @@ object Multi {
     * runs before budgeting decode compute. Modality is derived
     * deterministically from the id hash (the fixture's payloads are
     * all text; a real corpus reads it from the magic prefix m1
-    * extracts). Map-side classify + one tiny groupBy. */
+    * extracts). Map-side classify + one tiny groupBy. The mean byte
+    * size is emitted as an EXACT integer (bytes*100, half-up integer
+    * division) — never float round(avg(...)), which diverges across
+    * engines on binary .5-decimal boundaries (the ta10 bug class;
+    * CLAUDE.md invariant). */
   def m2ModalityStats(spark: SparkSession, dir: String): DataFrame = {
     val mods = array(lit("text"), lit("image"), lit("audio"), lit("video"))
     Tables.documents(spark, dir)
@@ -34,8 +38,9 @@ object Multi {
           lit(4)) + 1).cast("int")))
       .groupBy("source", "modality")
       .agg(count(lit(1)).as("n_items"),
-        sum(length(col("payload"))).as("total_bytes"),
-        round(avg(length(col("payload"))), 2).as("avg_bytes"))
+        sum(length(col("payload"))).as("total_bytes"))
+      .withColumn("avg_bytes_x100",
+        expr("(total_bytes * 100 + n_items DIV 2) DIV n_items"))
       .orderBy("source", "modality")
   }
 
@@ -156,7 +161,7 @@ object Multi {
            FROM documents)
          SELECT source, modality, count(*) AS n_items,
            CAST(sum(nb) AS BIGINT) AS total_bytes,
-           round(avg(nb), 2) AS avg_bytes
+           CAST((CAST(sum(nb) AS BIGINT) * 100 + count(*) // 2) // count(*) AS BIGINT) AS avg_bytes_x100
          FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     // m5: the 60-bit block hash re-derived term by term (any slipped
     // sample position or threshold breaks the hash), then the same

@@ -50,9 +50,16 @@ object TextAnalysis {
     * lambdas evaluate interpreted per element, the d2 lesson, banned
     * in hot array paths). Map-only, no shuffle; output size is the
     * n/stride blowup the caller asked for, nothing more. Adds
-    * (chunk_idx, chunk_text) columns to `df`, one row per chunk. */
+    * (chunk_idx, chunk_text) columns to `df`, one row per chunk.
+    * Rejects input frames that already carry the internal/output
+    * names — withColumn would silently overwrite them (three call
+    * sites funnel arbitrary frames through here). */
   def explodeChunks(df: org.apache.spark.sql.DataFrame, text: Column,
       width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val reserved = Seq("__toks", "__start", "chunk_idx", "chunk_text")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"explodeChunks: input already has reserved column(s) ${clash.mkString(", ")}")
     val toks = split(trim(text), "\\s+")
     df.withColumn("__toks", toks)
       .select(col("*"), posexplode(

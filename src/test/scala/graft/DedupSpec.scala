@@ -23,6 +23,43 @@ class DedupSpec extends AnyFunSuite {
       && viaMin.exceptAll(adaptHi).isEmpty)
   }
 
+  test("containmentKeepList drops the contained side, ties drop the larger id") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // doc 1: 60 distinct tokens; doc 2: its first 30 (a strict quote —
+    // containment 100%, Jaccard well under any symmetric bar); doc 3:
+    // exact copy of doc 2 (the size-tie branch)
+    val toks = (1 to 60).map(i => s"tk$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),
+      (2L, toks.take(30).mkString(" ")),
+      (3L, toks.take(30).mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val out = Dedup.containmentKeepList(docs, thresholdPct = 70, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 2 is contained in 1 (smaller set drops); 3 drops twice: as the
+    // contained side of (1,3) and as the tie-loser of (2,3), reported
+    // once with its smallest container
+    assert(out == Set((2L, 1L, 1L), (3L, 1L, 2L)), s"got $out")
+
+    // fixture-scale sanity: the dropped side of every keep-list row
+    // appears in the pair form, and no doc is ever reported twice
+    val aug = Dedup.augmentedDocs(spark, sf)
+    val keep = Dedup.containmentKeepList(aug, thresholdPct = 70, maxDf = 4).cache()
+    assert(keep.groupBy("dropped_id").count().filter(col("count") > 1).count() == 0)
+    val pairs = Dedup.containmentPairs(aug, thresholdPct = 70, maxDf = 4)
+      .select(col("a_id").as("id")).unionByName(
+        Dedup.containmentPairs(aug, thresholdPct = 70, maxDf = 4)
+          .select(col("b_id").as("id"))).distinct()
+    assert(keep.select(col("dropped_id").as("id"))
+      .join(pairs, Seq("id"), "left_anti").count() == 0,
+      "every dropped doc must come from a containment pair")
+    keep.unpersist()
+    ()
+  }
+
   test("sourceOverlap df cap: exact when cap covers max df, drops only boilerplate above it") {
     import graft.dedup.Dedup
     val docs = Tables.documents(spark, sf).select("source", "text")

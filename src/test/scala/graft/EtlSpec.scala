@@ -94,4 +94,24 @@ class EtlSpec extends AnyFunSuite {
     // on the scan. Check filters were pushed.
     assert(plan.contains("PushedFilters"), plan.take(1000))
   }
+
+  test("x13 range facet clamps out-of-grid rows into BOTH edge buckets") {
+    // the r6 verdict found the clamp branch oracle-dead under the old
+    // [0,4000) grid; the [100,500) grid must keep real mass outside
+    // both edges at fixture scale, and the edge buckets must fold it in
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").contains("vector"))
+    val below = docs.filter(col("n_chars") < 100).count()
+    val above = docs.filter(col("n_chars") >= 500).count()
+    assert(below > 0 && above > 0,
+      s"fixture lost its out-of-grid mass (below=$below above=$above)")
+    val out = SparkEntry.queries("x13_range_facet")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val in0 = docs.filter(col("n_chars") >= 100 && col("n_chars") < 150).count()
+    val in7 = docs.filter(col("n_chars") >= 450 && col("n_chars") < 500).count()
+    assert(out(0L) == in0 + below,
+      s"bucket 0 must fold the before-grid rows in: ${out(0L)} vs $in0+$below")
+    assert(out(7L) == in7 + above,
+      s"bucket 7 must fold the after-grid rows in: ${out(7L)} vs $in7+$above")
+  }
 }

@@ -38,6 +38,31 @@ class SemDedupSpec extends AnyFunSuite {
     ()
   }
 
+  test("semDedupRep picks the centroid-nearest kept member, counts reconcile with semDedup") {
+    val vecs = DedupSim.augmentedEmbeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("label"), col("v"))
+    val full = SemDedup.semDedup(vecs, "label", tau = 0.99).cache()
+    val reps = SemDedup.semDedupRep(vecs, "label", tau = 0.99).cache()
+    // counts per cluster must reconcile exactly with the full verdict
+    val expect = full.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("is_kept").cast("long")).as("n_kept"),
+        sum((!col("is_kept")).cast("long")).as("n_dropped"))
+      .filter(col("n_dropped") >= 1)
+    val got = reps.select("cluster_id", "n_members", "n_kept", "n_dropped")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "per-cluster counts must equal the semDedup verdict aggregate")
+    // every representative is a KEPT member of its own cluster
+    val badRep = reps.select(col("rep_id").as("id"), col("cluster_id"))
+      .join(full, Seq("id", "cluster_id"), "left_anti")
+    assert(badRep.count() == 0, "rep must be a member of its cluster")
+    val droppedRep = reps.select(col("rep_id").as("id"))
+      .join(full.filter(!col("is_kept")), "id")
+    assert(droppedRep.count() == 0, "rep must be a kept member")
+    full.unpersist(); reps.unpersist()
+    ()
+  }
+
   test("incremental probe equals the full LSH restricted to delta-base links") {
     val aug = Dedup.augmentedDocs(spark, sf)
     val incr = Dedup.minhashLshIncremental(
