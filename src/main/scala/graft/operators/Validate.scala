@@ -236,6 +236,66 @@ object Validate {
           || col("bounds_changed"))
   }
 
+  /** Per-column QUANTILE profile through the KLL sketch aggregate
+    * ([[graft.plans.QuantileSketch]]) — the distribution-shape half
+    * of [[profile]]: a column whose bounds and null-rate hold steady
+    * can still collapse its interior (e.g. all mass migrating to
+    * short documents), and only a quantile fingerprint catches that.
+    * One aggregation pass over the frame (all columns and probes in
+    * a single agg — the sketch shuffles fixed-size summaries, never
+    * values, so the 100 TB cost is the scan it needed anyway).
+    *
+    * Integer-exact contract: intended for INTEGRAL columns; the
+    * sketch returns an input order statistic (exact when capacity ≥
+    * rows — the e12 trick), so the long cast is lossless and every
+    * emitted value is hash-portable across engines. Output: one row
+    * per (col_name, pct): (col_name, n_rows, pct, q). */
+  def quantileProfile(df: DataFrame, cols: Seq[String],
+      pcts: Seq[Int] = Seq(25, 50, 75, 90),
+      capacity: Int = 32768): DataFrame = {
+    require(cols.nonEmpty && pcts.nonEmpty)
+    val stats = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        count(col(c)).as("n_rows"),
+        graft.plans.QuantileSketch.quantiles(col(c).cast("double"),
+          capacity, pcts).as("qs"))
+    }
+    df.agg(stats.head.as("s0"), stats.tail.zipWithIndex.map {
+      case (s, i) => s.as(s"s${i + 1}") }: _*)
+      .select(explode(array(cols.indices.map(i => col(s"s$i")): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.n_rows").as("n_rows"),
+        posexplode(col("p.qs")).as(Seq("qi", "qv")))
+      .select(col("col_name"), col("n_rows"),
+        element_at(array(pcts.map(lit): _*), col("qi") + 1).as("pct"),
+        col("qv").cast("long").as("q"))
+  }
+
+  /** The comparison stage of quantile drift over ALREADY-computed
+    * [[quantileProfile]] frames (what the streaming monitor stores):
+    * per (col_name, pct), the shift and an ALL-INTEGER verdict —
+    * shifted ⇔ |cur−prev|·100 > maxShiftPct·max(|prev|, 1) — so no
+    * float ratio can hit a cross-engine round boundary. */
+  def quantileDriftFromProfiles(prevQ: DataFrame, curQ: DataFrame,
+      maxShiftPct: Int = 10): DataFrame = {
+    val p = prevQ.select(col("col_name"), col("pct"), col("q").as("prev_q"))
+    val c = curQ.select(col("col_name"), col("pct"), col("q").as("cur_q"))
+    p.join(c, Seq("col_name", "pct"))
+      .select(col("col_name"), col("pct"), col("prev_q"), col("cur_q"),
+        (col("cur_q") - col("prev_q")).as("delta"))
+      .withColumn("shifted",
+        abs(col("delta")) * 100 > lit(maxShiftPct) * greatest(abs(col("prev_q")), lit(1L)))
+  }
+
+  /** End-to-end quantile drift between two frames (the v12 query
+    * surface): two sketch passes + the O(|cols|·|pcts|) compare. */
+  def quantileDrift(prev: DataFrame, cur: DataFrame, cols: Seq[String],
+      pcts: Seq[Int] = Seq(25, 50, 75, 90), maxShiftPct: Int = 10,
+      capacity: Int = 32768): DataFrame =
+    quantileDriftFromProfiles(
+      quantileProfile(prev, cols, pcts, capacity),
+      quantileProfile(cur, cols, pcts, capacity), maxShiftPct)
+
   /** Per-source filter stats + the all-filtered guard
     * (reference: validate.py:101-121 warns per file and raises when
     * every record in the run is filtered). */

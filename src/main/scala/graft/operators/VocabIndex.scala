@@ -151,17 +151,6 @@ object VocabIndex {
     * never the serving one (the alias swap happened before any
     * reader could still need older versions only for rollback). */
   def maintain(dir: String, keep: Int = 3): Unit =
-    Seq(vocabDir(dir), suggestDir(dir)).foreach { d =>
-      val serving = VersionedTable.latestVersion(d).getOrElse(-1L)
-      VersionedTable.listVersions(d).sorted.dropRight(keep)
-        .filter(_ != serving)
-        .foreach { v =>
-          val p = java.nio.file.Paths.get(d, s"v=$v")
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(p)
-          val paths = try walk.iterator().asScala.toSeq finally walk.close()
-          paths.sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-    }
+    Seq(vocabDir(dir), suggestDir(dir))
+      .foreach(VersionedTable.pruneVersions(_, keep))
 }

@@ -447,6 +447,23 @@ object Etl {
     * schema-erosion guard that should fail a run before the index
     * swap. The perturbation is deterministic and mirrored in the
     * oracle. */
+  /** v12: distribution drift via quantile-sketch deltas — the shape
+    * change v8's min/max/null-rate profile CANNOT see: the synthetic
+    * "current" feed halves n_chars for even doc_ids (interior mass
+    * collapses; bounds barely move) while doc_id thins uniformly
+    * (quantiles hold). Exact at fixture scale (sketch capacity ≥
+    * rows, the e12 trick) and ALL-INTEGER end to end. Both verdict
+    * branches are live: n_chars quantiles shift past 10%, doc_id's
+    * don't. */
+  def v12QuantileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val prev = Tables.documents(spark, dir)
+    val cur = prev.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 2 === 0,
+        expr("n_chars DIV 2")).otherwise(col("n_chars").cast("long")))
+    Validate.quantileDrift(prev, cur, Seq("doc_id", "n_chars"))
+      .orderBy("col_name", "pct")
+  }
+
   def v8ProfileDrift(spark: SparkSession, dir: String): DataFrame = {
     val prev = Tables.documents(spark, dir)
     val cur = prev.filter(col("doc_id") % 5 =!= 0)
@@ -473,6 +490,7 @@ object Etl {
     "v11_integrity" -> (v11Integrity _),
     "x6_compact" -> (x6Compact _),
     "v8_profile_drift" -> (v8ProfileDrift _),
+    "v12_quantile_drift" -> (v12QuantileDrift _),
     "x7_bm25" -> (x7Bm25 _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
@@ -657,6 +675,46 @@ object Etl {
          FROM documents GROUP BY source ORDER BY source_file""",
     // v8: per-column stat profiles of both snapshots via the v5
     // union-all pattern, joined; verdicts compare ROUNDED deltas
+    // v12: the sketch's exact path replayed as order statistics —
+    // rank = ceil(pct*n/100) via (pct*n + 99) // 100 (the e12
+    // identity), all-integer deltas and verdicts
+    "v12_quantile_drift" ->
+      """WITH prev_src AS (
+           SELECT 'doc_id' AS col_name, CAST(doc_id AS BIGINT) AS v FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(n_chars AS BIGINT) FROM documents),
+         cur_base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT) // 2
+                  ELSE CAST(n_chars AS BIGINT) END AS n_chars
+           FROM documents WHERE doc_id % 5 <> 0),
+         cur_src AS (
+           SELECT 'doc_id' AS col_name, CAST(doc_id AS BIGINT) AS v FROM cur_base
+           UNION ALL
+           SELECT 'n_chars', n_chars FROM cur_base),
+         pcts AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INT) AS pct),
+         pr AS (
+           SELECT col_name, v,
+             row_number() OVER (PARTITION BY col_name ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY col_name) AS n
+           FROM prev_src),
+         p AS (
+           SELECT col_name, pct, max(CASE WHEN rn = (pct*n + 99) // 100 THEN v END) AS prev_q
+           FROM pr CROSS JOIN pcts GROUP BY 1, 2),
+         cr AS (
+           SELECT col_name, v,
+             row_number() OVER (PARTITION BY col_name ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY col_name) AS n
+           FROM cur_src),
+         c AS (
+           SELECT col_name, pct, max(CASE WHEN rn = (pct*n + 99) // 100 THEN v END) AS cur_q
+           FROM cr CROSS JOIN pcts GROUP BY 1, 2)
+         SELECT p.col_name, p.pct,
+           CAST(p.prev_q AS BIGINT) AS prev_q, CAST(c.cur_q AS BIGINT) AS cur_q,
+           CAST(c.cur_q - p.prev_q AS BIGINT) AS delta,
+           (abs(c.cur_q - p.prev_q) * 100 > 10 * greatest(abs(p.prev_q), 1)) AS shifted
+         FROM p JOIN c ON p.col_name = c.col_name AND p.pct = c.pct
+         ORDER BY 1, 2""",
     "v8_profile_drift" ->
       """WITH cur AS (
            SELECT doc_id,

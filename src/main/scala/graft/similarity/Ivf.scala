@@ -124,9 +124,30 @@ object Ivf {
     * a pointer swap. Centroid drift from accumulated appends is
     * repaired by a periodic [[buildIndex]] re-train + [[compactSegments]]
     * — exactly Lucene's add-then-merge rhythm applied to ANN.
-    * Returns the new segment id. */
+    *
+    * `tag` makes the append IDEMPOTENT under streaming replay
+    * (VocabIndex's tag protocol): the manifest version that lists the
+    * new segment carries the `(lineage, batchId)` tag, so a replayed
+    * batch whose manifest already committed is detected and SKIPPED
+    * (finishing the pointer swap if the crash interrupted it) instead
+    * of re-appending the same vectors as a second live segment —
+    * unlike BM25's tombstone merge, an IVF re-append has no
+    * replacement semantics, so without the tag a crash between the
+    * manifest flip and the stream's batch marker would serve
+    * duplicate (id, v) rows forever. Returns the (new or
+    * already-committed) segment id. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      delta: DataFrame): Long = {
+      delta: DataFrame, tag: Option[String] = None): Long = {
+    val manifestDir0 = s"$dir/segmanifest"
+    tag.flatMap(t =>
+        graft.sources.VersionedTable.taggedVersion(manifestDir0, t)) match {
+      case Some(v) =>
+        if (graft.sources.VersionedTable.latestVersion(manifestDir0).forall(_ < v))
+          graft.sources.VersionedTable.swapTo(manifestDir0, v)
+        return spark.read.parquet(s"$manifestDir0/v=$v")
+          .agg(max("seg_id")).head.getLong(0)
+      case None => ()
+    }
     val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
     val scored = delta.select(col("id"), col("v")).crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("list_id"),
@@ -157,7 +178,7 @@ object Ivf {
       .parquet(s"$dir/segments/seg=$segId")
     import spark.implicits._
     graft.sources.VersionedTable.write(
-      (prior :+ segId).toDF("seg_id"), manifestDir)
+      (prior :+ segId).toDF("seg_id"), manifestDir, tag)
     segId
   }
 

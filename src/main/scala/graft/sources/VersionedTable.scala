@@ -85,4 +85,27 @@ object VersionedTable {
       throw new IllegalStateException(s"no serving version under $dir"))
     spark.read.parquet(s"$dir/v=$v")
   }
+
+  /** Bounded-history maintenance: delete all but the newest `keep`
+    * versions, never the serving one — the cadence contract every
+    * long-lived maintainer needs so a year of micro-batches can't
+    * grow version dirs without limit. Safe to call at any batch
+    * boundary: the serving version is exempt even if it is old (a
+    * rolled-back pointer). */
+  def pruneVersions(dir: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least one version")
+    val serving = latestVersion(dir).getOrElse(-1L)
+    listVersions(dir).sorted.dropRight(keep)
+      .filter(_ != serving)
+      .foreach { v => deleteRecursively(Paths.get(dir, s"v=$v")) }
+  }
+
+  /** Recursive delete (children before parents). */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
 }

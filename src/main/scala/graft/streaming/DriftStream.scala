@@ -15,23 +15,39 @@ import graft.sources.VersionedTable
   * a field or collapses its value domain is flagged one batch after
   * it happens, not at the next full-corpus audit.
   *
-  * Scale shape: per batch, ONE profile aggregation over the batch
-  * (the scan it needed anyway) plus a |cols|-row join against the
-  * stored profile — history is never rescanned; monitor state is the
-  * O(|cols|) previous profile.
+  * Since round 7 the monitor optionally carries a SECOND profile
+  * family: per-column QUANTILE fingerprints (`quantileCols` →
+  * [[Validate.quantileProfile]], the KLL sketch), compared per batch
+  * into `qdrift/batch=<id>` — the shape change min/max/null-rate
+  * cannot see (v12's batch form, run incrementally). Both families
+  * ride the same batch scan; state is O(|cols|·|pcts|).
   *
-  * Replay protocol: report BEFORE profile, both idempotent — the
-  * report write is a deterministic per-batch overwrite, and the
-  * profile write carries the `(lineage, batchId)` tag, so recovery
-  * from any crash point either recomputes the identical report
-  * against the still-previous profile or (tagged profile present —
-  * meaning the report already landed, by the ordering) skips
-  * straight to finishing the swap. The batchId marker then closes
-  * the batch as in the other maintainers. */
+  * Scale shape: per batch, ONE aggregation pass over the batch per
+  * family plus |cols|-row joins against the stored profiles —
+  * history is never rescanned.
+  *
+  * Replay protocol: reports BEFORE profiles, per family — report
+  * writes are deterministic per-batch overwrites, and each profile
+  * write carries the `(lineage, batchId)` tag, so recovery from any
+  * crash point recomputes the identical report against the
+  * still-previous profile for exactly the families whose tagged
+  * write is missing, then finishes any pending swap. The batchId
+  * marker then closes the batch as in the other maintainers.
+  *
+  * Bounded history (the maintain() cadence contract the sibling
+  * maintainers carry): after each batch, all but the newest
+  * `keepVersions` profile versions (never the serving one) and all
+  * but the newest `keepReports` drift/qdrift report dirs are
+  * deleted — a year of micro-batches holds O(keep) state. */
 object DriftStream {
 
   def maintainDrift(docs: DataFrame, stateDir: String, cols: Seq[String],
-      lineage: String = "run0"): StreamingQuery =
+      lineage: String = "run0",
+      quantileCols: Seq[String] = Seq.empty,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90),
+      capacity: Int = 32768,
+      keepVersions: Int = 3,
+      keepReports: Int = 20): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -41,25 +57,64 @@ object DriftStream {
           if (!batch.isEmpty) {
             val spark = batch.sparkSession
             val profDir = s"$stateDir/profile"
+            val qprofDir = s"$stateDir/qprofile"
             val tag = s"$lineage-$batchId"
-            VersionedTable.taggedVersion(profDir, tag) match {
-              case Some(v) =>
-                // crashed after the profile commit: the report is
-                // already on disk (ordering) — just finish the swap
-                if (VersionedTable.latestVersion(profDir).forall(_ < v))
-                  VersionedTable.swapTo(profDir, v)
-              case None =>
-                // profile feeds the report AND its own write — eager
-                // checkpoint per the crosses-executions rule
-                val curProf = Validate.profile(batch, cols)
-                  .localCheckpoint(true)
-                if (VersionedTable.latestVersion(profDir).isDefined) {
-                  val report = Validate.profileDriftFromProfiles(
-                    VersionedTable.readLatest(spark, profDir), curProf)
-                  report.write.mode("overwrite")
-                    .parquet(s"$stateDir/drift/batch=$batchId")
-                }
-                VersionedTable.write(curProf, profDir, Some(tag))
+            // one (needProf/needQ) pass per family: recompute + write
+            // only the families whose tagged version is missing (a
+            // crash between the two writes replays just the second)
+            val needProf = VersionedTable.taggedVersion(profDir, tag).isEmpty
+            val needQ = quantileCols.nonEmpty &&
+              VersionedTable.taggedVersion(qprofDir, tag).isEmpty
+            // profiles feed the reports AND their own writes — eager
+            // checkpoint per the crosses-executions rule
+            val curProf =
+              if (needProf) Some(Validate.profile(batch, cols).localCheckpoint(true))
+              else None
+            val curQ =
+              if (needQ) Some(Validate.quantileProfile(batch, quantileCols,
+                pcts, capacity).localCheckpoint(true))
+              else None
+            // reports first (idempotent overwrites), then the tagged
+            // profile commits, per family
+            curProf.foreach { p =>
+              if (VersionedTable.latestVersion(profDir).isDefined) {
+                Validate.profileDriftFromProfiles(
+                    VersionedTable.readLatest(spark, profDir), p)
+                  .write.mode("overwrite")
+                  .parquet(s"$stateDir/drift/batch=$batchId")
+              }
+              VersionedTable.write(p, profDir, Some(tag)); ()
+            }
+            curQ.foreach { q =>
+              if (VersionedTable.latestVersion(qprofDir).isDefined) {
+                Validate.quantileDriftFromProfiles(
+                    VersionedTable.readLatest(spark, qprofDir), q)
+                  .write.mode("overwrite")
+                  .parquet(s"$stateDir/qdrift/batch=$batchId")
+              }
+              VersionedTable.write(q, qprofDir, Some(tag)); ()
+            }
+            // crashed after a tagged commit but before its swap:
+            // finish pointing the alias at the committed version
+            Seq(profDir, qprofDir).foreach { d =>
+              VersionedTable.taggedVersion(d, tag).foreach { v =>
+                if (VersionedTable.latestVersion(d).forall(_ < v))
+                  VersionedTable.swapTo(d, v)
+              }
+            }
+            // bounded history: prune old profile versions + reports
+            Seq(profDir, qprofDir)
+              .filter(d => VersionedTable.listVersions(d).nonEmpty)
+              .foreach(VersionedTable.pruneVersions(_, keepVersions))
+            Seq(s"$stateDir/drift", s"$stateDir/qdrift").foreach { d =>
+              val f = new java.io.File(d)
+              if (f.exists()) {
+                f.listFiles().toSeq
+                  .filter(x => x.isDirectory && x.getName.startsWith("batch="))
+                  .sortBy(_.getName.stripPrefix("batch=").toLong)
+                  .dropRight(keepReports)
+                  .foreach(x => VersionedTable.deleteRecursively(x.toPath))
+              }
             }
           }
           Files.createDirectories(Paths.get(stateDir))
@@ -76,5 +131,11 @@ object DriftStream {
   def driftReports(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/drift")
+      .withColumn("batch", col("batch").cast("long"))
+
+  /** All quantile-drift reports so far, with their batch ids. */
+  def quantileDriftReports(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/qdrift")
       .withColumn("batch", col("batch").cast("long"))
 }

@@ -21,8 +21,10 @@ object IvfStream {
         val marker = Paths.get(indexDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           if (!batch.isEmpty) {
+            // tagged append: a replay whose manifest already committed
+            // is skipped instead of double-appending (Ivf.appendToIndex)
             graft.similarity.Ivf.appendToIndex(batch.sparkSession, indexDir,
-              batch.toDF())
+              batch.toDF(), Some(s"$lineage-$batchId"))
             // compaction cadence: folds segments into the base table
             // once they exceed the bound, keeping manifest + probe
             // cost O(maxSegments) for any number of micro-batches

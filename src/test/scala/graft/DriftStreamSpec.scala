@@ -82,4 +82,60 @@ class DriftStreamSpec extends AnyFunSuite {
     val again = DriftStream.driftReports(spark, state).drop("batch")
     assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty)
   }
+
+  test("quantile-drift family: streamed qdrift equals the batch twin; history stays bounded") {
+    val prev = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+    // v12's perturbation: interior mass collapses while bounds hold
+    val cur = prev.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 2 === 0,
+        expr("n_chars DIV 2")).otherwise(col("n_chars")))
+    val qcols = Seq("doc_id", "n_chars")
+
+    val src = java.nio.file.Files.createTempDirectory("graft_qdsrc")
+    val state = java.nio.file.Files.createTempDirectory("graft_qdstate")
+      .resolve("drift").toString
+    val t0 = System.currentTimeMillis() - 600000
+    stage(prev, src, "a", t0)
+    stage(cur, src, "b", t0 + 60000)
+    stage(cur, src, "c", t0 + 120000)
+
+    val stream = spark.readStream.schema(schema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = DriftStream.maintainDrift(stream, state, cols,
+      quantileCols = qcols, keepVersions = 1, keepReports = 1)
+    q.processAllAvailable(); q.stop()
+
+    // keepReports=1: only the newest report survives, and it must
+    // equal the batch twin of its own pair (cur vs cur — no shift)
+    val got = DriftStream.quantileDriftReports(spark, state)
+    assert(got.select("batch").distinct().collect().map(_.getLong(0))
+      .toSeq == Seq(2L), "expected only the batch-2 report to survive")
+    val want = Validate.quantileDrift(cur, cur, qcols)
+    val gotR = got.drop("batch")
+    assert(gotR.exceptAll(want).isEmpty && want.exceptAll(gotR).isEmpty,
+      "streamed qdrift report diverged from the batch twin")
+    assert(got.filter(col("shifted")).count() == 0,
+      "identical batches cannot shift")
+
+    // and the PRUNED batch-1 report (recomputed as a batch query)
+    // must have flagged the planted collapse — the family works
+    val b1 = Validate.quantileDrift(prev, cur, qcols)
+    assert(b1.filter(col("shifted")).count() >= 2)
+
+    // bounded history: one version per profile family (the serving
+    // one), one report dir per drift family
+    assert(graft.sources.VersionedTable
+      .listVersions(s"$state/profile").size == 1)
+    assert(graft.sources.VersionedTable
+      .listVersions(s"$state/qprofile").size == 1)
+    def nBatchDirs(d: String): Int = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0
+      else f.listFiles().count(x => x.isDirectory && x.getName.startsWith("batch="))
+    }
+    assert(nBatchDirs(s"$state/drift") == 1)
+    assert(nBatchDirs(s"$state/qdrift") == 1)
+  }
 }

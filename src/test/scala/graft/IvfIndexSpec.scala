@@ -134,6 +134,32 @@ class IvfIndexSpec extends AnyFunSuite {
     run()
     assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 1,
       "replayed micro-batch must be skipped by the marker protocol")
+    // the NARROW crash window the marker cannot cover: manifest
+    // committed but the marker was lost — replay re-enters
+    // appendToIndex, and the manifest TAG must skip the re-append
+    // (without it the same vectors land as a second live segment)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_batch-s1-0"))
+    run()
+    assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 1,
+      "tagged append must be idempotent when the marker is lost")
+    val dup = spark.read.parquet(s"$dir/segments")
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dup == 0, "no vector may be appended twice")
+  }
+
+  test("tagged append: same tag skips and returns the committed segment, new tag appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivft").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    val d1 = embs.filter(col("id") >= 10 && col("id") % 8 === 0).select("id", "v")
+    val d2 = embs.filter(col("id") >= 10 && col("id") % 8 === 4).select("id", "v")
+    Ivf.buildIndex(base, "label", "v", dir)
+    val s1 = Ivf.appendToIndex(spark, dir, d1, Some("run0-0"))
+    val s1again = Ivf.appendToIndex(spark, dir, d1, Some("run0-0"))
+    assert(s1again == s1, "replayed tag must return the committed segment id")
+    assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 1)
+    val s2 = Ivf.appendToIndex(spark, dir, d2, Some("run0-1"))
+    assert(s2 == s1 + 1)
+    assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 2)
   }
 
   test("rebuild publishes a new version; rollback serves the old one") {

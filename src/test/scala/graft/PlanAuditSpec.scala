@@ -41,6 +41,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q5_filter_project", // 1-row result of a selective filter
     "v5_profile",        // global column-profile aggregate (tiny)
     "v8_profile_drift",  // two v5-shaped global profiles + |cols|-row join
+    "v12_quantile_drift",// two global quantile-sketch profiles (map-side
+                         // partial sketches; only the |cols|×|pcts|-row
+                         // merge serializes) + tiny profile join
     "v11_integrity",     // per-relation global count rollup (1 row each);
                          // the join itself is key-partitioned — only the
                          // 3-counter reduction serializes
