@@ -239,15 +239,23 @@ object DedupSim {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("n_chars"))
       .localCheckpoint(false)
-    val counts = mem.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_members"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .join(counts, Seq("cluster_id"))
-      .filter(col("n_members") >= 2)
-      .select(col("cluster_id"), col("doc_id").as("rep_id"),
-        col("n_chars").as("rep_n_chars"), col("n_members"))
+    Dedup.clusterRepFromLabels(mem).orderBy("cluster_id")
+  }
+
+  /** d15: the d18 keep-list on PERSISTED labels — the
+    * build-once/read-many lifecycle (x7's shape applied to dedup):
+    * `Dedup.ensureClusterLabels` runs LSH + adaptive CC once and
+    * publishes (doc_id, cluster_id, n_chars) behind a VersionedTable
+    * alias; the keep-list is then a label SCAN (one count + one
+    * window on cluster_id) instead of a re-clustering — at 100 TB
+    * every downstream consumer reads these labels. Output
+    * spec-proven identical to d18's inline form; the oracle is the
+    * same independent recursive-CTE replay. */
+  def d15PersistedRep(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDir = Dedup.ensureClusterLabels(
+      Dedup.augmentedDocs(spark, dir), dir)
+    Dedup.clusterRepFromLabels(
+        graft.sources.VersionedTable.readLatest(spark, labelsDir))
       .orderBy("cluster_id")
   }
 
@@ -456,6 +464,7 @@ object DedupSim {
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d17_capped_overlap" -> (d17CappedOverlap _),
     "d18_cluster_rep" -> (d18ClusterRep _),
+    "d15_persisted_rep" -> (d15PersistedRep _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
 
@@ -644,6 +653,39 @@ object DedupSim {
            (coalesce(l.cluster_id, b.doc_id) = b.doc_id) AS is_canonical
          FROM base b LEFT JOIN lbl l USING (doc_id)
          ORDER BY doc_id""",
+    // d15 re-reads the PERSISTED labels d8's pipeline built; the
+    // oracle replays the identical clustering + keep decision from
+    // scratch (same SQL as d18 — the point of d15 is that the Spark
+    // side does NOT recompute while the oracle proves the labels
+    // still say the same thing)
+    "d15_persisted_rep" ->
+      s"""WITH RECURSIVE $shingleCte,
+         $minhashPairsCtes,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach(v, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lbl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+           FROM reach GROUP BY v),
+         mem AS (
+           SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+             CAST(b.n_chars AS BIGINT) AS n_chars
+           FROM base b LEFT JOIN lbl l USING (doc_id)),
+         cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM mem GROUP BY 1),
+         rep AS (
+           SELECT cluster_id, doc_id AS rep_id, n_chars AS rep_n_chars,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM mem)
+         SELECT r.cluster_id, r.rep_id, r.rep_n_chars, c.n_members
+         FROM rep r JOIN cnt c USING (cluster_id)
+         WHERE r.rn = 1 AND c.n_members >= 2
+         ORDER BY r.cluster_id""",
     "d18_cluster_rep" ->
       s"""WITH RECURSIVE $shingleCte,
          $minhashPairsCtes,

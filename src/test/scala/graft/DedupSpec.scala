@@ -23,6 +23,26 @@ class DedupSpec extends AnyFunSuite {
       && viaMin.exceptAll(adaptHi).isEmpty)
   }
 
+  test("persisted-label keep-list equals the inline d18 form; the build runs once") {
+    import graft.dedup.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_cclbl").toString
+    val docs = Dedup.augmentedDocs(spark, sf)
+    Dedup.writeClusterLabels(docs, dir)
+    val fromLabels = Dedup.clusterRepFromLabels(
+      graft.sources.VersionedTable.readLatest(spark, dir))
+    val inline = graft.queries.DedupSim.d18ClusterRep(spark, sf)
+    assert(fromLabels.exceptAll(inline).isEmpty
+      && inline.exceptAll(fromLabels).isEmpty,
+      "read path must equal the inline re-clustering form")
+    // build-if-absent: a second ensure against the same data dir
+    // reuses the published version instead of re-clustering
+    val d1 = Dedup.ensureClusterLabels(docs, sf)
+    val v1 = graft.sources.VersionedTable.latestVersion(d1)
+    val d2 = Dedup.ensureClusterLabels(docs, sf)
+    assert(d1 == d2 && graft.sources.VersionedTable.latestVersion(d2) == v1,
+      "second ensure must not publish a new version")
+  }
+
   test("containmentKeepList drops the contained side, ties drop the larger id") {
     import graft.dedup.Dedup
     import spark.implicits._
