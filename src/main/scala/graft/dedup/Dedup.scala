@@ -655,6 +655,41 @@ object Dedup {
     else connectedComponentsStar(p, "a", "b")
   }
 
+  /** LSH acceptance gate — the s8/s9 recall contract applied to
+    * dedup: before trusting banded MinHash at corpus scale, measure
+    * what fraction of TRUE near-dup pairs (exact Jaccard ≥ τ over
+    * the [[ngramJaccard]] length-blocked ground truth) each band
+    * configuration's candidates actually surface. More bands × fewer
+    * rows = higher candidate probability at a given J (1−(1−J^r)^b)
+    * = higher recall and more verification work — this gate is the
+    * measured operating chart for that knob, the dedup twin of
+    * FAISS's recall-vs-nProbe sweep.
+    *
+    * Output: one ALL-INTEGER row per configuration (n_bands,
+    * rows_per_band, n_true, n_found, recall_x10000 — floored integer
+    * division, engine-portable). Scale: ground truth is quadratic-
+    * bounded by the same blocking d2 uses, so at 100 TB the gate
+    * runs on a bounded SAMPLE of the corpus (it is an acceptance
+    * test, not a production pass); every stage is the d2/d3
+    * candidate machinery unchanged. */
+  def lshRecallGate(docs: DataFrame, k: Int, bandConfigs: Seq[Int],
+      threshold: Double, charWindow: Int): DataFrame = {
+    // one truth frame read once per config branch of the SINGLE
+    // final union plan — safe lazy per the crosses-executions rule
+    val truth = ngramJaccard(docs, threshold, charWindow)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(false)
+    bandConfigs.map { b =>
+      val found = minhashLsh(docs, k, b, threshold)
+        .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+      truth.join(found, Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+        .select(lit(b).as("n_bands"), lit(k / b).as("rows_per_band"),
+          col("n_true"), col("n_found"),
+          expr("n_found * 10000 DIV n_true").as("recall_x10000"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Build side of the dedup-label lifecycle (the x7
     * build-once/search-many shape applied to clustering): run
     * MinHash-LSH + adaptive connected components ONCE and persist

@@ -242,6 +242,17 @@ object DedupSim {
     Dedup.clusterRepFromLabels(mem).orderBy("cluster_id")
   }
 
+  /** d21: the LSH acceptance gate over the augmented corpus — recall
+    * of the banded candidate generator vs the d2 exact ground truth,
+    * at the production configuration (4 bands × 2 rows) and the
+    * cheaper 2×4 one. The 2×4 row's recall drops below 10000 (fewer,
+    * longer bands miss true near-dups whose J < 1) while 4×2 holds it —
+    * both verdict regimes live. ALL-INTEGER output. */
+  def d21LshRecall(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallGate(Dedup.augmentedDocs(spark, dir), k = 8,
+        bandConfigs = Seq(4, 2), threshold = 0.8, charWindow = 25)
+      .orderBy("n_bands")
+
   /** d15: the d18 keep-list on PERSISTED labels — the
     * build-once/read-many lifecycle (x7's shape applied to dedup):
     * `Dedup.ensureClusterLabels` runs LSH + adaptive CC once and
@@ -465,6 +476,7 @@ object DedupSim {
     "d17_capped_overlap" -> (d17CappedOverlap _),
     "d18_cluster_rep" -> (d18ClusterRep _),
     "d15_persisted_rep" -> (d15PersistedRep _),
+    "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
 
@@ -653,6 +665,52 @@ object DedupSim {
            (coalesce(l.cluster_id, b.doc_id) = b.doc_id) AS is_canonical
          FROM base b LEFT JOIN lbl l USING (doc_id)
          ORDER BY doc_id""",
+    // d21: both band configurations replayed against the exact
+    // length-blocked truth; bands2 regroups the SAME 8 minhashes into
+    // 2 bands of 4 (bv format identical to bandedSignatures: '_'-join)
+    "d21_lsh_recall" ->
+      s"""WITH $shingleCte,
+         $minhashSigBandsCtes,
+         bands2 AS (
+           SELECT doc_id, 0 AS band, concat(CAST(m0 AS VARCHAR), '_', CAST(m1 AS VARCHAR), '_', CAST(m2 AS VARCHAR), '_', CAST(m3 AS VARCHAR)) AS bv FROM sig
+           UNION ALL SELECT doc_id, 1, concat(CAST(m4 AS VARCHAR), '_', CAST(m5 AS VARCHAR), '_', CAST(m6 AS VARCHAR), '_', CAST(m7 AS VARCHAR)) FROM sig),
+         truth AS (SELECT a_id, b_id FROM (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(len(list_intersect(a.sh, b.sh))
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 4) AS jaccard
+           FROM shh a JOIN shh b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+             AND abs(a.n_chars - b.n_chars) <= 25)
+           WHERE jaccard >= 0.8),
+         p4 AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id,
+             round(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id) c
+           JOIN shh sa ON sa.doc_id = a_id JOIN shh sb ON sb.doc_id = b_id)
+           WHERE jaccard >= 0.8),
+         p2 AS (SELECT a_id, b_id FROM (
+           SELECT a_id, b_id,
+             round(len(list_intersect(sa.sh, sb.sh))
+               / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 4) AS jaccard
+           FROM (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             FROM bands2 x JOIN bands2 y
+               ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id) c
+           JOIN shh sa ON sa.doc_id = a_id JOIN shh sb ON sb.doc_id = b_id)
+           WHERE jaccard >= 0.8),
+         g4 AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(p.a_id) AS BIGINT) AS n_found
+           FROM truth t LEFT JOIN p4 p USING (a_id, b_id)),
+         g2 AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(count(p.a_id) AS BIGINT) AS n_found
+           FROM truth t LEFT JOIN p2 p USING (a_id, b_id))
+         SELECT 2 AS n_bands, 4 AS rows_per_band, n_true, n_found,
+           n_found * 10000 // n_true AS recall_x10000 FROM g2
+         UNION ALL
+         SELECT 4, 2, n_true, n_found, n_found * 10000 // n_true FROM g4
+         ORDER BY n_bands""",
     // d15 re-reads the PERSISTED labels d8's pipeline built; the
     // oracle replays the identical clustering + keep decision from
     // scratch (same SQL as d18 — the point of d15 is that the Spark

@@ -132,6 +132,42 @@ object PipelineQ {
       .orderBy(col("n_tokens").desc, col("source").asc)
   }
 
+  /** p12: data-constrained repeat planning — the epoch schedule a
+    * token-budgeted multilingual run needs when a language is
+    * SMALLER than its mixture target (the data-constrained regime of
+    * Muennighoff et al. 2023: low-resource languages run out of
+    * unique tokens and must repeat, but repeating past a few epochs
+    * stops helping, so the plan caps repeats and reports the
+    * shortfall). Per language: an equal share of a 2×-corpus token
+    * budget, the epochs needed to serve it (integer ceil), repeats
+    * clamped to the cap, whether the cap engaged, and the tokens
+    * actually served. ALL-INTEGER arithmetic throughout. The only
+    * wide stages are the per-language aggregate and the O(|langs|)
+    * global window (the p10 pattern — bounded by construction).
+    * Both cap branches are live at every SF: `en` (~40% of tokens)
+    * fills its share within the cap, the four smaller languages
+    * cannot. */
+  def p12RepeatPlan(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2L
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), TextAnalysis.nTokens(col("text")).as("nt"))
+      .groupBy("lang").agg(sum("nt").as("n_tokens"))
+    val all = Window.partitionBy()
+    perLang
+      .withColumn("total_tokens", sum("n_tokens").over(all))
+      .withColumn("n_langs", count(lit(1)).over(all))
+      .withColumn("target_tokens", expr("(total_tokens * 2) DIV n_langs"))
+      .withColumn("epochs_needed",
+        expr("(target_tokens + n_tokens - 1) DIV n_tokens"))
+      .withColumn("repeats", least(col("epochs_needed"), lit(cap)))
+      .withColumn("capped", col("epochs_needed") > cap)
+      .withColumn("served_tokens",
+        least(col("target_tokens"), col("n_tokens") * cap))
+      .select("lang", "n_tokens", "target_tokens", "repeats", "capped",
+        "served_tokens")
+      .orderBy("lang")
+  }
+
   /** p11: contamination-aware split accounting — the audit a
     * pipeline runs before training: p1's deterministic hash split
     * joined with d7's decontamination verdict, aggregated to
@@ -161,6 +197,7 @@ object PipelineQ {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p11_decontam_split" -> (p11DecontamSplit _),
     "p10_token_budget" -> (p10TokenBudget _),
+    "p12_repeat_plan" -> (p12RepeatPlan _),
     "p7_curriculum" -> (p7Curriculum _),
     "p8_domain_cap" -> (p8DomainCap _),
     "p1_hash_split" -> (p1HashSplit _),
@@ -204,6 +241,31 @@ object PipelineQ {
     // p10: same \s+ token count, same (n_tokens desc, source) total
     // order, integer 40% rule; DuckDB window sums cast back from
     // HUGEINT
+    // p12: equal-share budget, integer ceil epochs, cap clamp — the
+    // identical arithmetic re-derived
+    "p12_repeat_plan" ->
+      """WITH pl AS (
+           SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         c AS (
+           SELECT lang, n_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens,
+             CAST(count(*) OVER () AS BIGINT) AS n_langs
+           FROM pl),
+         t AS (
+           SELECT lang, n_tokens,
+             (total_tokens * 2) // n_langs AS target_tokens
+           FROM c),
+         e AS (
+           SELECT lang, n_tokens, target_tokens,
+             (target_tokens + n_tokens - 1) // n_tokens AS epochs_needed
+           FROM t)
+         SELECT lang, n_tokens, target_tokens,
+           least(epochs_needed, 2) AS repeats,
+           epochs_needed > 2 AS capped,
+           least(target_tokens, n_tokens * 2) AS served_tokens
+         FROM e ORDER BY lang""",
     "p10_token_budget" ->
       """WITH ps AS (
            SELECT source,
