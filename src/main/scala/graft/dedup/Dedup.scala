@@ -686,7 +686,13 @@ object Dedup {
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
         .select(lit(b).as("n_bands"), lit(k / b).as("rows_per_band"),
           col("n_true"), col("n_found"),
-          expr("n_found * 10000 DIV n_true").as("recall_x10000"))
+          // n_true = 0 (no true near-dup pairs in the corpus) is
+          // vacuous recall, not NULL: Spark's DIV would emit NULL
+          // where DuckDB's // errors/diverges, and a NULL gate row
+          // reads as a pass — report 10000 explicitly instead
+          when(col("n_true") === 0, lit(10000L))
+            .otherwise(expr("n_found * 10000 DIV n_true"))
+            .as("recall_x10000"))
     }.reduce(_ unionByName _)
   }
 
@@ -713,17 +719,26 @@ object Dedup {
     graft.sources.VersionedTable.write(mem, labelsDir)
   }
 
+  /** Algorithm-version salt for [[ensureClusterLabels]]' cache key.
+    * BUMP THIS whenever writeClusterLabels / minhashLsh / connected
+    * components change semantics: the persisted labels under
+    * java.io.tmpdir otherwise keep serving output built by the OLD
+    * code until /tmp is cleared — the same stale-reads-green hazard
+    * class as a stale /tmp/graft_verify dump. */
+  private val ClusterLabelsAlgoVersion = 1
+
   /** Build-if-absent for cluster labels derived from one data
     * directory, fingerprint-keyed like Retrieval.ensureIndex (data
-    * files + LSH parameters), so repeated queries in one session —
-    * and the bench's repeated executions — reuse the one build.
-    * Returns the labels dir. */
+    * files + LSH parameters + [[ClusterLabelsAlgoVersion]]), so
+    * repeated queries in one session — and the bench's repeated
+    * executions — reuse the one build without ever reusing a build
+    * from older label-writing code. Returns the labels dir. */
   def ensureClusterLabels(docs: DataFrame, dataDir: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.8): String =
     synchronized {
       val f = new java.io.File(s"$dataDir/documents.parquet")
       val key = graft.operators.Retrieval.corpusFingerprintKey(f) +
-        s":cc-lsh:$k:$bands:$threshold"
+        s":cc-lsh:v$ClusterLabelsAlgoVersion:$k:$bands:$threshold"
       val fp = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val dir = s"${sys.props("java.io.tmpdir")}/graft_cclabels/$fp"

@@ -707,9 +707,13 @@ object DedupSim {
              CAST(count(p.a_id) AS BIGINT) AS n_found
            FROM truth t LEFT JOIN p2 p USING (a_id, b_id))
          SELECT 2 AS n_bands, 4 AS rows_per_band, n_true, n_found,
-           n_found * 10000 // n_true AS recall_x10000 FROM g2
+           CASE WHEN n_true = 0 THEN 10000
+                ELSE n_found * 10000 // n_true END AS recall_x10000
+           FROM g2
          UNION ALL
-         SELECT 4, 2, n_true, n_found, n_found * 10000 // n_true FROM g4
+         SELECT 4, 2, n_true, n_found,
+           CASE WHEN n_true = 0 THEN 10000
+                ELSE n_found * 10000 // n_true END FROM g4
          ORDER BY n_bands""",
     // d15 re-reads the PERSISTED labels d8's pipeline built; the
     // oracle replays the identical clustering + keep decision from

@@ -47,7 +47,11 @@ object DriftStream {
       pcts: Seq[Int] = Seq(25, 50, 75, 90),
       capacity: Int = 32768,
       keepVersions: Int = 3,
-      keepReports: Int = 20): StreamingQuery =
+      keepReports: Int = 20): StreamingQuery = {
+    // pruneVersions guards keepVersions >= 1 itself; the report prune
+    // below has no such floor, and keepReports = 0 would delete every
+    // drift/qdrift report INCLUDING the one this batch just wrote
+    require(keepReports >= 1, s"keepReports must be >= 1, got $keepReports")
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -126,6 +130,7 @@ object DriftStream {
         ()
       }
       .start()
+  }
 
   /** All drift reports so far, with their batch ids. */
   def driftReports(spark: org.apache.spark.sql.SparkSession,
