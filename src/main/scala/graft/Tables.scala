@@ -22,16 +22,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read nanos as long (session-settable
-    * legacy conf) and convert to a micros timestamp — the data's real
-    * resolution is micros, so the ns→µs division is exact. */
+  /** events.parquet has shipped `ts` in two layouts over time:
+    * TIMESTAMP(NANOS) (read as ns-epoch INT64 via the legacy conf) and,
+    * since the r8 testdata refresh, plain timestamp[us] with no
+    * timezone (Spark: TIMESTAMP_NTZ). Branch on the loaded dtype so
+    * both keep working:
+    *   - LongType → exact integer ns→µs division (`div`, not `/`:
+    *     double division loses precision at ns-epoch magnitudes,
+    *     ~2^60 > double's 53-bit mantissa), then timestamp_micros.
+    *   - TIMESTAMP_NTZ → cast to the session TimestampType; the graft
+    *     session is pinned to UTC (GraftSession), so the cast keeps
+    *     the wall-clock values identical to what DuckDB reads natively
+    *     from the same file.
+    *   - TimestampType → already what downstream expects. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      // integer `div`, not `/`: double division loses precision on
-      // ns-since-epoch magnitudes (~2^60 > double's 53-bit mantissa)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

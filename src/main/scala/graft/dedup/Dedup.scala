@@ -194,7 +194,22 @@ object Dedup {
     * count. Same candidate generation and df cap as the pair form —
     * one extra groupBy on the (already thresholded) pair output, so
     * the scale posture is unchanged. Returns
-    * (dropped_id, kept_in, n_containers). */
+    * (dropped_id, kept_in, n_containers).
+    *
+    * CHAIN SEMANTICS (A ⊂ B ⊂ C): `kept_in` names the smallest
+    * CONTAINER of the dropped doc, not necessarily a SURVIVOR — in a
+    * chain, B both contains A and is itself dropped into C, so A's
+    * row may read (A, kept_in=B) while B has its own (B, kept_in=C)
+    * row. This is deliberate: resolving transitively would need an
+    * iterative closure (a CC-shaped fixpoint) for what is a
+    * provenance hint, and the keep decision itself — "is doc X
+    * dropped?" — is already chain-correct because every contained
+    * doc appears as a dropped_id regardless of where its container
+    * lands. Consumers that need a surviving representative should
+    * anti-join kept_in against dropped_id and follow the one-step
+    * chain, or use the cluster-representative form
+    * ([[clusterRepFromLabels]]) which IS transitive by
+    * construction. */
   def containmentKeepList(docs: DataFrame, thresholdPct: Int,
       maxDf: Int): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100, s"pct in [1,100]")
@@ -741,11 +756,44 @@ object Dedup {
         s":cc-lsh:v$ClusterLabelsAlgoVersion:$k:$bands:$threshold"
       val fp = java.security.MessageDigest.getInstance("MD5")
         .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_cclabels/$fp"
-      if (graft.sources.VersionedTable.latestVersion(dir).isEmpty)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cclabels"
+      sweepStaleLabelCaches(new java.io.File(root))
+      val dir = s"$root/$fp"
+      if (graft.sources.VersionedTable.latestVersion(dir).isEmpty) {
         writeClusterLabels(docs, dir, k, bands, threshold)
+        // marker records the algo version so future sweeps can tell a
+        // live cache (any SF / params at the CURRENT version) from an
+        // orphan built by older label-writing code
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "key.txt"),
+          key.getBytes("UTF-8"))
+      }
       dir
     }
+
+  /** Prune orphaned label caches: any graft_cclabels subdir whose
+    * key.txt marker is absent (pre-marker era) or names a different
+    * [[ClusterLabelsAlgoVersion]] can never be read again — its
+    * fingerprint embeds the old version — so deleting it is safe and
+    * keeps /tmp from accumulating one dead tree per version bump.
+    * Caches at the current version (all SFs / parameter sets) are
+    * kept. */
+  private def sweepStaleLabelCaches(root: java.io.File): Unit = {
+    val live = s":cc-lsh:v$ClusterLabelsAlgoVersion:"
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filterNot { d =>
+        val marker = new java.io.File(d, "key.txt")
+        marker.isFile && new String(
+          java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+          .contains(live)
+      }
+      .foreach { d =>
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+  }
 
   /** Keep-list READ path over a persisted membership frame (doc_id,
     * cluster_id, n_chars): longest member per non-singleton cluster,

@@ -15,25 +15,45 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet schema with ts as raw nanos (the file stores
-    * TIMESTAMP(NANOS); the stream reads it as long + converts, same
-    * as graft.Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
+  /** events schema for the streaming file source, parameterized on
+    * the on-disk `ts` layout (the testdata has shipped both
+    * TIMESTAMP(NANOS) read as raw-nanos long, and timestamp[us] read
+    * as TIMESTAMP_NTZ — same adaptivity as graft.Tables.events). */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events with a proper timestamp column. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** Legacy ns-long layout schema (kept for callers that stage their
+    * own raw-nanos fixtures). */
+  val rawSchemaNanos: StructType = rawSchema(LongType)
+
+  /** File-source stream of events with a proper timestamp column.
+    * Streaming sources need an explicit schema, so probe the actual
+    * on-disk layout with a one-off batch footer read (driver-side,
+    * metadata only), then branch exactly like Tables.events:
+    * ns-epoch long → exact integer `div 1000` (double division loses
+    * precision at ~2^60); TIMESTAMP_NTZ → cast to the UTC session
+    * TimestampType (wall-clock preserving). */
+  def readEvents(spark: SparkSession, dir: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val diskTs = spark.read.parquet(dir).schema("ts").dataType
+    val raw = options.foldLeft(spark.readStream.schema(rawSchema(diskTs))) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .format("parquet")
       .load(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    diskTs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window aggregation: counts and sums per

@@ -50,9 +50,16 @@ class PlanAuditSpec extends AnyFunSuite {
     "p10_token_budget",  // cumsum window over the O(|sources|)-row
                          // source-level aggregate — the corpus-wide
                          // token count stays map-side partial
-    "s9_recall_sweep")   // three 1-row recall totals (one per probe
+    "s9_recall_sweep",   // three 1-row recall totals (one per probe
                          // level) — the per-query counting is keyed;
                          // only the final 2-counter sums serialize
+    "d21_lsh_recall",    // the s9 shape for LSH: one 2-counter global
+                         // agg per band config (1-row frames unioned);
+                         // truth/candidate generation stays keyed
+    "p12_repeat_plan")   // the p10 pattern: global cumsum window over
+                         // the O(|langs|)-row per-language aggregate —
+                         // the corpus-wide token count is map-side
+                         // partial before the tiny window
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -60,10 +60,8 @@ class StreamConfigSpec extends AnyFunSuite {
       dir.resolve("a.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("b.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream.schema(EventsStream.rawSchema)
-      .option("maxFilesPerTrigger", "1").format("parquet").load(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = EventsStream.readEvents(spark, dir.toString,
+      Map("maxFilesPerTrigger" -> "1"))
     var batches = 0L
     val q = StreamConfig.withTrigger(
       events.writeStream.outputMode("append")

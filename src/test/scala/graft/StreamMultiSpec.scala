@@ -166,9 +166,8 @@ class StreamMultiSpec extends AnyFunSuite {
     import spark.implicits._
     VersionedTable.write(
       Seq(("stale", 99L), ("error", 99L)).toDF("event_type", "count"), table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream.schema(EventsStream.rawSchema)
-      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val events = EventsStream.readEvents(spark, src.toString,
+      Map("maxFilesPerTrigger" -> "1"))
     val q = EventsStream.maintainMerged(events, table, "event_type") {
       batch => batch.filter(col("event_type") =!= "error")
         .groupBy("event_type").count()
@@ -192,8 +191,8 @@ class StreamMultiSpec extends AnyFunSuite {
     // replay: a fresh query (fresh checkpoint → batch ids restart at
     // 0) over the same source + table must be skipped wholesale by
     // the batch markers — no new versions, same served rows
-    val events2 = spark.readStream.schema(EventsStream.rawSchema)
-      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val events2 = EventsStream.readEvents(spark, src.toString,
+      Map("maxFilesPerTrigger" -> "1"))
     val q2 = EventsStream.maintainMerged(events2, table, "event_type") {
       batch => batch.filter(col("event_type") =!= "error")
         .groupBy("event_type").count()
@@ -205,8 +204,8 @@ class StreamMultiSpec extends AnyFunSuite {
       "replayed batches produced duplicate versions")
     // a genuinely NEW run (fresh lineage id) must NOT be skipped by
     // the old run's markers even though its batch ids also start at 0
-    val events3 = spark.readStream.schema(EventsStream.rawSchema)
-      .option("maxFilesPerTrigger", "1").format("parquet").load(src.toString)
+    val events3 = EventsStream.readEvents(spark, src.toString,
+      Map("maxFilesPerTrigger" -> "1"))
     val q3 = EventsStream.maintainMerged(events3, table, "event_type",
       lineage = "run1") {
       batch => batch.filter(col("event_type") =!= "error")
