@@ -270,6 +270,34 @@ object DedupSim {
       .orderBy("cluster_id")
   }
 
+  /** p13: cluster-balanced sampling over the PERSISTED dedup labels
+    * (the D4/SemDeDup-paper step between dedup and mixture: instead
+    * of keeping one representative per near-dup cluster — d18's
+    * keep-list — keep a sublinear SAMPLE of each cluster so heavily
+    * duplicated content is down-weighted, not erased). Sqrt-law
+    * keep rule in exact integers: member ranked r (by n_chars desc,
+    * doc_id asc — the d18 tie-break) is kept iff r² ≤ cluster size,
+    * i.e. ~√size survivors per cluster; singletons always survive.
+    * Both verdicts live at every SF (planted size-3 clusters keep
+    * rank 1, drop ranks 2–3). Plan: a label SCAN, not a
+    * re-clustering — one count + one window, both keyed on
+    * cluster_id (d15's read-path posture; at 100 TB the LSH+CC cost
+    * lives in the build, every downstream sampler reads labels). */
+  def p13ClusterBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val labelsDir = Dedup.ensureClusterLabels(
+      Dedup.augmentedDocs(spark, dir), dir)
+    val mem = graft.sources.VersionedTable.readLatest(spark, labelsDir)
+    val cnt = mem.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    mem.withColumn("rank", row_number().over(w).cast("long"))
+      .join(cnt, Seq("cluster_id"))
+      .withColumn("kept", col("rank") * col("rank") <= col("n_members"))
+      .select("doc_id", "cluster_id", "rank", "n_members", "kept")
+      .orderBy("doc_id")
+  }
+
   /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
     * engaged (maxDf=3): passage hashes present in more than 3
     * sources are treated as boilerplate and dropped BEFORE the
@@ -476,6 +504,7 @@ object DedupSim {
     "d17_capped_overlap" -> (d17CappedOverlap _),
     "d18_cluster_rep" -> (d18ClusterRep _),
     "d15_persisted_rep" -> (d15PersistedRep _),
+    "p13_cluster_balanced" -> (p13ClusterBalanced _),
     "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
@@ -748,6 +777,35 @@ object DedupSim {
          FROM rep r JOIN cnt c USING (cluster_id)
          WHERE r.rn = 1 AND c.n_members >= 2
          ORDER BY r.cluster_id""",
+    // p13: the same CC replay as d15, then the sqrt-law keep window
+    "p13_cluster_balanced" ->
+      s"""WITH RECURSIVE $shingleCte,
+         $minhashPairsCtes,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach(v, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lbl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+           FROM reach GROUP BY v),
+         mem AS (
+           SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id,
+             CAST(b.n_chars AS BIGINT) AS n_chars
+           FROM base b LEFT JOIN lbl l USING (doc_id)),
+         cnt AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+           FROM mem GROUP BY 1),
+         rnk AS (
+           SELECT doc_id, cluster_id,
+             CAST(row_number() OVER (PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+           FROM mem)
+         SELECT r.doc_id, r.cluster_id, r.rank, c.n_members,
+           (r.rank * r.rank <= c.n_members) AS kept
+         FROM rnk r JOIN cnt c USING (cluster_id)
+         ORDER BY r.doc_id""",
     "d18_cluster_rep" ->
       s"""WITH RECURSIVE $shingleCte,
          $minhashPairsCtes,

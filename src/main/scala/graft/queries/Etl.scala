@@ -347,6 +347,41 @@ object Etl {
         prefixLen = 3, k = 3)
       .orderBy("prefix", "rank")
 
+  /** x19: MoreLikeThis (Solr's MLT component data plane — given seed
+    * documents, the top-k most similar other documents). "Interesting
+    * terms" are 3-shingles with 2 ≤ df ≤ 10 — the fixture's ~31-token
+    * vocabulary makes every TOKEN ubiquitous, but the shingle space
+    * is diverse, which is also the posture that survives 100 TB: the
+    * df cap bounds per-term join fanout (d14's discriminative-index
+    * lesson — a term in half the corpus scores everything against
+    * everything and carries no signal), and the seed side is tiny by
+    * definition (an MLT request names a handful of docs) so it
+    * broadcasts. Score = count of shared rare shingles (ALL-INTEGER),
+    * top-3 per seed by (shared desc, cand_id asc); rank kept in the
+    * output so the ORDER BY is totally unique. One shingle scan feeds
+    * the df, seed, and candidate branches of ONE plan (single-plan
+    * multi-read lazy checkpoint). */
+  def x19Mlt(spark: SparkSession, dir: String): DataFrame = {
+    val posts = graft.dedup.Dedup
+      .withHashedShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint(false)
+    val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10)
+    val rp = posts.join(rare.select("h"), "h")
+    val seeds = rp.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("seed_id"), col("h"))
+    val scored = broadcast(seeds).join(rp, Seq("h"))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .groupBy(col("seed_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy("seed_id")
+      .orderBy(col("n_shared").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("seed_id", "rank")
+  }
+
   /** x17: spellcheck suggestions — deterministic misspellings (every
     * ≥4-char vocab token with its 2nd character dropped, minus forms
     * that collide with real tokens) resolved back through
@@ -477,6 +512,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t4_field_merge" -> (t4FieldMerge _),
     "x16_suggest" -> (x16Suggest _),
+    "x19_mlt" -> (x19Mlt _),
     "x17_spellcheck" -> (x17Spellcheck _),
     "x18_suggest_serving" -> (x18SuggestServing _),
     "x8_seg_search" -> (x8SegSearch _),
@@ -520,6 +556,35 @@ object Etl {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x19: same '0:'-seeded md5 shingle hashing as the dedup oracles,
+    // over the RAW documents table (no augmentation)
+    "x19_mlt" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+                 i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2])),
+               s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+           FROM toks),
+         posts AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM posts GROUP BY 1)
+           WHERE df BETWEEN 2 AND 10),
+         rp AS (SELECT doc_id, h FROM posts JOIN rare USING (h)),
+         scored AS (
+           SELECT s.doc_id AS seed_id, c.doc_id AS cand_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM rp s JOIN rp c ON s.h = c.h AND c.doc_id != s.doc_id
+           WHERE s.doc_id < 5 GROUP BY 1, 2)
+         SELECT seed_id, cand_id, n_shared, rank FROM (
+           SELECT seed_id, cand_id, n_shared,
+             CAST(row_number() OVER (PARTITION BY seed_id
+               ORDER BY n_shared DESC, cand_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY seed_id, rank""",
     "x6_compact" ->
       """WITH files AS (
            SELECT source AS part_key, doc_id // 20 AS file_id,

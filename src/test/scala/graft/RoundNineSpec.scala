@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: ta16 Gopher rules, x19 MoreLikeThis,
+  * p13 cluster-balanced sampling. Each spec verifies the operator
+  * against an independent JVM-side recomputation (the oracle gate
+  * covers SQL parity; these pin the SEMANTICS). */
+class RoundNineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("ta16 rule verdicts equal an independent JVM recount") {
+    val stop = Set("the", "a", "of", "and", "in", "to", "is")
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = queries.TextEvents.ta16GopherRules(spark, sf).collect()
+    assert(got.length == docs.size)
+    var passSeen = 0; var failSeen = 0
+    got.foreach { r =>
+      val toks = docs(r.getLong(0)).trim.split("\\s+").toSeq
+      val nt = toks.size.toLong
+      val nc = toks.map(_.length.toLong).sum
+      val tf = toks.groupBy(identity).map(_._2.size.toLong)
+      val nstop = toks.count(stop).toLong
+      assert(r.getLong(1) == nt, s"n_tokens doc ${r.getLong(0)}")
+      assert(r.getBoolean(2) == (nt >= 20 && nt <= 80), "rule_wc")
+      assert(r.getBoolean(3) == (nc >= 4 * nt && nc <= 5 * nt), "rule_mwl")
+      assert(r.getBoolean(4) == (nstop >= 2), "rule_stop")
+      assert(r.getBoolean(5) == (tf.max * 5 <= nt), "rule_rep")
+      assert(r.getBoolean(6) ==
+        (r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4) &&
+          r.getBoolean(5)), "pass composite")
+      if (r.getBoolean(6)) passSeen += 1 else failSeen += 1
+    }
+    // the thresholds were chosen so BOTH verdicts are data-exercised
+    assert(passSeen > 0 && failSeen > 0,
+      s"composite not live: pass=$passSeen fail=$failSeen")
+  }
+
+  test("x19 MLT ranks shared-rare-shingle counts, top-3 per seed") {
+    val rows = queries.Etl.x19Mlt(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recount: shingle sets per doc, df-capped [2,10]
+    val sh = graft.dedup.Dedup
+      .withHashedShingles(Tables.documents(spark, sf))
+      .select("doc_id", "sh").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
+    val df = sh.values.toSeq.flatten.groupBy(identity)
+      .map { case (h, occ) => (h, occ.size) }
+    val rare: Set[Long] = df.collect {
+      case (h, d) if d >= 2 && d <= 10 => h
+    }.toSet
+    def shared(a: Long, b: Long): Int = (sh(a) & sh(b) & rare).size
+    val bySeed = rows.groupBy(_.getLong(0))
+    bySeed.foreach { case (seed, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length),
+        s"ranks not dense for seed $seed")
+      sorted.foreach { r =>
+        assert(r.getLong(2) == shared(seed, r.getLong(1)).toLong,
+          s"n_shared mismatch seed=$seed cand=${r.getLong(1)}")
+      }
+      // returned top-3 must dominate every unreturned candidate
+      val returned = sorted.map(_.getLong(1)).toSet
+      val worst = sorted.last
+      sh.keys.filter(c => c != seed && !returned(c))
+        .map(c => (shared(seed, c), c)).filter(_._1 > 0)
+        .foreach { case (s, c) =>
+          // fewer than 3 returned ⇒ no positive-score candidate may
+          // be missing; at 3, the tail (score desc, id asc) must beat
+          // every unreturned candidate
+          assert(sorted.length == 3,
+            s"candidate $c (shared=$s) missing for underfull seed $seed")
+          assert(s < worst.getLong(2) ||
+            (s == worst.getLong(2) && c > worst.getLong(1)),
+            s"candidate $c (shared=$s) beats returned tail for seed $seed")
+        }
+    }
+  }
+
+  test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
+    val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    var dropSeen = false
+    byCluster.foreach { case (cid, members) =>
+      val size = members.head.getLong(3)
+      assert(members.length.toLong == size, s"n_members wrong for $cid")
+      val kept = members.filter(_.getBoolean(4))
+      // r² ≤ size ⇔ r ≤ floor(√size): keep count is exactly isqrt(size)
+      val isqrt = math.sqrt(size.toDouble).toLong
+      assert(kept.length.toLong == isqrt,
+        s"cluster $cid size=$size kept=${kept.length}")
+      assert(kept.map(_.getLong(2)).sorted.toSeq ==
+        (1L to isqrt), s"kept ranks not the top ranks for $cid")
+      if (kept.length < members.length) dropSeen = true
+    }
+    assert(dropSeen, "no cluster dropped anyone — keep rule not live")
+    // singletons always survive
+    byCluster.filter(_._2.length == 1).foreach { case (cid, m) =>
+      assert(m.head.getBoolean(4), s"singleton $cid dropped")
+    }
+  }
+}
