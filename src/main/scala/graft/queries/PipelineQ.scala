@@ -168,6 +168,51 @@ object PipelineQ {
       .orderBy("lang")
   }
 
+  /** p14: epoch-manifest materialization — p12's repeat PLAN turned
+    * into the actual training manifest a data loader consumes: one
+    * row per (lang, epoch, doc). Each language serves
+    * `served = min(target, 2·n_tokens)` tokens (p12's capped
+    * schedule) as `served DIV n_tokens` FULL epochs of every doc
+    * plus one PARTIAL epoch that takes docs in doc_id order while
+    * the running token total stays within the remainder — exact
+    * integer accounting, no sampling. All three manifest regimes are
+    * data-live: full-only (the four small languages, rem=0),
+    * full+partial (en at sf0.001: 1 full + 832-token partial),
+    * partial-only (en at sf0.01/0.1: target < n_tokens so epoch 1
+    * is already the cut). Plan: one token-count scan feeds the tiny
+    * per-lang plan (broadcast back), full epochs are a bounded
+    * sequence-explode (fanout ≤ cap=2), and the partial cut is ONE
+    * per-lang cumsum window; at 100 TB the en-sized window partition
+    * is the known sequential cut — the sharded two-level assignment
+    * (operators' batchAssignScalable, h5) is the scale path for the
+    * boundary language, same decision it documents. */
+  def p14EpochManifest(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.nTokens(col("text")).cast("long").as("nt"))
+      .localCheckpoint(false)
+    val plan = ps.groupBy("lang").agg(sum("nt").as("n_tokens"))
+      .withColumn("target",
+        expr("(sum(n_tokens) OVER ()) * 2 DIV (count(1) OVER ())"))
+      .withColumn("served", least(col("target"), col("n_tokens") * 2))
+      .withColumn("full_epochs", expr("served DIV n_tokens"))
+      .withColumn("rem", col("served") % col("n_tokens"))
+      .select("lang", "full_epochs", "rem")
+    val withPlan = ps.join(broadcast(plan), Seq("lang"))
+    val full = withPlan.filter(col("full_epochs") >= 1)
+      .select(col("lang"),
+        explode(expr("sequence(1L, full_epochs)")).as("epoch"),
+        col("doc_id"), col("nt"))
+    val wcum = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = withPlan.filter(col("rem") > 0)
+      .withColumn("cum", sum("nt").over(wcum))
+      .filter(col("cum") <= col("rem"))
+      .select(col("lang"), (col("full_epochs") + 1).as("epoch"),
+        col("doc_id"), col("nt"))
+    full.unionByName(partial).orderBy("lang", "epoch", "doc_id")
+  }
+
   /** p11: contamination-aware split accounting — the audit a
     * pipeline runs before training: p1's deterministic hash split
     * joined with d7's decontamination verdict, aggregated to
@@ -198,6 +243,7 @@ object PipelineQ {
     "p11_decontam_split" -> (p11DecontamSplit _),
     "p10_token_budget" -> (p10TokenBudget _),
     "p12_repeat_plan" -> (p12RepeatPlan _),
+    "p14_epoch_manifest" -> (p14EpochManifest _),
     "p7_curriculum" -> (p7Curriculum _),
     "p8_domain_cap" -> (p8DomainCap _),
     "p1_hash_split" -> (p1HashSplit _),
@@ -243,6 +289,41 @@ object PipelineQ {
     // HUGEINT
     // p12: equal-share budget, integer ceil epochs, cap clamp — the
     // identical arithmetic re-derived
+    // p14: p12's plan expanded to the (lang, epoch, doc) manifest
+    "p14_epoch_manifest" ->
+      """WITH ps AS (
+           SELECT lang, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         pl AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM ps GROUP BY 1),
+         t AS (
+           SELECT lang, n_tokens,
+             (CAST(sum(n_tokens) OVER () AS BIGINT) * 2)
+               // CAST(count(*) OVER () AS BIGINT) AS target
+           FROM pl),
+         plan AS (
+           SELECT lang,
+             least(target, n_tokens * 2) // n_tokens AS full_epochs,
+             least(target, n_tokens * 2) % n_tokens AS rem
+           FROM t),
+         fe AS (
+           SELECT p.lang, unnest(range(1, pn.full_epochs + 1)) AS epoch,
+             p.doc_id, p.nt
+           FROM ps p JOIN plan pn USING (lang)
+           WHERE pn.full_epochs >= 1),
+         pe AS (
+           SELECT lang, full_epochs + 1 AS epoch, doc_id, nt FROM (
+             SELECT p.lang, pn.full_epochs, pn.rem, p.doc_id, p.nt,
+               sum(p.nt) OVER (PARTITION BY p.lang ORDER BY p.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM ps p JOIN plan pn USING (lang)
+             WHERE pn.rem > 0)
+           WHERE cum <= rem)
+         SELECT lang, epoch, doc_id, nt FROM fe
+         UNION ALL
+         SELECT lang, epoch, doc_id, nt FROM pe
+         ORDER BY lang, epoch, doc_id""",
     "p12_repeat_plan" ->
       """WITH pl AS (
            SELECT lang,

@@ -425,29 +425,10 @@ object TextEvents {
     * Σ len(tok)·tf, max_tf = max(tf), n_stop = Σ tf over the
     * broadcast-literal stoplist — every rule input from one keyed
     * aggregation chain, no window, no join back to the corpus. */
-  def ta16GopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val d = tf.groupBy("doc_id").agg(
-      sum("tf").as("n_tokens"),
-      sum(length(col("tok")) * col("tf")).as("n_nonspace"),
-      max("tf").as("max_tf"),
-      sum(when(col("tok").isin(stop: _*), col("tf")).otherwise(0L))
-        .as("n_stop"))
-    d.select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") >= 20 && col("n_tokens") <= 80).as("rule_wc"),
-        (col("n_nonspace") >= col("n_tokens") * 4 &&
-          col("n_nonspace") <= col("n_tokens") * 5).as("rule_mwl"),
-        (col("n_stop") >= 2).as("rule_stop"),
-        (col("max_tf") * 5 <= col("n_tokens")).as("rule_rep"))
-      .withColumn("pass",
-        col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
-          col("rule_rep"))
+  def ta16GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(
+        Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta16_gopher_rules" -> (ta16GopherRules _),

@@ -25,6 +25,39 @@ object TextAnalysis {
   def nWordTokens(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z0-9]+"), lit(0)))
 
+  /** Gopher-style composite quality rules (Rae et al. 2021's
+    * MassiveText document gate), shared by the batch query (ta16)
+    * and the streaming ingest gate ([[graft.streaming.QualityStream]]).
+    * Input needs (doc_id, text); output is one row per doc with the
+    * four rule verdicts + the composite `pass`, ALL-INTEGER
+    * thresholds (no float ratio parity surface). Plan: one token
+    * explode → (doc_id, tok) count → per-doc aggregate — every rule
+    * input from one keyed aggregation chain, no window, no corpus
+    * join-back. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id").agg(
+        sum("tf").as("n_tokens"),
+        sum(length(col("tok")) * col("tf")).as("n_nonspace"),
+        max("tf").as("max_tf"),
+        sum(when(col("tok").isin(stop: _*), col("tf")).otherwise(0L))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 80).as("rule_wc"),
+        (col("n_nonspace") >= col("n_tokens") * 4 &&
+          col("n_nonspace") <= col("n_tokens") * 5).as("rule_mwl"),
+        (col("n_stop") >= 2).as("rule_stop"),
+        (col("max_tf") * 5 <= col("n_tokens")).as("rule_rep"))
+      .withColumn("pass",
+        col("rule_wc") && col("rule_mwl") && col("rule_stop") &&
+          col("rule_rep"))
+  }
+
   /** PII patterns, deliberately portable: no backrefs/lookaround, so
     * the same pattern string behaves identically under Java regex
     * (Spark codegen) and RE2 (most other engines, incl. the oracle). */

@@ -56,10 +56,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "d21_lsh_recall",    // the s9 shape for LSH: one 2-counter global
                          // agg per band config (1-row frames unioned);
                          // truth/candidate generation stays keyed
-    "p12_repeat_plan")   // the p10 pattern: global cumsum window over
+    "p12_repeat_plan",   // the p10 pattern: global cumsum window over
                          // the O(|langs|)-row per-language aggregate —
                          // the corpus-wide token count is map-side
                          // partial before the tiny window
+    "p14_epoch_manifest")// same p12-shaped plan frame (global window
+                         // over O(|langs|) rows, then broadcast back);
+                         // the doc-level manifest stages are keyed
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

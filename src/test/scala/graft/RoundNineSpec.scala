@@ -80,6 +80,49 @@ class RoundNineSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality gate splits corpus/quarantine with batch parity") {
+    import graft.streaming.QualityStream
+    val src = java.nio.file.Files.createTempDirectory("graft_qg_src")
+    // two staged files + maxFilesPerTrigger=1 → the gate must hold
+    // its verdicts across multiple micro-batches
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("a.parquet"),
+      java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("b.parquet"),
+      java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_qg_out").toString
+    val q = QualityStream.qualityGate(
+      QualityStream.readDocs(spark, src.toString), out)
+    q.processAllAvailable(); q.stop()
+    val expected = queries.TextEvents.ta16GopherRules(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(6))).toMap
+    val corpusIds = QualityStream.corpus(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val quarIds = QualityStream.quarantine(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds == expected.filter(_._2).keySet, "corpus != batch pass set")
+    assert(quarIds == expected.filterNot(_._2).keySet, "quarantine != batch fail set")
+    assert(corpusIds.intersect(quarIds).isEmpty)
+    // quarantine keeps per-rule verdicts, and at least one failing
+    // rule is false on every quarantined row
+    QualityStream.quarantine(spark, out).collect().foreach { r =>
+      assert(!(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6)
+        && r.getBoolean(7)), s"quarantined row with all rules true: $r")
+    }
+    // replay: a fresh query over the same source + sinks must be
+    // skipped wholesale by the batch markers (fresh checkpoint →
+    // batch ids restart at 0) — no duplicate corpus rows
+    val nCorpus = QualityStream.corpus(spark, out).count()
+    val q2 = QualityStream.qualityGate(
+      QualityStream.readDocs(spark, src.toString), out,
+      checkpointDir = Some(java.nio.file.Files
+        .createTempDirectory("graft_qg_ckpt2").toString))
+    q2.processAllAvailable(); q2.stop()
+    assert(QualityStream.corpus(spark, out).count() == nCorpus,
+      "replayed batches duplicated corpus rows")
+  }
+
   test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
     val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
