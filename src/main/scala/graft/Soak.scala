@@ -201,6 +201,21 @@ object Soak {
     val (tSugg, nSugg) = time(operators.Indexing.suggest(
       corpus, col("text"), prefixLen = 3, k = 3).count())
 
+    // x19 MLT at replica scale: the df cap is CORPUS-RELATIVE (like
+    // d17's) — replication multiplies every shingle's df by
+    // ~nReplicas (the 31-token vocabulary already averages df≈8 in
+    // base sf0.1), so the "interesting terms" band moves with the
+    // corpus: dfMax = 10·nReplicas finds the same discriminative
+    // shingles the sf0.1 query finds at 10, and per-shingle join
+    // fanout stays ≤ dfMax·|seed postings| — bounded by the knob,
+    // never by corpus². (A FIXED cap of 10 on the 10× corpus returns
+    // zero candidates — measured; the cap must scale or MLT goes
+    // silent, which is the documented operating rule.) Seeds are
+    // replica-0 docs 0–4.
+    val (tMlt, nMlt) = time(operators.Indexing.moreLikeThis(
+      corpus, seedPred = col("doc_id") < 5, dfMin = 2,
+      dfMax = 10 * nReplicas, k = 3).count())
+
     // df-capped d16 under boilerplate pressure: the source SET grows
     // with replicas (20·nReplicas distinct sources) and every source
     // carries the same appended boilerplate line, so each boilerplate
@@ -223,7 +238,7 @@ object Soak {
       capCorpus, col("source"), col("text"), width = 20, stride = 20,
       maxDf = Some(2 * nReplicas)).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

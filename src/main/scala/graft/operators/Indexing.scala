@@ -258,6 +258,48 @@ object Indexing {
       k: Int): DataFrame =
     suggestFromVocab(tokenCounts(docs, textCol), prefixLen, k)
 
+  /** MoreLikeThis (Solr MLT component's data plane): for every doc
+    * matching `seedPred`, the top-`k` most similar OTHER docs by
+    * count of shared rare 3-shingles. "Interesting terms" are
+    * shingles with df ∈ [dfMin, dfMax] — the df cap is the 100 TB
+    * fanout bound (a term in half the corpus scores everything
+    * against everything and carries no signal; per-shingle join
+    * fanout is ≤ dfMax·|seed postings|), and the seed side is tiny
+    * by definition (an MLT request names a handful of docs) so it
+    * broadcasts. ALL-INTEGER scores; rank kept so downstream orders
+    * are totally unique. One shingle scan feeds the df, seed and
+    * candidate branches of ONE plan (single-plan multi-read lazy
+    * checkpoint). Input needs (doc_id, lang, n_chars, text) —
+    * [[graft.dedup.Dedup.withHashedShingles]]'s contract.
+    *
+    * OPERATING RULE: `dfMax` is corpus-RELATIVE. Growing the corpus
+    * multiplies every shingle's df, so a fixed cap eventually drops
+    * the whole discriminative band and MLT goes silent (measured in
+    * the 10×-replica soak: cap 10 → zero candidates, cap
+    * 10·replicas → the same per-seed candidates the base corpus
+    * yields at 10). Scale the cap with corpus size, or derive it
+    * from a df-quantile. */
+  def moreLikeThis(docs: DataFrame, seedPred: Column,
+      dfMin: Int, dfMax: Int, k: Int): DataFrame = {
+    val posts = graft.dedup.Dedup.withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint(false)
+    val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfMin && col("df") <= dfMax)
+    val rp = posts.join(rare.select("h"), "h")
+    val seeds = rp.filter(seedPred)
+      .select(col("doc_id").as("seed_id"), col("h"))
+    val scored = broadcast(seeds).join(rp, Seq("h"))
+      .filter(col("doc_id") =!= col("seed_id"))
+      .groupBy(col("seed_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed_id")
+      .orderBy(col("n_shared").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Corpus vocabulary (tok, freq) — the shared input of the
     * suggester and spellcheck components, and the serving artifact
     * VocabIndex maintains incrementally. One corpus-sized stage:

@@ -361,26 +361,10 @@ object Etl {
     * output so the ORDER BY is totally unique. One shingle scan feeds
     * the df, seed, and candidate branches of ONE plan (single-plan
     * multi-read lazy checkpoint). */
-  def x19Mlt(spark: SparkSession, dir: String): DataFrame = {
-    val posts = graft.dedup.Dedup
-      .withHashedShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .localCheckpoint(false)
-    val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 10)
-    val rp = posts.join(rare.select("h"), "h")
-    val seeds = rp.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("seed_id"), col("h"))
-    val scored = broadcast(seeds).join(rp, Seq("h"))
-      .filter(col("doc_id") =!= col("seed_id"))
-      .groupBy(col("seed_id"), col("doc_id").as("cand_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    val w = Window.partitionBy("seed_id")
-      .orderBy(col("n_shared").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+  def x19Mlt(spark: SparkSession, dir: String): DataFrame =
+    Indexing.moreLikeThis(Tables.documents(spark, dir),
+        seedPred = col("doc_id") < 5, dfMin = 2, dfMax = 10, k = 3)
       .orderBy("seed_id", "rank")
-  }
 
   /** x17: spellcheck suggestions — deterministic misspellings (every
     * ≥4-char vocab token with its 2nd character dropped, minus forms
