@@ -298,6 +298,34 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d22: the dedup FUNNEL — the survivorship audit a pipeline
+    * publishes after its dedup stages: how many documents remain
+    * after (0) nothing, (1) exact dedup (one survivor per identical
+    * text, d1's definition), (2) near-dup clustering (one survivor
+    * per MinHash-LSH connected component, d8/d18's clusters via the
+    * PERSISTED labels — the read-path, not a re-clustering).
+    * Monotone by construction (exact copies always share a cluster),
+    * which the oracle proves with independent counts. O(1) output;
+    * the three counts are global aggregates (allowlisted tiny final
+    * reductions) over one corpus scan + one label scan. */
+  def d22DedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.augmentedDocs(spark, dir)
+    val labelsDir = Dedup.ensureClusterLabels(docs, dir)
+    val mem = graft.sources.VersionedTable.readLatest(spark, labelsDir)
+    val total = docs.agg(count(lit(1)).cast("long").as("docs_kept"))
+      .select(lit(0).as("stage_ord"), lit("total").as("stage"),
+        col("docs_kept"))
+    val exact = docs.agg(countDistinct(md5(col("text")))
+        .cast("long").as("docs_kept"))
+      .select(lit(1).as("stage_ord"), lit("exact").as("stage"),
+        col("docs_kept"))
+    val near = mem.agg(countDistinct(col("cluster_id"))
+        .cast("long").as("docs_kept"))
+      .select(lit(2).as("stage_ord"), lit("near_dup").as("stage"),
+        col("docs_kept"))
+    total.unionByName(exact).unionByName(near).orderBy("stage_ord")
+  }
+
   /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
     * engaged (maxDf=3): passage hashes present in more than 3
     * sources are treated as boilerplate and dropped BEFORE the
@@ -505,6 +533,7 @@ object DedupSim {
     "d18_cluster_rep" -> (d18ClusterRep _),
     "d15_persisted_rep" -> (d15PersistedRep _),
     "p13_cluster_balanced" -> (p13ClusterBalanced _),
+    "d22_dedup_funnel" -> (d22DedupFunnel _),
     "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
@@ -777,6 +806,31 @@ object DedupSim {
          FROM rep r JOIN cnt c USING (cluster_id)
          WHERE r.rn = 1 AND c.n_members >= 2
          ORDER BY r.cluster_id""",
+    // d22: exact + near counts recomputed from scratch (the CC
+    // replay again), proving the Spark side's persisted-label read
+    "d22_dedup_funnel" ->
+      s"""WITH RECURSIVE $shingleCte,
+         $minhashPairsCtes,
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach(v, r) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT reach.v, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         lbl AS (SELECT v AS doc_id, least(v, min(r)) AS cluster_id
+           FROM reach GROUP BY v),
+         mem AS (
+           SELECT b.doc_id, coalesce(l.cluster_id, b.doc_id) AS cluster_id
+           FROM base b LEFT JOIN lbl l USING (doc_id))
+         SELECT 0 AS stage_ord, 'total' AS stage,
+           CAST(count(*) AS BIGINT) AS docs_kept FROM base
+         UNION ALL
+         SELECT 1, 'exact', CAST(count(DISTINCT md5(text)) AS BIGINT) FROM base
+         UNION ALL
+         SELECT 2, 'near_dup', CAST(count(DISTINCT cluster_id) AS BIGINT) FROM mem
+         ORDER BY stage_ord""",
     // p13: the same CC replay as d15, then the sqrt-law keep window
     "p13_cluster_balanced" ->
       s"""WITH RECURSIVE $shingleCte,

@@ -366,6 +366,33 @@ object Etl {
         seedPred = col("doc_id") < 5, dfMin = 2, dfMax = 10, k = 3)
       .orderBy("seed_id", "rank")
 
+  /** x20: field collapsing (Solr's CollapsingQParserPlugin): the
+    * result set for a term query — docs scored by total query-term
+    * occurrences — collapsed to the best doc per `source` group,
+    * with the group's hit count kept (the "show one result per
+    * domain" SERP shape). Plan: the x10 posture — the token explode
+    * is map-THINNED to the two query terms before the only
+    * corpus-wide shuffle (doc-keyed score count), then both windows
+    * (rank + group size) share one source-keyed shuffle. ALL-INTEGER
+    * scores; group heads are unique via the (score desc, doc_id asc)
+    * tie-break, so `source` alone is a total order. */
+  def x20Collapse(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "hash")
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val grp = Window.partitionBy("source")
+    hits.withColumn("rank", row_number().over(w))
+      .withColumn("n_group_hits", count(lit(1)).over(grp))
+      .filter(col("rank") === 1)
+      .select("source", "doc_id", "score", "n_group_hits")
+      .orderBy("source")
+  }
+
   /** x17: spellcheck suggestions — deterministic misspellings (every
     * ≥4-char vocab token with its 2nd character dropped, minus forms
     * that collide with real tokens) resolved back through
@@ -497,6 +524,7 @@ object Etl {
     "t4_field_merge" -> (t4FieldMerge _),
     "x16_suggest" -> (x16Suggest _),
     "x19_mlt" -> (x19Mlt _),
+    "x20_collapse" -> (x20Collapse _),
     "x17_spellcheck" -> (x17Spellcheck _),
     "x18_suggest_serving" -> (x18SuggestServing _),
     "x8_seg_search" -> (x8SegSearch _),
@@ -569,6 +597,23 @@ object Etl {
                ORDER BY n_shared DESC, cand_id ASC) AS INT) AS rank
            FROM scored)
          WHERE rank <= 3 ORDER BY seed_id, rank""",
+    // x20: same thinned-explode scoring + one collapse window
+    "x20_collapse" ->
+      """WITH hits AS (
+           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS score
+           FROM (
+             SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             FROM documents)
+           WHERE tok IN ('table', 'hash') GROUP BY 1, 2),
+         r AS (
+           SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group_hits
+           FROM hits)
+         SELECT source, doc_id, score, n_group_hits
+         FROM r WHERE rank = 1 ORDER BY source""",
     "x6_compact" ->
       """WITH files AS (
            SELECT source AS part_key, doc_id // 20 AS file_id,

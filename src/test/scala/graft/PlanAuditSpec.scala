@@ -60,9 +60,13 @@ class PlanAuditSpec extends AnyFunSuite {
                          // the O(|langs|)-row per-language aggregate —
                          // the corpus-wide token count is map-side
                          // partial before the tiny window
-    "p14_epoch_manifest")// same p12-shaped plan frame (global window
+    "p14_epoch_manifest",// same p12-shaped plan frame (global window
                          // over O(|langs|) rows, then broadcast back);
                          // the doc-level manifest stages are keyed
+    "d22_dedup_funnel")  // three 1-row global counts (total / exact /
+                         // near) — the distinct counting is keyed and
+                         // map-side partial; only the single-counter
+                         // finals serialize
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -123,6 +123,50 @@ class RoundNineSpec extends AnyFunSuite {
       "replayed batches duplicated corpus rows")
   }
 
+  test("d22 funnel is monotone and each stage equals its direct count") {
+    val rows = queries.DedupSim.d22DedupFunnel(spark, sf).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("total", "exact", "near_dup"))
+    val Seq(total, exact, near) = rows.map(_.getLong(2)).toSeq
+    assert(total >= exact && exact >= near,
+      s"funnel not monotone: $total/$exact/$near")
+    assert(near < exact, "near-dup stage dropped nothing — fixture has planted near-dups")
+    val docs = graft.dedup.Dedup.augmentedDocs(spark, sf)
+    assert(total == docs.count())
+    assert(exact == docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("x20 collapse returns the best-scored doc per source with group size") {
+    val rows = queries.Etl.x20Collapse(spark, sf).collect()
+    // independent recount of the term-query result set
+    val terms = Set("table", "hash")
+    val hits = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").count(terms).toLong))
+      .filter(_._3 > 0)
+    val bySource = hits.groupBy(_._2)
+    assert(rows.length == bySource.size, "one head per matching source")
+    rows.foreach { r =>
+      val grp = bySource(r.getString(0))
+      assert(r.getLong(3) == grp.length.toLong, "group hit count")
+      val best = grp.minBy { case (id, _, s) => (-s, id) }
+      assert(r.getLong(1) == best._1 && r.getLong(2) == best._3,
+        s"wrong group head for ${r.getString(0)}")
+    }
+    assert(rows.exists(_.getLong(3) > 1), "no source with >1 hit — collapse not live")
+  }
+
+  test("r9 ops yield empty results on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(graft.text.TextAnalysis.gopherRules(
+      empty.select("doc_id", "text")).count() == 0)
+    assert(graft.operators.Indexing.moreLikeThis(empty,
+      seedPred = col("doc_id") < 5, dfMin = 2, dfMax = 10, k = 3)
+      .count() == 0)
+  }
+
   test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
     val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
