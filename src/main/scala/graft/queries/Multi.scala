@@ -44,6 +44,39 @@ object Multi {
       .orderBy("source", "modality")
   }
 
+  /** m6: per-modality byte-budget selection — the decode-compute
+    * budgeting pass m2's inventory exists to feed: within each
+    * modality, keep items in doc_id order while the running byte
+    * total stays within 50% of that modality's bytes (decode cost
+    * tracks payload bytes, and each modality's decoder pool is
+    * budgeted separately). ALL-INTEGER 50% rule (cum·2 ≤ total — no
+    * ratio), both verdicts live in every modality at every SF. Plan:
+    * map-side classify (m2's id-hash modality), then the cumsum and
+    * total windows share ONE modality-keyed shuffle; at 100 TB the
+    * four modality partitions are the coarse-grained unit — the
+    * sharded two-level cut (batchAssignScalable) is the documented
+    * path if a single modality outgrows one partition's window. */
+  def m6ModalityBudget(spark: SparkSession, dir: String): DataFrame = {
+    val mods = array(lit("text"), lit("image"), lit("audio"), lit("video"))
+    val items = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .withColumn("modality", element_at(mods,
+        (pmod(graft.functions.Hashing.h32(23, col("doc_id").cast("string")),
+          lit(4)) + 1).cast("int")))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy("modality").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wtot = org.apache.spark.sql.expressions.Window.partitionBy("modality")
+    items
+      .withColumn("cum_bytes", sum("n_bytes").over(wcum))
+      .withColumn("total_bytes", sum("n_bytes").over(wtot))
+      .withColumn("kept", col("cum_bytes") * 2 <= col("total_bytes"))
+      .select("doc_id", "modality", "n_bytes", "cum_bytes", "kept")
+      .orderBy("doc_id")
+  }
+
   /** m3: the decode pipeline itself, oracled — documents ride the
     * typed mapPartitions decode path (payload bytes never shuffle)
     * through the deterministic stub codec, and the decoded metadata +
@@ -113,7 +146,8 @@ object Multi {
     "m2_modality_stats" -> (m2ModalityStats _),
     "m3_decode_features" -> (m3DecodeFeatures _),
     "m4_frame_sample" -> (m4FrameSample _),
-    "m5_phash_dedup" -> (m5PhashDedup _))
+    "m5_phash_dedup" -> (m5PhashDedup _),
+    "m6_modality_budget" -> (m6ModalityBudget _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -153,6 +187,23 @@ object Multi {
             + ascii(substr(text, 5, 1)) + ascii(substr(text, 6, 1))
             + ascii(substr(text, 7, 1)) + ascii(substr(text, 8, 1))) / 128.0 AS feat_sum
          FROM documents ORDER BY doc_id""",
+    // m6: m2's modality classify + one modality-keyed window pair
+    "m6_modality_budget" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             ['text', 'image', 'audio', 'video'][
+               CAST(CAST(concat('0x', substr(md5(concat('23:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 4 AS INT) + 1] AS modality
+           FROM documents),
+         c AS (
+           SELECT doc_id, modality, n_bytes,
+             CAST(sum(n_bytes) OVER (PARTITION BY modality ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes,
+             CAST(sum(n_bytes) OVER (PARTITION BY modality) AS BIGINT) AS total_bytes
+           FROM m)
+         SELECT doc_id, modality, n_bytes, cum_bytes,
+           (cum_bytes * 2 <= total_bytes) AS kept
+         FROM c ORDER BY doc_id""",
     "m2_modality_stats" ->
       """WITH m AS (
            SELECT source, octet_length(CAST(text AS BLOB)) AS nb,

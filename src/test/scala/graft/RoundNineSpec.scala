@@ -167,6 +167,27 @@ class RoundNineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("m6 modality budget keeps a byte-bounded prefix per modality") {
+    val rows = queries.Multi.m6ModalityBudget(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (mod, items) =>
+      val sorted = items.sortBy(_.getLong(0))
+      val total = sorted.map(_.getLong(2)).sum
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(2)
+        assert(r.getLong(3) == cum, s"cum_bytes wrong at ${r.getLong(0)}")
+        assert(r.getBoolean(4) == (cum * 2 <= total), s"kept wrong at ${r.getLong(0)}")
+      }
+      // the 50% budget must bite: both verdicts live in every modality
+      assert(sorted.exists(_.getBoolean(4)) && sorted.exists(!_.getBoolean(4)),
+        s"budget not live for $mod")
+      // kept rows form a doc_id-prefix (monotone cut, no holes)
+      val lastKept = sorted.lastIndexWhere(_.getBoolean(4))
+      assert(sorted.take(lastKept + 1).forall(_.getBoolean(4)),
+        s"kept set not a prefix for $mod")
+    }
+  }
+
   test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
     val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
