@@ -326,6 +326,57 @@ object DedupSim {
     total.unionByName(exact).unionByName(near).orderBy("stage_ord")
   }
 
+  /** g1: source-authority ranking — PageRank over the d16 reprint
+    * graph (sources that share passages link to each other; a source
+    * many reprinters connect to accumulates rank — the provenance
+    * weighting signal a curation pipeline uses to decide WHICH copy
+    * of duplicated content to keep). Three EXACT-INTEGER iterations:
+    * r0 = 10⁶; r_{t+1}(v) = 150000 + (85·Σ_{u~v} (r_t(u) DIV
+    * outdeg(u))) DIV 100 — integer division per edge then exact
+    * integer sums, so the result is order-independent and replays
+    * bit-identically in the oracle (no float damping drift;
+    * isolated sources report the bare 150000 teleport mass, live at
+    * every SF). Plan: the d16 posting pipeline once (single-plan
+    * multi-read), then 3 unrolled join+agg rounds over the
+    * O(|sources|) rank frame — iteration depth is FIXED, and every
+    * stage is keyed on source; at web scale |sources| is the domain
+    * count and the per-iteration shuffle is the contribution
+    * aggregate, exactly GraphX/Pregel's cost shape with no
+    * driver-side loop state. */
+  def g1SourceRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.sourceOverlap(docs, col("source"), col("text"),
+        width = 20, stride = 20, maxDf = None)
+      .select("source_a", "source_b")
+      .localCheckpoint(false)
+    val edges = pairs
+      .select(col("source_a").as("u"), col("source_b").as("v"))
+      .unionByName(pairs
+        .select(col("source_b").as("u"), col("source_a").as("v")))
+    val nodes = docs.select("source").distinct()
+    val deg = nodes
+      .join(edges.groupBy("u").agg(count(lit(1)).as("d"))
+          .withColumnRenamed("u", "source"),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("d"), lit(0L)).as("outdeg"))
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.select(col("source").as("u"), col("r")), Seq("u"))
+        .join(deg.select(col("source").as("u"), col("outdeg")), Seq("u"))
+        .select(col("v"), expr("r DIV outdeg").as("c"))
+        .groupBy("v").agg(sum("c").as("m"))
+      r = nodes
+        .join(contrib.withColumnRenamed("v", "source"), Seq("source"), "left")
+        .select(col("source"),
+          expr("CAST(150000 AS BIGINT)"
+            + " + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    r.join(deg, Seq("source"))
+      .select(col("source"), col("outdeg"), col("r").as("rank_i3"))
+      .orderBy("source")
+  }
+
   /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
     * engaged (maxDf=3): passage hashes present in more than 3
     * sources are treated as boilerplate and dropped BEFORE the
@@ -534,6 +585,7 @@ object DedupSim {
     "d15_persisted_rep" -> (d15PersistedRep _),
     "p13_cluster_balanced" -> (p13ClusterBalanced _),
     "d22_dedup_funnel" -> (d22DedupFunnel _),
+    "g1_source_rank" -> (g1SourceRank _),
     "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
@@ -1312,6 +1364,39 @@ object DedupSim {
     // d16: d13's exact chunk boundaries (range start list, slice,
     // space-join) then distinct per-source passage hashes and the
     // source-pair count
+    // g1: d16's posting CTE + 3 unrolled exact-integer PR rounds
+    "g1_source_rank" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p),
+         pr AS (SELECT a.source AS sa, b.source AS sb
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+         edges AS (SELECT sa AS u, sb AS v FROM pr
+           UNION ALL SELECT sb, sa FROM pr),
+         nodes AS (SELECT DISTINCT source FROM t),
+         deg AS (SELECT n.source, CAST(coalesce(count(e.v), 0) AS BIGINT) AS outdeg
+           FROM nodes n LEFT JOIN edges e ON n.source = e.u GROUP BY 1),
+         r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         c1 AS (SELECT e.v, sum(r0.r // d.outdeg) AS m FROM edges e
+           JOIN r0 ON e.u = r0.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r1 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON n.source = c1.v),
+         c2 AS (SELECT e.v, sum(r1.r // d.outdeg) AS m FROM edges e
+           JOIN r1 ON e.u = r1.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r2 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON n.source = c2.v),
+         c3 AS (SELECT e.v, sum(r2.r // d.outdeg) AS m FROM edges e
+           JOIN r2 ON e.u = r2.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r3 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 ON n.source = c3.v)
+         SELECT r3.source, d.outdeg, r3.r AS rank_i3
+         FROM r3 JOIN deg d ON r3.source = d.source
+         ORDER BY r3.source""",
     "d16_source_overlap" ->
       s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
            FROM documents),

@@ -188,6 +188,41 @@ class RoundNineSpec extends AnyFunSuite {
     }
   }
 
+  test("g1 integer PageRank equals a JVM fixpoint replay") {
+    val rows = queries.DedupSim.g1SourceRank(spark, sf).collect()
+    // rebuild the same reprint graph independently
+    val pairs = graft.dedup.Dedup.sourceOverlap(
+        Tables.documents(spark, sf), col("source"), col("text"),
+        width = 20, stride = 20, maxDf = None)
+      .select("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = rows.map(_.getString(0)).toSet
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (u, es) => (u, es.map(_._2).toSeq) }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val c = r(u) / vs.size
+        vs.foreach(v => contrib(v) += c)
+      }
+      r = nodes.map(n => n -> (150000L + 85L * contrib(n) / 100L)).toMap
+    }
+    rows.foreach { row =>
+      val src = row.getString(0)
+      assert(row.getLong(1) == adj.get(src).map(_.size.toLong).getOrElse(0L),
+        s"outdeg wrong for $src")
+      assert(row.getLong(2) == r(src), s"rank wrong for $src")
+    }
+    // isolated sources carry exactly the teleport floor at tiny SF;
+    // connected sources always exceed it
+    rows.filter(_.getLong(1) > 0).foreach(row =>
+      assert(row.getLong(2) > 150000L, s"connected ${row.getString(0)} at floor"))
+    rows.filter(_.getLong(1) == 0).foreach(row =>
+      assert(row.getLong(2) == 150000L, s"isolated ${row.getString(0)} off floor"))
+  }
+
   test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
     val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
