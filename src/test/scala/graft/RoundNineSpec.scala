@@ -223,6 +223,30 @@ class RoundNineSpec extends AnyFunSuite {
       assert(row.getLong(2) == 150000L, s"isolated ${row.getString(0)} off floor"))
   }
 
+  test("ensureClusterLabels sweeps orphaned caches, keeps current-version ones") {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sys.props("java.io.tmpdir"), "graft_cclabels")
+    Files.createDirectories(root)
+    // two orphans: pre-marker era (no key.txt) and an old algo version
+    val noMarker = root.resolve("spec-orphan-nomarker")
+    Files.createDirectories(noMarker)
+    Files.write(noMarker.resolve("junk.txt"), "x".getBytes)
+    val oldVer = root.resolve("spec-orphan-oldver")
+    Files.createDirectories(oldVer)
+    Files.write(oldVer.resolve("key.txt"), "fp:cc-lsh:v0:8:4:0.8".getBytes)
+    val dir = graft.dedup.Dedup.ensureClusterLabels(
+      graft.dedup.Dedup.augmentedDocs(spark, sf), sf)
+    assert(!Files.exists(noMarker), "markerless orphan survived the sweep")
+    assert(!Files.exists(oldVer), "old-version orphan survived the sweep")
+    val key = new String(Files.readAllBytes(Paths.get(dir, "key.txt")))
+    assert(key.contains(":cc-lsh:v"), "live cache missing its marker")
+    // a second ensure (fresh sweep pass) must NOT delete the live cache
+    val dir2 = graft.dedup.Dedup.ensureClusterLabels(
+      graft.dedup.Dedup.augmentedDocs(spark, sf), sf)
+    assert(dir2 == dir && Files.exists(Paths.get(dir, "key.txt")),
+      "live cache swept by its own version's pass")
+  }
+
   test("p13 keeps exactly floor(sqrt(size)) members per cluster") {
     val rows = queries.DedupSim.p13ClusterBalanced(spark, sf).collect()
     val byCluster = rows.groupBy(_.getLong(1))
