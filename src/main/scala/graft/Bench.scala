@@ -73,8 +73,13 @@ object Bench {
     // separately as `build` — the timed reps then measure the probe
     // path only, which is the number the anchors track and the
     // number that extrapolates to a serving cluster.
+    // p13/d22 don't build an index themselves but read the persisted
+    // cluster labels (Dedup.ensureClusterLabels build-if-absent) — on a
+    // cold sandbox whichever of them the Map happens to order before
+    // d15 would otherwise pay the LSH+CC build inside a timed rep
     val indexedQueries = Set("x7_bm25", "x8_seg_search",
-      "x18_suggest_serving", "d15_persisted_rep", "s4_knn_ivf")
+      "x18_suggest_serving", "d15_persisted_rep", "s4_knn_ivf",
+      "p13_cluster_balanced", "d22_dedup_funnel")
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       if (indexedQueries(name)) {

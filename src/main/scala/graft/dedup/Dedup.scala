@@ -760,24 +760,31 @@ object Dedup {
       sweepStaleLabelCaches(new java.io.File(root))
       val dir = s"$root/$fp"
       if (graft.sources.VersionedTable.latestVersion(dir).isEmpty) {
-        writeClusterLabels(docs, dir, k, bands, threshold)
-        // marker records the algo version so future sweeps can tell a
-        // live cache (any SF / params at the CURRENT version) from an
-        // orphan built by older label-writing code
+        // marker FIRST: the sweep treats a markerless dir as an
+        // orphan, so a concurrent JVM sweeping during the label build
+        // must already see the marker or it would delete the
+        // half-built cache out from under the writer. A marker with
+        // no published version just means in-progress/aborted — the
+        // latestVersion check above rebuilds it idempotently.
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
         java.nio.file.Files.write(
           java.nio.file.Paths.get(dir, "key.txt"),
           key.getBytes("UTF-8"))
+        writeClusterLabels(docs, dir, k, bands, threshold)
       }
       dir
     }
 
   /** Prune orphaned label caches: any graft_cclabels subdir whose
-    * key.txt marker is absent (pre-marker era) or names a different
-    * [[ClusterLabelsAlgoVersion]] can never be read again — its
-    * fingerprint embeds the old version — so deleting it is safe and
-    * keeps /tmp from accumulating one dead tree per version bump.
-    * Caches at the current version (all SFs / parameter sets) are
-    * kept. */
+    * key.txt marker names a different [[ClusterLabelsAlgoVersion]]
+    * can never be read again — its fingerprint embeds the old
+    * version — and a markerless dir is an aborted/pre-marker build
+    * (the writer creates the marker BEFORE the labels, so a live
+    * in-progress build always carries one); deleting both keeps /tmp
+    * from accumulating dead trees. A deleted pre-marker cache at the
+    * current version costs at most one spurious rebuild. Caches at
+    * the current version (all SFs / parameter sets) are kept. */
   private def sweepStaleLabelCaches(root: java.io.File): Unit = {
     val live = s":cc-lsh:v$ClusterLabelsAlgoVersion:"
     Option(root.listFiles()).getOrElse(Array.empty)
@@ -790,8 +797,10 @@ object Dedup {
       }
       .foreach { d =>
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(d.toPath)) {
+          s => s.iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
   }
 

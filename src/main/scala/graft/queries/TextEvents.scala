@@ -776,7 +776,7 @@ object TextEvents {
     // ta16: same per-token-frequency derivation, integer thresholds
     "ta16_gopher_rules" ->
       s"""WITH tk AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS tok
            FROM documents),
          tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
            FROM tk GROUP BY 1, 2),

@@ -17,12 +17,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The rule aggregation is per-batch and keyless across batches — no
   * streaming state, no watermark, ingest cost is O(|batch|) forever.
-  * Exactly-once: the `(lineage, batchId)` marker protocol shared
-  * with [[DedupStream]]/[[EventsStream.maintainIndex]] — a replayed
-  * micro-batch (crash between the two writes and the checkpoint
-  * commit) is skipped wholesale; a crash between the corpus and
-  * quarantine writes can duplicate at most one batch's quarantine
-  * rows, never corpus rows (the marker lands after both). */
+  * Exactly-once: each batch writes to a DETERMINISTIC
+  * `batch=<lineage>-<batchId>` subdirectory of each sink with
+  * overwrite semantics, so a replayed micro-batch (crash anywhere
+  * between the writes and the checkpoint commit) rewrites the same
+  * two subdirectories with identical content instead of appending a
+  * second copy — no crash window can duplicate corpus OR quarantine
+  * rows. The `(lineage, batchId)` marker (the protocol shared with
+  * [[DedupStream]]/[[EventsStream.maintainIndex]]) is a fast-skip on
+  * the clean path, not the correctness mechanism. */
 object QualityStream {
 
   /** docSchema = the documents subset the gate needs. */
@@ -30,11 +33,13 @@ object QualityStream {
     spark.readStream.schema(DedupStream.docSchema).format("parquet")
       .option("maxFilesPerTrigger", 1).load(dir)
 
+  // readers drop the batch=<lineage>-<batchId> partition-discovery
+  // column — it is the idempotence mechanism, not payload
   def corpus(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/corpus")
+    spark.read.parquet(s"$outDir/corpus").drop("batch")
 
   def quarantine(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/quarantine")
+    spark.read.parquet(s"$outDir/quarantine").drop("batch")
 
   /** Start the gate: `docs` (streaming frame with doc_id/text/lang/
     * n_chars) → `$outDir/corpus` (passing rows, original columns) +
@@ -50,19 +55,25 @@ object QualityStream {
         if (!Files.exists(marker)) {
           // EAGER checkpoint: verdicts feed BOTH the corpus and the
           // quarantine writes — two executions of one derived frame
-          // (the CLAUDE.md crosses-executions rule)
+          // (the CLAUDE.md crosses-executions rule). gopherRules is
+          // total over the batch (NULL text coalesces to a failing
+          // verdict), so the inner join loses no rows.
           val scored = batch.toDF()
             .join(TextAnalysis.gopherRules(batch.toDF()
                 .select("doc_id", "text")),
               Seq("doc_id"))
             .localCheckpoint()
+          // deterministic per-batch subdir + overwrite = idempotent
+          // replay; `batch=` naming keeps the tree one
+          // partition-discovered parquet table for the readers
+          val sub = s"batch=$lineage-$batchId"
           scored.filter(col("pass"))
             .select("doc_id", "text", "lang", "n_chars")
-            .write.mode("append").parquet(s"$outDir/corpus")
+            .write.mode("overwrite").parquet(s"$outDir/corpus/$sub")
           scored.filter(!col("pass"))
             .select("doc_id", "lang", "n_chars", "n_tokens",
               "rule_wc", "rule_mwl", "rule_stop", "rule_rep")
-            .write.mode("append").parquet(s"$outDir/quarantine")
+            .write.mode("overwrite").parquet(s"$outDir/quarantine/$sub")
           Files.createFile(marker)
         }
         ()

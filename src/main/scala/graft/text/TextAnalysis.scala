@@ -33,13 +33,20 @@ object TextAnalysis {
     * thresholds (no float ratio parity surface). Plan: one token
     * explode → (doc_id, tok) count → per-doc aggregate — every rule
     * input from one keyed aggregation chain, no window, no corpus
-    * join-back. */
+    * join-back. TOTAL over its input: NULL text coalesces to '' so
+    * every doc_id gets a verdict row (a quality gate must never lose
+    * rows — explode(NULL) yields none, and the streaming gate's join
+    * would silently drop the doc from corpus AND quarantine); ''
+    * tokenizes to one empty token ⇒ n_tokens=1 ⇒ rule_wc fails ⇒
+    * the doc lands in quarantine, which is the verdict a text-less
+    * document deserves. */
   def gopherRules(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val stop = Seq("the", "a", "of", "and", "in", "to", "is")
     val tf = docs
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("tok"))
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     tf.groupBy("doc_id").agg(
         sum("tf").as("n_tokens"),
