@@ -194,4 +194,128 @@ object Corpus {
       .withColumn("domain_rank", row_number().over(wRank))
       .withColumn("kept", col("domain_rank") <= maxPerDomain)
   }
+
+  /** Largest `orderCol`-ordered prefix per group whose `weightCol`
+    * running total stays within the group's `budgetCol` — the
+    * sharded (two-level cumsum) form of
+    * `filter(sum(w) OVER (PARTITION BY g ORDER BY o) <= budget)`.
+    *
+    * The naive window totally orders every group's rows inside one
+    * task — at 100 TB a dominant group funnels ~all rows through one
+    * reducer (the p14 boundary-language scale-killer). Here the
+    * heavy key space is groups × `buckets`: rows bucket by an
+    * ORDER-ALIGNED integer range of `orderCol` (so bucket index is
+    * monotone in the order — unlike batchAssignScalable's hash
+    * buckets, a prefix CUT must preserve the order across buckets),
+    * per-bucket sums cumulate in a tiny groups×buckets window, and
+    * only the single BOUNDARY bucket per group (offset ≤ budget <
+    * offset+sum) runs a row-level cumsum — over ≤ |group|/buckets
+    * rows. Full-in buckets pass with no per-row scan at all;
+    * past-budget buckets drop wholesale. Exact-integer equality with
+    * the window form (spec-proven): bucketing is order-aligned and
+    * `orderCol` must be unique per group, so every row's cumulative
+    * total is bit-identical. `budgetCol` must be constant per group.
+    * Bucket arithmetic is overflow-safe for any long `orderCol`
+    * span: width = span DIV buckets + 1, index = offset DIV width
+    * (≤ buckets, no multiplication of large values). */
+  def orderedPrefixCut(df: DataFrame, groupCol: String, orderCol: String,
+      weightCol: String, budgetCol: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val reserved = Seq("__omin", "__omax", "__bkt", "__bsum", "__boff", "__cum")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"orderedPrefixCut: input already has reserved column(s) ${clash.mkString(", ")}")
+    val span = df.groupBy(groupCol)
+      .agg(min(orderCol).as("__omin"), max(orderCol).as("__omax"))
+    val b = df.join(broadcast(span), Seq(groupCol))
+      .withColumn("__bkt", expr(
+        s"(`$orderCol` - __omin) DIV ((__omax - __omin) DIV $buckets + 1)"))
+      .drop("__omin", "__omax")
+    val sums = b.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(weightCol).as("__bsum"))
+    val wOff = Window.partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sums.withColumn("__boff",
+      coalesce(sum("__bsum").over(wOff), lit(0L)))
+    val withOff = b.join(broadcast(offs), Seq(groupCol, "__bkt"))
+    val fullIn = withOff
+      .filter(col("__boff") + col("__bsum") <= col(budgetCol))
+    val wLoc = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = withOff
+      .filter(col("__boff") <= col(budgetCol) &&
+        col("__boff") + col("__bsum") > col(budgetCol))
+      .withColumn("__cum", col("__boff") + sum(weightCol).over(wLoc))
+      .filter(col("__cum") <= col(budgetCol))
+      .drop("__cum")
+    fullIn.unionByName(boundary).drop("__bkt", "__bsum", "__boff")
+  }
+
+  /** `ntile(tiles) OVER (PARTITION BY group ORDER BY primary, tie)`
+    * without the per-group total order — the sharded form for the
+    * p7-curriculum shape, where at 100 TB a dominant group would
+    * otherwise funnel every row through one window task.
+    *
+    * ntile is POSITIONAL (row rank decides the tile, ties on the
+    * value split across tiles by the tie-break), so value-quantile
+    * cut points (the KLL route) cannot reproduce it exactly when
+    * ties straddle a boundary; instead the exact global rank is
+    * assembled two-level, like [[orderedPrefixCut]]: rows bucket by
+    * an ORDER-ALIGNED integer range of `primaryOrder` (ties share a
+    * bucket, so bucket index is monotone in the lexicographic order;
+    * a hash bucket — batchAssignScalable's choice — would scramble
+    * ranks), a per-(group,bucket) row_number sorts ≤ |group|/buckets
+    * rows per task, per-bucket counts cumulate in a tiny
+    * groups×buckets window, and rank = bucket offset + local rank.
+    * The tile comes from the closed-form ntile split (first n%tiles
+    * tiles get one extra row) — bit-identical to the window form,
+    * spec-proven. Residual skew: a single dominant `primaryOrder`
+    * VALUE still concentrates its ties in one bucket (positional
+    * ntile fundamentally must order those ties somewhere); spread
+    * numeric keys — lengths, sizes, scores — shard evenly.
+    * `primaryOrder` must be integral; (`primaryOrder`, `tieBreak`)
+    * must be unique per group. Adds `phase` ∈ [1, tiles]. */
+  def shardedNtile(df: DataFrame, groupCol: String, primaryOrder: String,
+      tieBreak: String, tiles: Int, buckets: Int = 64): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val reserved = Seq("__omin", "__omax", "__bkt", "__cnt", "__off",
+      "__n", "__lrn", "__rank", "phase")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"shardedNtile: input already has reserved column(s) ${clash.mkString(", ")}")
+    val span = df.groupBy(groupCol)
+      .agg(min(primaryOrder).as("__omin"), max(primaryOrder).as("__omax"))
+    val b = df.join(broadcast(span), Seq(groupCol))
+      .withColumn("__bkt", expr(
+        s"(`$primaryOrder` - __omin) DIV ((__omax - __omin) DIV $buckets + 1)"))
+      .drop("__omin", "__omax")
+    val counts = b.groupBy(col(groupCol), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCol)
+    val offs = counts
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wTot))
+      .drop("__cnt")
+    val wLoc = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col(primaryOrder).asc, col(tieBreak).asc)
+    b.join(broadcast(offs), Seq(groupCol, "__bkt"))
+      .withColumn("__lrn", row_number().over(wLoc))
+      .withColumn("__rank", col("__off") + col("__lrn"))
+      // closed-form positional split: base = n DIV t, the first
+      // n MOD t tiles take base+1 rows. base = 0 (n < t) degenerates
+      // to the first branch (rem·(base+1) = n covers every rank).
+      .withColumn("phase", expr(
+        s"""CAST(CASE
+           WHEN __rank <= (__n % $tiles) * (__n DIV $tiles + 1)
+             THEN (__rank - 1) DIV (__n DIV $tiles + 1) + 1
+           ELSE (__n % $tiles)
+             + (__rank - (__n % $tiles) * (__n DIV $tiles + 1) - 1)
+               DIV (__n DIV $tiles) + 1
+           END AS INT)"""))
+      .drop("__bkt", "__off", "__n", "__lrn", "__rank")
+  }
 }

@@ -84,17 +84,21 @@ object PipelineQ {
 
   /** p7: curriculum phases — documents quartiled per language by a
     * difficulty proxy (length), shortest first: phase 1 = the easy
-    * quarter, phase 4 = the hard one. ntile over a totally-ordered
-    * key (length, doc_id) is deterministic; one shuffle on the
-    * stratum, like every windowed corpus op here. */
-  def p7Curriculum(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("phase", ntile(4).over(w))
+    * quarter, phase 4 = the hard one. The quartile is positional
+    * ntile over the totally-ordered (length, doc_id) key, computed
+    * through [[graft.operators.Corpus.shardedNtile]] (order-aligned
+    * n_chars buckets, two-level exact ranks, closed-form tile
+    * split) so no language ever totally orders its documents inside
+    * one window task — bit-identical to the ntile window form the
+    * oracle replays, spec-proven. */
+  def p7Curriculum(spark: SparkSession, dir: String): DataFrame =
+    Corpus.shardedNtile(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        groupCol = "lang", primaryOrder = "n_chars",
+        tieBreak = "doc_id", tiles = 4)
+      .select("doc_id", "lang", "n_chars", "phase")
       .orderBy("doc_id")
-  }
 
   /** p8: per-source document cap (audit form) — every document keeps
     * its source's total, its deterministic in-source rank, and the
@@ -181,11 +185,13 @@ object PipelineQ {
     * partial-only (en at sf0.01/0.1: target < n_tokens so epoch 1
     * is already the cut). Plan: one token-count scan feeds the tiny
     * per-lang plan (broadcast back), full epochs are a bounded
-    * sequence-explode (fanout ≤ cap=2), and the partial cut is ONE
-    * per-lang cumsum window; at 100 TB the en-sized window partition
-    * is the known sequential cut — the sharded two-level assignment
-    * (operators' batchAssignScalable, h5) is the scale path for the
-    * boundary language, same decision it documents. */
+    * sequence-explode (fanout ≤ cap=2), and the partial cut runs
+    * through [[graft.operators.Corpus.orderedPrefixCut]] — the
+    * sharded two-level cumsum (order-aligned doc_id buckets,
+    * per-bucket offsets, row-level scan only inside the single
+    * boundary bucket), so no language ever funnels its full doc set
+    * through one window task; spec-proven row-identical to the
+    * per-lang window form. */
   def p14EpochManifest(spark: SparkSession, dir: String): DataFrame = {
     val ps = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"),
@@ -203,11 +209,10 @@ object PipelineQ {
       .select(col("lang"),
         explode(expr("sequence(1L, full_epochs)")).as("epoch"),
         col("doc_id"), col("nt"))
-    val wcum = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val partial = withPlan.filter(col("rem") > 0)
-      .withColumn("cum", sum("nt").over(wcum))
-      .filter(col("cum") <= col("rem"))
+    val partial = Corpus.orderedPrefixCut(
+        withPlan.filter(col("rem") > 0),
+        groupCol = "lang", orderCol = "doc_id",
+        weightCol = "nt", budgetCol = "rem")
       .select(col("lang"), (col("full_epochs") + 1).as("epoch"),
         col("doc_id"), col("nt"))
     full.unionByName(partial).orderBy("lang", "epoch", "doc_id")

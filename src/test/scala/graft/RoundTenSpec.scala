@@ -79,4 +79,88 @@ class RoundTenSpec extends AnyFunSuite {
     assert(QualityStream.quarantine(spark, out.toString).count() == nQuar,
       "markerless replay duplicated quarantine rows")
   }
+
+  test("orderedPrefixCut equals the per-group cumsum window form") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    // real data: per-lang budgets at 30% of each language's total —
+    // every lang hits a mid-bucket boundary
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.nTokens(col("text")).cast("long").as("nt"))
+    val budgets = docs.groupBy("lang")
+      .agg(expr("sum(nt) * 3 DIV 10").as("budget"))
+    val in = docs.join(broadcast(budgets), Seq("lang"))
+    val wcum = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowForm = in.withColumn("cum", sum("nt").over(wcum))
+      .filter(col("cum") <= col("budget")).drop("cum")
+    val sharded = graft.operators.Corpus.orderedPrefixCut(
+      in, "lang", "doc_id", "nt", "budget")
+    assert(sharded.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(sharded).isEmpty,
+      "sharded prefix cut != window form on documents")
+    // edge regimes: budget >= total (all in), budget 0 (none), and a
+    // single-doc group (degenerate span)
+    import spark.implicits._
+    val edge = Seq(
+      ("all", 1L, 5L, 100L), ("all", 2L, 5L, 100L),
+      ("none", 3L, 5L, 0L),
+      ("one", 9L, 7L, 7L)).toDF("g", "doc_id", "nt", "budget")
+    val got = graft.operators.Corpus.orderedPrefixCut(
+      edge, "g", "doc_id", "nt", "budget")
+      .select("g", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("all", 1L), ("all", 2L), ("one", 9L)),
+      s"edge regimes wrong: $got")
+  }
+
+  test("shardedNtile equals the ntile window form, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // real data at 30 docs/tile granularity
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val windowForm = docs.withColumn("phase", ntile(4).over(w))
+    val sharded = graft.operators.Corpus.shardedNtile(
+        docs, "lang", "n_chars", "doc_id", tiles = 4)
+      .select("doc_id", "lang", "n_chars", "phase")
+    assert(sharded.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(sharded).isEmpty,
+      "shardedNtile != ntile window on documents")
+    // adversarial: massive ties straddling tile boundaries, n % tiles
+    // != 0, and a group smaller than the tile count — with few
+    // buckets so ties genuinely co-bucket
+    import spark.implicits._
+    val ties = ((1 to 11).map(i => ("t", i.toLong, 7L)) ++
+      Seq(("small", 1L, 1L), ("small", 2L, 9L)))
+      .toDF("g", "id", "v")
+    val tw = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+    val twant = ties.withColumn("phase", ntile(4).over(tw))
+    val tgot = graft.operators.Corpus.shardedNtile(
+      ties, "g", "v", "id", tiles = 4, buckets = 3)
+      .select("g", "id", "v", "phase")
+    assert(tgot.exceptAll(twant).isEmpty && twant.exceptAll(tgot).isEmpty,
+      "shardedNtile != ntile on tie-heavy fixture")
+  }
+
+  test("p7 plan has no per-lang doc-level sort window") {
+    val plan = queries.PipelineQ.p7Curriculum(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, n_chars#.*"),
+      "p7 still totally orders a language's docs in one window task")
+    assert(!plan.contains("ntile"),
+      "p7 still routes through the positional ntile window")
+  }
+
+  test("p14 plan has no per-lang doc-level cumsum window") {
+    val plan = queries.PipelineQ.p14EpochManifest(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the old scale-killer: windowspecdefinition(lang, doc_id ...)
+    // over the doc-level frame; the sharded form windows only over
+    // (lang, __bkt) row-level and lang-over-bucket-aggregate frames
+    assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, doc_id#.*"),
+      "p14 still totally orders a language's docs in one window task")
+  }
 }
