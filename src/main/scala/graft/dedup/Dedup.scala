@@ -752,57 +752,18 @@ object Dedup {
       k: Int = 8, bands: Int = 4, threshold: Double = 0.8): String =
     synchronized {
       val f = new java.io.File(s"$dataDir/documents.parquet")
+      val live = s":cc-lsh:v$ClusterLabelsAlgoVersion:"
       val key = graft.operators.Retrieval.corpusFingerprintKey(f) +
-        s":cc-lsh:v$ClusterLabelsAlgoVersion:$k:$bands:$threshold"
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val root = s"${sys.props("java.io.tmpdir")}/graft_cclabels"
-      sweepStaleLabelCaches(new java.io.File(root))
-      val dir = s"$root/$fp"
-      if (graft.sources.VersionedTable.latestVersion(dir).isEmpty) {
-        // marker FIRST: the sweep treats a markerless dir as an
-        // orphan, so a concurrent JVM sweeping during the label build
-        // must already see the marker or it would delete the
-        // half-built cache out from under the writer. A marker with
-        // no published version just means in-progress/aborted — the
-        // latestVersion check above rebuilds it idempotently.
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(dir))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, "key.txt"),
-          key.getBytes("UTF-8"))
+        s"$live$k:$bands:$threshold"
+      // marker-before-build + stale sweep via the shared lifecycle
+      // (FingerprintCache scaladoc documents the concurrency
+      // argument originally proven here for graft_cclabels).
+      val dir = graft.sources.FingerprintCache.prepare(
+        "graft_cclabels", key, live)
+      if (graft.sources.VersionedTable.latestVersion(dir).isEmpty)
         writeClusterLabels(docs, dir, k, bands, threshold)
-      }
       dir
     }
-
-  /** Prune orphaned label caches: any graft_cclabels subdir whose
-    * key.txt marker names a different [[ClusterLabelsAlgoVersion]]
-    * can never be read again — its fingerprint embeds the old
-    * version — and a markerless dir is an aborted/pre-marker build
-    * (the writer creates the marker BEFORE the labels, so a live
-    * in-progress build always carries one); deleting both keeps /tmp
-    * from accumulating dead trees. A deleted pre-marker cache at the
-    * current version costs at most one spurious rebuild. Caches at
-    * the current version (all SFs / parameter sets) are kept. */
-  private def sweepStaleLabelCaches(root: java.io.File): Unit = {
-    val live = s":cc-lsh:v$ClusterLabelsAlgoVersion:"
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .filterNot { d =>
-        val marker = new java.io.File(d, "key.txt")
-        marker.isFile && new String(
-          java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-          .contains(live)
-      }
-      .foreach { d =>
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(d.toPath)) {
-          s => s.iterator().asScala.toSeq
-            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
-  }
 
   /** Keep-list READ path over a persisted membership frame (doc_id,
     * cluster_id, n_chars): longest member per non-singleton cluster,

@@ -281,11 +281,51 @@ object Indexing {
     * from a df-quantile. */
   def moreLikeThis(docs: DataFrame, seedPred: Column,
       dfMin: Int, dfMax: Int, k: Int): DataFrame = {
-    val posts = graft.dedup.Dedup.withHashedShingles(docs)
-      .select(col("doc_id"), explode(col("sh")).as("h"))
-      .localCheckpoint(false)
+    val posts = mltPosts(docs)
     val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= dfMin && col("df") <= dfMax)
+    mltScore(posts, rare, seedPred, k)
+  }
+
+  /** Self-tuning MLT (the measured operating rule made automatic):
+    * `dfMax` is DERIVED per run as the `dfPct`-th percentile of the
+    * corpus's shingle-df distribution via the KLL sketch
+    * (graft_quantiles, plans/QuantileSketch.scala) — corpus growth
+    * multiplies every df, so the percentile cut tracks the
+    * discriminative band that a fixed cap loses (the 10×-soak's
+    * "fixed cap 10 → zero candidates" measurement). Integer-exact
+    * when `sketchK` ≥ |distinct shingles| (no compaction ⇒ the exact
+    * order statistic at rank ceil(pct·n/100) — the e12 trick, which
+    * is what keeps x19 hash-oracled); at 100 TB you drop `sketchK`
+    * to a constant and accept the KLL rank-error band on the CAP
+    * (a knob, not an answer — candidate sets change only at the df
+    * boundary). The 1-row cut frame broadcasts back over the df
+    * table (a 1-row BroadcastNestedLoopJoin — tiny-by-design, the
+    * s1/s4 allowlisted shape; a constant equi-key would just be
+    * folded away by the optimizer); the only single-partition stage
+    * is the O(sketchK) sketch merge. */
+  def moreLikeThisAuto(docs: DataFrame, seedPred: Column, dfMin: Int,
+      dfPct: Int, k: Int, sketchK: Int = 1 << 15): DataFrame = {
+    val posts = mltPosts(docs)
+    val dfs = posts.groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false) // feeds cut + band of ONE plan
+    val cut = dfs.agg(graft.plans.QuantileSketch.quantiles(
+        col("df").cast("double"), sketchK, Seq(dfPct)).as("qs"))
+      .select(element_at(col("qs"), 1).cast("long").as("df_max"))
+    val rare = dfs.crossJoin(broadcast(cut))
+      .filter(col("df") >= dfMin && col("df") <= col("df_max"))
+    mltScore(posts, rare, seedPred, k)
+  }
+
+  /** One shingle scan feeds the df, seed and candidate branches of
+    * ONE plan (single-plan multi-read lazy checkpoint). */
+  private def mltPosts(docs: DataFrame): DataFrame =
+    graft.dedup.Dedup.withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .localCheckpoint(false)
+
+  private def mltScore(posts: DataFrame, rare: DataFrame,
+      seedPred: Column, k: Int): DataFrame = {
     val rp = posts.join(rare.select("h"), "h")
     val seeds = rp.filter(seedPred)
       .select(col("doc_id").as("seed_id"), col("h"))

@@ -219,14 +219,16 @@ object Retrieval {
     * reuses the build across sessions. Contract: the fingerprint
     * keys on the DATA FILES, not the corpus filter — all callers for
     * one dataDir must pass the same corpus derivation (the x7 query
-    * surface does). Returns the index dir. */
+    * surface does). Returns the index dir. Orphan lifecycle
+    * (marker-before-build + stale sweep) via
+    * [[graft.sources.FingerprintCache]]; BUMP the version token when
+    * buildIndex's output layout changes semantics. */
   def ensureIndex(corpus: DataFrame, idCol: String, textCol: String,
       dataDir: String): String = synchronized {
     val f = new java.io.File(s"$dataDir/documents.parquet")
-    val key = corpusFingerprintKey(f)
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_bm25/$fp"
+    val live = ":bm25:v1"
+    val idxDir = graft.sources.FingerprintCache.prepare(
+      "graft_bm25", corpusFingerprintKey(f) + live, live)
     if (graft.sources.VersionedTable.latestVersion(s"$idxDir/tf").isEmpty ||
         graft.sources.VersionedTable.latestVersion(s"$idxDir/stats").isEmpty)
       buildIndex(corpus, idCol, textCol, idxDir)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.sources.VersionedTable
+import graft.sources.{FingerprintCache, VersionedTable}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -213,10 +213,10 @@ object SegmentedBm25 {
   def ensureIndex(dataDir: String, tag: String)(build: String => Unit): String =
     synchronized {
       val f = new java.io.File(s"$dataDir/documents.parquet")
-      val key = s"${f.getAbsolutePath}:${f.lastModified}:${f.length}:$tag"
-      val fp = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_segbm25/$fp"
+      val live = ":segbm25:v1"
+      val key =
+        s"${f.getAbsolutePath}:${f.lastModified}:${f.length}:$tag$live"
+      val dir = FingerprintCache.prepare("graft_segbm25", key, live)
       if (VersionedTable.latestVersion(manifestDir(dir)).isEmpty) build(dir)
       dir
     }

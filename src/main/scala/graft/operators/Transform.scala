@@ -74,4 +74,107 @@ object Transform {
     * form). */
   def structuralCrosswalk(xml: Column, rules: Seq[XRule]): Column =
     struct(rules.map(compileRule(xml, _)): _*)
+
+  /** XSLT-subset → [[XRule]] compiler: the in-scope answer to the
+    * reference's Saxon dependency (transform.py:20-76 shells to an
+    * arbitrary `.xsl`; prepare_saxon_engine at transform.py:81
+    * DOWNLOADS Saxon — out of reach in a zero-egress engine). A user
+    * holding real stylesheet files feeds them here; the subset
+    * covers the shapes the reference's crosswalk DAGs actually use,
+    * and each compiles to the rule tree that [[structuralCrosswalk]]
+    * turns into ONE codegen'd map-only projection:
+    *
+    *  - one `xsl:template match="/abs/path"` establishing the
+    *    context node,
+    *  - whose body is one literal result element; its children
+    *    compile to the rule list:
+    *    - literal element containing exactly one `xsl:value-of` →
+    *      [[XLeaf]] (select `.`→ context text, `@attr` → attribute,
+    *      relative path → descendant text),
+    *    - literal element containing only literal elements →
+    *      [[XNode]] of its compiled children,
+    *    - `xsl:for-each select="rel"` containing one literal
+    *      element whose children each hold one `xsl:value-of` →
+    *      [[XZip]]: the per-match fields zip positionally, exactly
+    *      how the for-each visits nodes in document order.
+    *
+    * Anything outside the subset (apply-templates, call-template,
+    * xsl:if/choose, nested for-each) throws — a compiler that
+    * silently mis-runs a stylesheet is worse than one that refuses
+    * it. Parsing is JDK DOM; no execution engine is involved. */
+  def compileXslt(xslt: String): Seq[XRule] = {
+    import org.w3c.dom.Element
+    val XslNs = "http://www.w3.org/1999/XSL/Transform"
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+      new java.io.StringReader(xslt)))
+    def elems(n: org.w3c.dom.Node): Seq[Element] = {
+      val nl = n.getChildNodes
+      (0 until nl.getLength).map(nl.item).collect { case e: Element => e }
+    }
+    def isXsl(e: Element, local: String): Boolean =
+      XslNs == e.getNamespaceURI && e.getLocalName == local
+    def name(e: Element): String =
+      Option(e.getLocalName).getOrElse(e.getTagName)
+    def valuePath(base: String, sel: String): String = {
+      require(!sel.contains("//") && !sel.startsWith("/"),
+        s"unsupported value-of select '$sel' (absolute and // paths " +
+          "are outside the subset)")
+      if (sel == ".") s"$base/text()"
+      // an attribute FINAL step ("@tag", "subfield/@code") selects the
+      // attribute value itself — appending /text() to it would always
+      // be empty (and misalign a zip's arrays)
+      else if (sel.split("/").last.startsWith("@")) s"$base/$sel"
+      else s"$base/$sel/text()"
+    }
+    def compileLeafOrNode(e: Element, base: String): XRule = {
+      require(e.getNamespaceURI == null,
+        s"unsupported xsl:${name(e)} here — only value-of/for-each/" +
+          "literal elements are in the subset")
+      elems(e) match {
+        case Seq(vo) if isXsl(vo, "value-of") =>
+          XLeaf(name(e), valuePath(base, vo.getAttribute("select")))
+        case kids if kids.nonEmpty =>
+          XNode(name(e), kids.map(compileTop(_, base)))
+        case _ => throw new IllegalArgumentException(
+          s"empty literal element <${name(e)}> — nothing to compile")
+      }
+    }
+    def compileTop(e: Element, base: String): XRule =
+      if (isXsl(e, "for-each")) {
+        val sel = e.getAttribute("select")
+        require(sel.nonEmpty && !sel.startsWith("/"),
+          s"for-each select must be context-relative, got '$sel'")
+        val inner = elems(e) match {
+          case Seq(one) if one.getNamespaceURI == null => one
+          case other => throw new IllegalArgumentException(
+            "for-each body must be one literal element, got " +
+              other.map(name).mkString(","))
+        }
+        val fBase = s"$base/$sel"
+        val fields = elems(inner).map { f =>
+          val vo = elems(f) match {
+            case Seq(v) if isXsl(v, "value-of") => v
+            case _ => throw new IllegalArgumentException(
+              s"for-each field <${name(f)}> must hold exactly one value-of")
+          }
+          name(f) -> valuePath(fBase, vo.getAttribute("select"))
+        }
+        XZip(name(inner), fields)
+      } else compileLeafOrNode(e, base)
+    val template = elems(doc.getDocumentElement)
+      .find(isXsl(_, "template")).getOrElse(throw
+        new IllegalArgumentException("stylesheet has no xsl:template"))
+    val ctx = template.getAttribute("match")
+    require(ctx.startsWith("/") && !ctx.contains("//"),
+      s"template match must be an absolute path, got '$ctx'")
+    val wrapper = elems(template) match {
+      case Seq(w) if w.getNamespaceURI == null => w
+      case other => throw new IllegalArgumentException(
+        "template body must be one literal result element, got " +
+          other.map(name).mkString(","))
+    }
+    elems(wrapper).map(compileTop(_, ctx))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.VersionedTable
+import graft.sources.{FingerprintCache, VersionedTable}
 
 /** Persisted, incrementally-maintained vocabulary index — the
   * serving artifact behind the suggester (x16) and spellcheck (x17)
@@ -124,10 +124,10 @@ object VocabIndex {
   def ensureVocabIndex(docs: DataFrame, textCol: String, dataDir: String,
       prefixLen: Int, k: Int): String = synchronized {
     val f = new java.io.File(s"$dataDir/documents.parquet")
-    val key = Retrieval.corpusFingerprintKey(f) + s":p$prefixLen:k$k"
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_vocab/$fp"
+    val live = ":vocab:v1"
+    val key =
+      Retrieval.corpusFingerprintKey(f) + s":p$prefixLen:k$k$live"
+    val idxDir = FingerprintCache.prepare("graft_vocab", key, live)
     if (VersionedTable.latestVersion(vocabDir(idxDir)).isEmpty ||
         VersionedTable.latestVersion(suggestDir(idxDir)).isEmpty)
       build(docs, textCol, idxDir, prefixLen, k)

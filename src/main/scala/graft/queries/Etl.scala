@@ -349,21 +349,23 @@ object Etl {
 
   /** x19: MoreLikeThis (Solr's MLT component data plane — given seed
     * documents, the top-k most similar other documents). "Interesting
-    * terms" are 3-shingles with 2 ≤ df ≤ 10 — the fixture's ~31-token
-    * vocabulary makes every TOKEN ubiquitous, but the shingle space
-    * is diverse, which is also the posture that survives 100 TB: the
-    * df cap bounds per-term join fanout (d14's discriminative-index
-    * lesson — a term in half the corpus scores everything against
-    * everything and carries no signal), and the seed side is tiny by
-    * definition (an MLT request names a handful of docs) so it
-    * broadcasts. Score = count of shared rare shingles (ALL-INTEGER),
+    * terms" are 3-shingles with df ∈ [2, p99(df)] — the cap is now
+    * SELF-TUNING (the 10×-soak's measured operating rule made
+    * automatic): the 99th percentile of the shingle-df distribution,
+    * exact via the KLL sketch at capacity ≥ |distinct shingles|, so
+    * the discriminative band tracks corpus growth instead of going
+    * silent at a fixed knob. The cap still bounds per-term join
+    * fanout (d14's discriminative-index lesson — a term in half the
+    * corpus scores everything against everything and carries no
+    * signal), and the seed side is tiny by definition (an MLT request
+    * names a handful of docs) so it broadcasts. Score = count of shared rare shingles (ALL-INTEGER),
     * top-3 per seed by (shared desc, cand_id asc); rank kept in the
     * output so the ORDER BY is totally unique. One shingle scan feeds
     * the df, seed, and candidate branches of ONE plan (single-plan
     * multi-read lazy checkpoint). */
   def x19Mlt(spark: SparkSession, dir: String): DataFrame =
-    Indexing.moreLikeThis(Tables.documents(spark, dir),
-        seedPred = col("doc_id") < 5, dfMin = 2, dfMax = 10, k = 3)
+    Indexing.moreLikeThisAuto(Tables.documents(spark, dir),
+        seedPred = col("doc_id") < 5, dfMin = 2, dfPct = 99, k = 3)
       .orderBy("seed_id", "rank")
 
   /** x20: field collapsing (Solr's CollapsingQParserPlugin): the
@@ -583,8 +585,11 @@ object Etl {
                s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
            FROM toks),
          posts AS (SELECT doc_id, unnest(sh) AS h FROM sh),
-         rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM posts GROUP BY 1)
-           WHERE df BETWEEN 2 AND 10),
+         dfs AS (SELECT h, count(*) AS df FROM posts GROUP BY 1),
+         cut AS (SELECT max(CASE WHEN rn = (99*n + 99) // 100 THEN df END) AS df_max
+           FROM (SELECT df, row_number() OVER (ORDER BY df) AS rn,
+                   count(*) OVER () AS n FROM dfs)),
+         rare AS (SELECT h FROM dfs, cut WHERE df BETWEEN 2 AND df_max),
          rp AS (SELECT doc_id, h FROM posts JOIN rare USING (h)),
          scored AS (
            SELECT s.doc_id AS seed_id, c.doc_id AS cand_id,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Records, Validate}
+import graft.operators.{Records, Transform, Validate}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -154,11 +154,56 @@ object Xml {
     s.unionByName(f).orderBy("phase", "id")
   }
 
+  /** The t5 stylesheet — a COMPILED crosswalk: unlike t3's hand-built
+    * rule tree, this query's rules come out of
+    * [[graft.operators.Transform.compileXslt]], exercising the
+    * XSLT-subset front door (the reference's transform.py:20-76
+    * workflow: a user-authored `.xsl` file drives the transform).
+    * Embedded as a constant so Verify/Bench are self-contained; the
+    * spec additionally compiles a fixture FILE
+    * (src/test/resources/t3_crosswalk.xsl) and proves tree + output
+    * equality with the hand-built t3. */
+  private val t5Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |  <xsl:template match="/record">
+      |    <doc>
+      |      <id><xsl:value-of select="controlfield[@tag='001']"/></id>
+      |      <origin>
+      |        <lang><xsl:value-of select="datafield[@tag='041']/subfield[@code='a']"/></lang>
+      |        <leader><xsl:value-of select="leader"/></leader>
+      |      </origin>
+      |      <xsl:for-each select="datafield">
+      |        <field>
+      |          <tag><xsl:value-of select="@tag"/></tag>
+      |          <code><xsl:value-of select="subfield/@code"/></code>
+      |          <val><xsl:value-of select="subfield"/></val>
+      |        </field>
+      |      </xsl:for-each>
+      |    </doc>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t5: crosswalk COMPILED from a stylesheet (the Saxon-replacing
+    * path) — same map-only one-projection plan as t3, but the rule
+    * tree is parsed from XSLT instead of hand-built. The oracle
+    * rebuilds the identical JSON from its regexp extraction, so a
+    * compiler bug that mis-translates a path or field order
+    * hash-fails, not just type-checks. */
+  def t5Xslt(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Transform.compileXslt(t5Stylesheet)
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        to_json(Transform.structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
     "v6_xml_validate" -> (v6XmlValidate _),
     "t3_structural" -> (t3Structural _),
+    "t5_xslt" -> (t5Xslt _),
     "v9_schematron" -> (v9Schematron _),
   )
 
@@ -202,6 +247,19 @@ object Xml {
              x -> concat('{"tag":"001","val":"', x, '"}')), ','),
            '],"df":[{"tag":"041","val":"', lang,
            '"},{"tag":"856","val":"', source, '"}]}') AS rec
+         FROM ex ORDER BY doc_id""",
+    // t5: identical JSON rebuilt from regexp extraction — the leader
+    // is a constant of the synthesized record; field rows mirror the
+    // two datafields in document order
+    "t5_xslt" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, source, $idsSql AS ids FROM marc)
+         SELECT doc_id, concat(
+           '{"id":"', CASE WHEN len(ids) = 0 THEN '' ELSE ids[1] END,
+           '","origin":{"lang":"', lang,
+           '","leader":"00000nam a2200000 a 4500"},',
+           '"field":[{"tag":"041","code":"a","val":"', lang,
+           '"},{"tag":"856","code":"u","val":"', source, '"}]}') AS rec
          FROM ex ORDER BY doc_id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),

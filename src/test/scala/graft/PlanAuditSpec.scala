@@ -34,7 +34,10 @@ class PlanAuditSpec extends AnyFunSuite {
                        // shows in s7's (single) plan
     "s8_recall",       // composes s1's broadcast bruteForce (truth side) and
                        // s4's broadcast-centroid assignment — both by design
-    "s9_recall_sweep") // s8's shape swept over three probe levels
+    "s9_recall_sweep", // s8's shape swept over three probe levels
+    "x19_mlt")         // the 1-row derived-df-cap frame broadcast
+                       // over the df table (a constant equi-key
+                       // would be constant-folded away)
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
@@ -63,10 +66,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "p14_epoch_manifest",// same p12-shaped plan frame (global window
                          // over O(|langs|) rows, then broadcast back);
                          // the doc-level manifest stages are keyed
-    "d22_dedup_funnel")  // three 1-row global counts (total / exact /
+    "d22_dedup_funnel",  // three 1-row global counts (total / exact /
                          // near) — the distinct counting is keyed and
                          // map-side partial; only the single-counter
                          // finals serialize
+    "x19_mlt")           // the self-tuning df cap: one global KLL
+                         // sketch merge (O(sketchK) state, map-side
+                         // partial sketches) producing the 1-row cut
+                         // frame; scoring stays shingle-keyed
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -42,15 +42,20 @@ class RoundNineSpec extends AnyFunSuite {
   test("x19 MLT ranks shared-rare-shingle counts, top-3 per seed") {
     val rows = queries.Etl.x19Mlt(spark, sf).collect()
     assert(rows.nonEmpty)
-    // independent recount: shingle sets per doc, df-capped [2,10]
+    // independent recount: shingle sets per doc, df-capped at
+    // [2, p99(df)] — the r10 SELF-TUNING cap, re-derived here from
+    // the df multiset by the same ceil(99·n/100) order statistic the
+    // KLL sketch computes (exact at capacity ≥ n)
     val sh = graft.dedup.Dedup
       .withHashedShingles(Tables.documents(spark, sf))
       .select("doc_id", "sh").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toMap
     val df = sh.values.toSeq.flatten.groupBy(identity)
       .map { case (h, occ) => (h, occ.size) }
+    val sortedDfs = df.values.toSeq.sorted
+    val cap = sortedDfs((((99L * sortedDfs.size + 99L) / 100L) - 1L).toInt)
     val rare: Set[Long] = df.collect {
-      case (h, d) if d >= 2 && d <= 10 => h
+      case (h, d) if d >= 2 && d <= cap => h
     }.toSet
     def shared(a: Long, b: Long): Int = (sh(a) & sh(b) & rare).size
     val bySeed = rows.groupBy(_.getLong(0))

@@ -163,4 +163,132 @@ class RoundTenSpec extends AnyFunSuite {
     assert(!plan.matches("(?s).*windowspecdefinition\\(lang#\\d+, doc_id#.*"),
       "p14 still totally orders a language's docs in one window task")
   }
+
+  // --- shared fingerprint-cache lifecycle (verdict r9 hygiene item):
+  // every build-if-absent cache family under tmpdir sweeps orphans
+  // (markerless / old-version dirs) and keeps current-version caches.
+  private def plantOrphans(rootName: String): (java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sys.props("java.io.tmpdir"), rootName)
+    Files.createDirectories(root)
+    val noMarker = root.resolve("spec-orphan-nomarker")
+    Files.createDirectories(noMarker)
+    Files.write(noMarker.resolve("junk.txt"), "x".getBytes)
+    val oldVer = root.resolve("spec-orphan-oldver")
+    Files.createDirectories(oldVer)
+    Files.write(oldVer.resolve("key.txt"), "fp:stale:v0".getBytes)
+    (noMarker, oldVer)
+  }
+
+  private def assertSwept(rootName: String, ensure: () => String,
+      liveToken: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val (noMarker, oldVer) = plantOrphans(rootName)
+    val dir = ensure()
+    assert(!Files.exists(noMarker),
+      s"$rootName: markerless orphan survived the sweep")
+    assert(!Files.exists(oldVer),
+      s"$rootName: old-version orphan survived the sweep")
+    val marker = Paths.get(dir, "key.txt")
+    assert(Files.exists(marker), s"$rootName: live cache has no marker")
+    assert(new String(Files.readAllBytes(marker)).contains(liveToken),
+      s"$rootName: live marker missing version token")
+    // a second ensure (fresh sweep pass) must NOT delete the live cache
+    val dir2 = ensure()
+    assert(dir2 == dir && Files.exists(marker),
+      s"$rootName: live cache swept by its own version's pass")
+  }
+
+  test("graft_bm25 cache sweeps orphans, keeps the live build") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    assertSwept("graft_bm25", () => operators.Retrieval.ensureIndex(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text", sf), ":bm25:v1")
+  }
+
+  test("graft_segbm25 cache sweeps orphans, keeps the live build") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    assertSwept("graft_segbm25", () =>
+      operators.SegmentedBm25.ensureIndex(sf, "spec-sweep") { d =>
+        operators.SegmentedBm25.append(
+          docs.filter(col("doc_id") >= 5), "doc_id", "text", d)
+        ()
+      }, ":segbm25:v1")
+  }
+
+  test("compileXslt: the fixture .xsl compiles to the hand-built t3 " +
+      "tree and produces identical output") {
+    import graft.operators.Transform._
+    import org.apache.spark.sql.functions.{col, to_json}
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/t3_crosswalk.xsl").toURI)))
+    val rules = compileXslt(src)
+    val expected = Seq(
+      XLeaf("id", "/record/controlfield[@tag='001']/text()"),
+      XNode("meta", Seq(
+        XLeaf("lang", "/record/datafield[@tag='041']/subfield[@code='a']/text()"),
+        XLeaf("url", "/record/datafield[@tag='856']/subfield[@code='u']/text()"))),
+      XZip("cf", Seq(
+        "tag" -> "/record/controlfield/@tag",
+        "val" -> "/record/controlfield/text()")),
+      XZip("df", Seq(
+        "tag" -> "/record/datafield/@tag",
+        "val" -> "/record/datafield/subfield/text()")))
+    assert(rules == expected, s"compiled tree diverges:\n$rules")
+    val compiled = queries.Xml.marcXml(Tables.documents(spark, sf))
+      .select(col("doc_id"),
+        to_json(structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id").collect().toSeq
+    val hand = queries.Xml.t3Structural(spark, sf).collect().toSeq
+    assert(compiled == hand, "compiled stylesheet output != hand-built t3")
+  }
+
+  test("compileXslt refuses constructs outside the subset") {
+    import graft.operators.Transform.compileXslt
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/r"><o>
+          <xsl:apply-templates/></o></xsl:template></xsl:stylesheet>"""))
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="r"><o>
+          <a><xsl:value-of select="x"/></a></o></xsl:template></xsl:stylesheet>"""))
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/r"><o>
+          <xsl:for-each select="d"><f><t><xsl:value-of select="@tag"/></t></f>
+          <g><t><xsl:value-of select="."/></t></g>
+          </xsl:for-each></o></xsl:template></xsl:stylesheet>"""))
+  }
+
+  test("self-tuning MLT cap: KLL p99 is the exact order statistic and " +
+      "the auto form reproduces the fixed-cap output") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text")
+    val dfs = dedup.Dedup.withHashedShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val n = dfs.count()
+    val target = ((99L * n + 99L) / 100L).toInt
+    val exact = dfs.orderBy("df").limit(target)
+      .agg(max("df")).first().getLong(0)
+    val kll = dfs.agg(plans.QuantileSketch.quantiles(
+        col("df").cast("double"), 1 << 15, Seq(99)).as("qs"))
+      .select(element_at(col("qs"), 1).cast("long")).first().getLong(0)
+    assert(kll == exact,
+      s"KLL-derived cap $kll != exact p99 order statistic $exact")
+    val auto = operators.Indexing.moreLikeThisAuto(
+      docs, col("doc_id") < 5, dfMin = 2, dfPct = 99, k = 3)
+      .collect().map(_.toSeq).toSet
+    val fixed = operators.Indexing.moreLikeThis(
+      docs, col("doc_id") < 5, dfMin = 2, dfMax = exact.toInt, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(auto == fixed, "auto-cap MLT diverges from fixed-cap MLT at the derived cap")
+  }
+
+  test("graft_vocab cache sweeps orphans, keeps the live build") {
+    assertSwept("graft_vocab", () => operators.VocabIndex.ensureVocabIndex(
+      Tables.documents(spark, sf), "text", sf, prefixLen = 1, k = 3),
+      ":vocab:v1")
+  }
 }
