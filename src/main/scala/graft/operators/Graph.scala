@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-signal operators over source/document link tables.
+  *
+  * The reference has no graph pass, but a training-data engine
+  * ranking sources by reprint authority does (g1/g2): PageRank over
+  * the d16 source-overlap graph. Everything here is EXACT integer
+  * arithmetic so the oracle can replay it as an unrolled CTE — no
+  * float damping that could round differently across engines.
+  */
+object Graph {
+
+  /** Weighted PageRank over an undirected weighted pair list.
+    *
+    * `nodes`: one column `source` (every node, including isolated
+    * ones — they hold the 150_000 floor). `pairs`:
+    * (source_a, source_b, w) with each undirected edge ONCE; w is an
+    * integer weight (g2 feeds n_shared passages from d16). Ranks
+    * start at 1_000_000; each of the `iters` unrolled iterations
+    * sends (rank(u) · w(u,v)) DIV wdeg(u) along every directed edge
+    * and damps r' = 150_000 + (85 · Σ contributions) DIV 100 — the
+    * g1 formula with the uniform split generalized to weight
+    * proportion. All shuffles are keyed on edge endpoints; each
+    * iteration is one join-aggregate round over the EDGE table
+    * (|sources|²-bounded under d16/d17's df cap, never corpus-sized),
+    * so the fixed unroll costs iters × an edge-keyed pass at any
+    * corpus scale. Unweighted g1 is the w ≡ 1 special case
+    * ((r·1) DIV wdeg = r DIV outdeg, bit-identical).
+    *
+    * Output: (source, wdeg, rank_i3). */
+  def weightedPageRank(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 3): DataFrame = {
+    val edges = pairs
+      .select(col("source_a").as("u"), col("source_b").as("v"), col("w"))
+      .unionByName(pairs
+        .select(col("source_b").as("u"), col("source_a").as("v"), col("w")))
+    val wdeg = nodes
+      .join(edges.groupBy("u").agg(sum("w").as("wd"))
+          .withColumnRenamed("u", "source"),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("wd"), lit(0L)).as("wdeg"))
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.select(col("source").as("u"), col("r")), Seq("u"))
+        .join(wdeg.select(col("source").as("u"), col("wdeg")), Seq("u"))
+        .select(col("v"), expr("(r * w) DIV wdeg").as("c"))
+        .groupBy("v").agg(sum("c").as("m"))
+      r = nodes
+        .join(contrib.withColumnRenamed("v", "source"), Seq("source"), "left")
+        .select(col("source"),
+          expr("CAST(150000 AS BIGINT)"
+            + " + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100").as("r"))
+    }
+    r.join(wdeg, Seq("source"))
+      .select(col("source"), col("wdeg"), col("r").as("rank_i3"))
+  }
+}

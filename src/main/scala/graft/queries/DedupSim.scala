@@ -347,33 +347,34 @@ object DedupSim {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.sourceOverlap(docs, col("source"), col("text"),
         width = 20, stride = 20, maxDf = None)
-      .select("source_a", "source_b")
+      .select(col("source_a"), col("source_b"), lit(1L).as("w"))
       .localCheckpoint(false)
-    val edges = pairs
-      .select(col("source_a").as("u"), col("source_b").as("v"))
-      .unionByName(pairs
-        .select(col("source_b").as("u"), col("source_a").as("v")))
-    val nodes = docs.select("source").distinct()
-    val deg = nodes
-      .join(edges.groupBy("u").agg(count(lit(1)).as("d"))
-          .withColumnRenamed("u", "source"),
-        Seq("source"), "left")
-      .select(col("source"), coalesce(col("d"), lit(0L)).as("outdeg"))
-    var r = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(r.select(col("source").as("u"), col("r")), Seq("u"))
-        .join(deg.select(col("source").as("u"), col("outdeg")), Seq("u"))
-        .select(col("v"), expr("r DIV outdeg").as("c"))
-        .groupBy("v").agg(sum("c").as("m"))
-      r = nodes
-        .join(contrib.withColumnRenamed("v", "source"), Seq("source"), "left")
-        .select(col("source"),
-          expr("CAST(150000 AS BIGINT)"
-            + " + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100").as("r"))
-    }
-    r.join(deg, Seq("source"))
-      .select(col("source"), col("outdeg"), col("r").as("rank_i3"))
+    // unweighted = the w ≡ 1 case of Graph.weightedPageRank
+    // ((r·1) DIV wdeg = r DIV outdeg — bit-identical to the unrolled
+    // oracle CTE, which keeps its original r DIV outdeg form)
+    graft.operators.Graph.weightedPageRank(
+        docs.select("source").distinct(), pairs, iters = 3)
+      .select(col("source"), col("wdeg").as("outdeg"), col("rank_i3"))
+      .orderBy("source")
+  }
+
+  /** g2: WEIGHTED source-authority PageRank — the g1 graph with edge
+    * weight = n_shared passages (d16's overlap count), so a source
+    * reprinted wholesale confers proportionally more authority than
+    * one sharing a single passage. Same exact-integer unrolled-CTE
+    * replay (per-edge (r·w) DIV wdeg — integer div per edge on BOTH
+    * engines, so no reassociation can differ); same 3 fixed
+    * iterations over the |sources|²-bounded edge table. The
+    * incremental twin is streaming/RankStream.maintainRank
+    * (batch-parity spec'd). */
+  def g2WeightedRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.sourceOverlap(docs, col("source"), col("text"),
+        width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+      .localCheckpoint(false)
+    graft.operators.Graph.weightedPageRank(
+        docs.select("source").distinct(), pairs, iters = 3)
       .orderBy("source")
   }
 
@@ -586,6 +587,7 @@ object DedupSim {
     "p13_cluster_balanced" -> (p13ClusterBalanced _),
     "d22_dedup_funnel" -> (d22DedupFunnel _),
     "g1_source_rank" -> (g1SourceRank _),
+    "g2_weighted_rank" -> (g2WeightedRank _),
     "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
@@ -1395,6 +1397,41 @@ object DedupSim {
          r3 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS r
            FROM nodes n LEFT JOIN c3 ON n.source = c3.v)
          SELECT r3.source, d.outdeg, r3.r AS rank_i3
+         FROM r3 JOIN deg d ON r3.source = d.source
+         ORDER BY r3.source""",
+    // g2: the g1 CTE chain with per-edge weights (n_shared) and the
+    // weighted split (r*w) // wdeg — integer div per edge, matching
+    // the Spark expression exactly
+    "g2_weighted_rank" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p),
+         pr AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS w
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+         edges AS (SELECT sa AS u, sb AS v, w FROM pr
+           UNION ALL SELECT sb, sa, w FROM pr),
+         nodes AS (SELECT DISTINCT source FROM t),
+         deg AS (SELECT n.source, CAST(coalesce(sum(e.w), 0) AS BIGINT) AS wdeg
+           FROM nodes n LEFT JOIN edges e ON n.source = e.u GROUP BY 1),
+         r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         c1 AS (SELECT e.v, sum((r0.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r0 ON e.u = r0.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r1 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON n.source = c1.v),
+         c2 AS (SELECT e.v, sum((r1.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r1 ON e.u = r1.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r2 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON n.source = c2.v),
+         c3 AS (SELECT e.v, sum((r2.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r2 ON e.u = r2.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r3 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 ON n.source = c3.v)
+         SELECT r3.source, d.wdeg, r3.r AS rank_i3
          FROM r3 JOIN deg d ON r3.source = d.source
          ORDER BY r3.source""",
     "d16_source_overlap" ->

@@ -141,13 +141,59 @@ object Multi {
       .orderBy("a_id", "b_id")
   }
 
+  /** m7: VIDEO-level near-dup via shared sampled-frame fingerprints —
+    * the m4×m5 composition a multimodal pipeline actually runs (two
+    * uploads of one video differ by an overlay/credit frame; frame
+    * fingerprints, not whole-file hashes, find them). Candidate
+    * generation is an inverted index on EXACT frame hashes with a df
+    * cap (the d14/d17 discriminative-index posture: a frame in more
+    * than maxDf=3 videos is boilerplate — intros, black frames — and
+    * is dropped BEFORE the self-join, bounding pair fanout by
+    * maxDf·Σdf, never |videos|²; the cap bites at every SF: 4/3/3
+    * hashes dropped). Fixture plants near-dup videos: docs 0–49
+    * re-uploaded (id+1,000,000) with ONE byte changed, which
+    * perturbs frame 0 only — the planted pairs share every other
+    * sampled frame. Pairs with ≥2 shared distinct frames survive;
+    * ALL-INTEGER scores, (a_id, b_id) a total order. One frame scan
+    * feeds the df and both join branches of ONE plan. */
+  def m7VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 64)
+    val base = docs.select(col("doc_id").as("id"), col("text"))
+    val planted = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("id"),
+        concat(substring(col("text"), 1, 7), lit("q"),
+          expr("substring(text, 9)")).as("text"))
+    val vids = base.unionByName(planted)
+      .select(col("id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_frames",
+        floor(length(col("payload")) / 100).cast("int"))
+      .filter(col("n_frames") >= 1)
+    val frames = Multimodal
+      .sampleFrames(vids, "n_frames", stride = 1, maxFrames = 5)
+      .select(col("id"),
+        md5(expr("substring(payload, frame_idx * 100 + 1, 100)")).as("fh"))
+      .distinct()
+      .localCheckpoint(false) // feeds df + both join sides of ONE plan
+    val keep = frames.groupBy("fh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 3).select("fh")
+    val kept = frames.join(keep, Seq("fh"), "left_semi")
+    kept.select(col("id").as("a_id"), col("fh"))
+      .join(kept.select(col("id").as("b_id"), col("fh")), "fh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
     "m2_modality_stats" -> (m2ModalityStats _),
     "m3_decode_features" -> (m3DecodeFeatures _),
     "m4_frame_sample" -> (m4FrameSample _),
     "m5_phash_dedup" -> (m5PhashDedup _),
-    "m6_modality_budget" -> (m6ModalityBudget _))
+    "m6_modality_budget" -> (m6ModalityBudget _),
+    "m7_video_neardup" -> (m7VideoNeardup _))
 
   val oracleSql: Map[String, String] = Map(
     "m1_binary_meta" ->
@@ -171,6 +217,29 @@ object Multi {
          SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
            md5(substr(text, frame_idx * 100 + 1, 100)) AS frame_hash
          FROM f ORDER BY doc_id, frame_idx""",
+    // m7: the same frame grid at stride 1, df-capped inverted index,
+    // ≥2 shared distinct frames
+    "m7_video_neardup" ->
+      """WITH d AS (
+           SELECT doc_id AS id, text FROM documents WHERE n_chars >= 64
+           UNION ALL
+           SELECT doc_id + 1000000, concat(substr(text, 1, 7), 'q', substr(text, 9))
+           FROM documents WHERE n_chars >= 64 AND doc_id < 50),
+         v AS (SELECT id, text,
+             CAST(floor(octet_length(CAST(text AS BLOB)) / 100) AS INT) AS nf
+           FROM d),
+         f AS (SELECT DISTINCT id, md5(substr(text, fi * 100 + 1, 100)) AS fh
+           FROM (SELECT id, text, unnest(range(0, least(nf - 1, 4) + 1, 1)) AS fi
+                 FROM v WHERE nf >= 1)),
+         keep AS (SELECT fh FROM (SELECT fh, count(*) AS df FROM f GROUP BY 1)
+           WHERE df <= 3),
+         k AS (SELECT id, fh FROM f WHERE fh IN (SELECT fh FROM keep))
+         SELECT a_id, b_id, n_shared_frames FROM (
+           SELECT a.id AS a_id, b.id AS b_id,
+             CAST(count(*) AS BIGINT) AS n_shared_frames
+           FROM k a JOIN k b ON a.fh = b.fh AND a.id < b.id
+           GROUP BY 1, 2)
+         WHERE n_shared_frames >= 2 ORDER BY a_id, b_id""",
     // m3: StubDecoder replayed — the corpus is ASCII so ascii(char_i)
     // equals payload byte i; every feature is byte/128, an exact
     // binary fraction, so float-vs-double compare is exact

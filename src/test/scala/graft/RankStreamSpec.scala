@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VersionedTable
+import graft.streaming.RankStream
+
+/** Convergence + replay-idempotence for the streaming weighted-rank
+  * maintainer (the VocabStream-style proof): after a corpus streams
+  * in batches, the served rank table must equal g2's from-scratch
+  * batch computation, and a full re-delivery of the stream must
+  * change nothing. */
+class RankStreamSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val docSchema = StructType(Seq(
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  private def stage(df: DataFrame, dir: java.nio.file.Path, name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rstage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("w"))
+      .filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dst = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    ()
+  }
+
+  private def batchRanks(docs: DataFrame): DataFrame = {
+    val pairs = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
+        col("text"), width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+    graft.operators.Graph.weightedPageRank(
+      docs.select("source").distinct(), pairs, iters = 3)
+  }
+
+  test("streamed weighted rank converges to the batch g2 computation " +
+      "and replay is idempotent") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val parts = Seq(
+      docs.filter(crc32(col("text")) % 3 === 0),
+      docs.filter(crc32(col("text")) % 3 === 1),
+      docs.filter(crc32(col("text")) % 3 === 2))
+    val src = java.nio.file.Files.createTempDirectory("graft_rsrc")
+    val state = java.nio.file.Files.createTempDirectory("graft_rstate")
+      .resolve("rank").toString
+    val t0 = System.currentTimeMillis() - 600000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      stage(p, src, s"b$i", t0 + i * 60000) }
+
+    val stream = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = RankStream.maintainRank(stream, state)
+    q.processAllAvailable(); q.stop()
+
+    val got = RankStream.servingRanks(spark, state)
+    val want = batchRanks(docs)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "served ranks diverge from the from-scratch g2 computation")
+    // edge state equals d16's weighted pair matrix
+    val gotE = VersionedTable.readLatest(spark, RankStream.edgesDir(state))
+    val wantE = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
+        col("text"), width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+    assert(gotE.exceptAll(wantE).isEmpty && wantE.exceptAll(gotE).isEmpty,
+      "accumulated edge weights diverge from the batch overlap matrix")
+
+    // replay: same lineage, fresh stream checkpoint — markers must
+    // no-op every batch (no new versions, same served ranks)
+    val vBefore = VersionedTable
+      .latestVersion(RankStream.ranksDir(state)).get
+    val stream2 = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q2 = RankStream.maintainRank(stream2, state)
+    q2.processAllAvailable(); q2.stop()
+    assert(VersionedTable.latestVersion(RankStream.ranksDir(state)).get
+        == vBefore,
+      "replayed batches were re-applied despite markers")
+  }
+
+  test("crash-window replay of the edge merge does not double weights") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+      .filter(col("source").isin("src0", "src1", "src2"))
+    val src = java.nio.file.Files.createTempDirectory("graft_rcrash")
+    val state = java.nio.file.Files.createTempDirectory("graft_rcstate")
+      .resolve("rank").toString
+    stage(docs, src, "b0", System.currentTimeMillis() - 600000)
+    val stream = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = RankStream.maintainRank(stream, state)
+    q.processAllAvailable(); q.stop()
+    // simulate the crash window: marker lost AFTER all writes landed
+    val marker = java.nio.file.Paths.get(state, "_batch-run0-0")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    val eBefore = VersionedTable.readLatest(
+      spark, RankStream.edgesDir(state)).collect().toSet
+    val stream2 = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q2 = RankStream.maintainRank(stream2, state)
+    q2.processAllAvailable(); q2.stop()
+    val eAfter = VersionedTable.readLatest(
+      spark, RankStream.edgesDir(state)).collect().toSet
+    assert(eAfter == eBefore,
+      "markerless replay re-merged the edge delta (tag guard failed)")
+  }
+}
