@@ -203,18 +203,29 @@ object Soak {
 
     // x19 MLT at replica scale: the df cap is CORPUS-RELATIVE (like
     // d17's) — replication multiplies every shingle's df by
-    // ~nReplicas (the 31-token vocabulary already averages df≈8 in
-    // base sf0.1), so the "interesting terms" band moves with the
-    // corpus: dfMax = 10·nReplicas finds the same discriminative
-    // shingles the sf0.1 query finds at 10, and per-shingle join
-    // fanout stays ≤ dfMax·|seed postings| — bounded by the knob,
-    // never by corpus². (A FIXED cap of 10 on the 10× corpus returns
-    // zero candidates — measured; the cap must scale or MLT goes
-    // silent, which is the documented operating rule.) Seeds are
-    // replica-0 docs 0–4.
-    val (tMlt, nMlt) = time(operators.Indexing.moreLikeThis(
+    // ~nReplicas, so a FIXED cap of 10 on the 10× corpus returns
+    // zero candidates (measured in r9; the documented operating
+    // rule). Since r10 the cap is SELF-TUNING (moreLikeThisAuto: the
+    // p99 of the shingle-df distribution via the KLL sketch), so the
+    // soak's job is to MEASURE that the derived cap tracks corpus
+    // growth: report p99(df) on the base corpus and on the replica
+    // corpus — the replica cap must be ≈ nReplicas × the base cap —
+    // and run the full auto query at replica scale (fanout stays
+    // ≤ derived-cap·|seed postings|, never corpus²).
+    def p99DfCap(docs: org.apache.spark.sql.DataFrame): Long =
+      dedup.Dedup.withHashedShingles(docs)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .agg(plans.QuantileSketch.quantiles(
+          col("df").cast("double"), 1 << 17, Seq(99)).as("qs"))
+        .select(element_at(col("qs"), 1).cast("long"))
+        .first().getLong(0)
+    val capBase = p99DfCap(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+    val capRep = p99DfCap(corpus)
+    val (tMlt, nMlt) = time(operators.Indexing.moreLikeThisAuto(
       corpus, seedPred = col("doc_id") < 5, dfMin = 2,
-      dfMax = 10 * nReplicas, k = 3).count())
+      dfPct = 99, k = 3, sketchK = 1 << 17).count())
 
     // df-capped d16 under boilerplate pressure: the source SET grows
     // with replicas (20·nReplicas distinct sources) and every source
@@ -238,7 +249,61 @@ object Soak {
       capCorpus, col("source"), col("text"), width = 20, stride = 20,
       maxDf = Some(2 * nReplicas)).count())
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // --- streaming-maintainer soak (r10 verdict item): the
+    // batch-parity specs prove the maintainers CORRECT; this stage
+    // MEASURES that per-batch wall stays O(batch + maintenance) as
+    // segments/versions accumulate — ≥12 appends per family with the
+    // compaction cadence engaged (it's exactly the foreachBatch body
+    // of Bm25Stream/IvfStream/VocabStream minus marker IO). A
+    // maintainer whose per-batch cost grows with index AGE (manifest
+    // scans, un-compacted segments, version-history listing) shows
+    // as a rising tail in these arrays.
+    def timeS(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(ts: Seq[Double]): String =
+      ts.map(t => BigDecimal(t).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
+    val nMaintBatches = 12
+    val segSoakDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_segbm25").toString
+    val segTimes = (0 until nMaintBatches).map { i =>
+      val b = corpus.filter(col("doc_id") % nMaintBatches === i)
+        .select(col("doc_id"), col("text"))
+      timeS {
+        operators.SegmentedBm25.append(b, "doc_id", "text", segSoakDir)
+        operators.SegmentedBm25.maintain(spark, segSoakDir,
+          maxSegments = 4)
+        ()
+      }
+    }
+    val vocSoakDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_vocab").toString
+    val vocTimes = (0 until nMaintBatches).map { i =>
+      val b = corpus.filter(col("doc_id") % nMaintBatches === i)
+      timeS {
+        operators.VocabIndex.append(b, "text", vocSoakDir,
+          prefixLen = 3, k = 3)
+        operators.VocabIndex.maintain(vocSoakDir, keep = 3)
+      }
+    }
+    val ivfSoakDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_ivf").toString
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id").as("id"),
+      col("label"),
+      functions.Vectors.toDouble(col("embedding")).as("v"))
+    similarity.Ivf.buildIndex(emb, "label", "v", ivfSoakDir)
+    val ivfTimes = (0 until nMaintBatches).map { i =>
+      val delta = emb.select(
+        (col("id") + lit((i + 1) * 10000000L)).as("id"), col("v"))
+      timeS {
+        similarity.Ivf.appendToIndex(spark, ivfSoakDir, delta)
+        similarity.Ivf.maintain(spark, ivfSoakDir, maxSegments = 4)
+        ()
+      }
+    }
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -91,6 +91,11 @@ object Transform {
     *    - literal element containing exactly one `xsl:value-of` →
     *      [[XLeaf]] (select `.`→ context text, `@attr` → attribute,
     *      relative path → descendant text),
+    *    - literal element containing exactly one `xsl:for-each`
+    *      whose body is ONE bare `xsl:value-of` → [[XAll]]: every
+    *      matching node's text as array<string> (the repeated-text
+    *      shape; a for-each emitting an element per match is the
+    *      XZip case below),
     *    - literal element containing only literal elements →
     *      [[XNode]] of its compiled children,
     *    - `xsl:for-each select="rel"` containing one literal
@@ -135,6 +140,18 @@ object Transform {
       elems(e) match {
         case Seq(vo) if isXsl(vo, "value-of") =>
           XLeaf(name(e), valuePath(base, vo.getAttribute("select")))
+        case Seq(fe) if isXsl(fe, "for-each")
+            && elems(fe).forall(isXsl(_, "value-of")) =>
+          val sel = fe.getAttribute("select")
+          require(sel.nonEmpty && !sel.startsWith("/"),
+            s"for-each select must be context-relative, got '$sel'")
+          val vo = elems(fe) match {
+            case Seq(v) => v
+            case other => throw new IllegalArgumentException(
+              s"bare for-each under <${name(e)}> must hold exactly one " +
+                s"value-of, got ${other.size}")
+          }
+          XAll(name(e), valuePath(s"$base/$sel", vo.getAttribute("select")))
         case kids if kids.nonEmpty =>
           XNode(name(e), kids.map(compileTop(_, base)))
         case _ => throw new IllegalArgumentException(

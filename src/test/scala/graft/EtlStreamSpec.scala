@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Transform, Validate}
+import graft.sources.VersionedTable
+import graft.streaming.EtlStream
+
+/** End-to-end streaming ETL lifecycle (the whole reference DAG in
+  * one foreachBatch): status split → content-hash diff → crosswalk
+  * transform → validate split → MERGE index + quarantine. Proves the
+  * h8 gating (a pure re-send publishes nothing; an unchanged invalid
+  * record is not re-quarantined), SCD-1 + delete semantics against a
+  * batch-computed expectation, and replay idempotence. */
+class EtlStreamSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private val recSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  private def stage(df: DataFrame, dir: java.nio.file.Path, name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_estage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("w").toString)
+    val part = java.nio.file.Files.list(tmp.resolve("w"))
+      .filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
+    java.nio.file.Files.setLastModifiedTime(dir.resolve(s"$name.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    ()
+  }
+
+  private val xform: DataFrame => DataFrame = df =>
+    Transform.crosswalk(df, Seq(
+      "doc_id" -> col("doc_id"),
+      "norm" -> Transform.normalizeText(col("text")),
+      "lang" -> col("lang"),
+      "n_chars_t" -> length(col("text")).cast("long")))
+
+  private val rules = Seq(
+    Validate.Rule("known_lang",
+      col("lang").isInCollection(Seq("en", "de", "fr", "es", "zh")),
+      "unknown language"),
+    Validate.Rule("nonempty", length(trim(col("norm"))) > 0,
+      "empty record"))
+
+  private def run(src: java.nio.file.Path, state: String): Unit = {
+    val stream = spark.readStream.schema(recSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = EtlStream.maintainEtl(stream, state, "doc_id", "status",
+      deletedValue = "deleted", contentCols = Seq("text", "lang"),
+      transform = xform, rules = rules)
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("harvest→transform→validate→index lifecycle: diff gating, " +
+      "SCD-1 + deletes, quarantine, pure-resend no-op, replay") {
+    def rec(id: Long, st: String, tx: String, lg: String) = (id, st, tx, lg)
+    val b0 = Seq(
+      rec(0, "active", "alpha beta gamma", "en"),
+      rec(1, "active", "delta epsilon", "de"),
+      rec(2, "active", "zeta eta", "fr"),
+      rec(3, "active", "theta iota", "en"),
+      rec(7, "active", "kappa lambda", "xx"), // invalid: unknown lang
+      rec(8, "active", "   ", "en")           // invalid: empty after trim
+    ).toDF("doc_id", "status", "text", "lang")
+    val b1 = Seq(
+      rec(0, "active", "alpha beta gamma", "en"),  // identical re-send → gated
+      rec(1, "active", "delta epsilon PATCHED", "de"), // changed → replaces
+      rec(2, "deleted", "", "fr"),                 // delete
+      rec(7, "active", "kappa lambda", "xx"),      // unchanged invalid → NOT re-quarantined
+      rec(8, "active", "now nonempty", "en"),      // fixed → enters index
+      rec(10, "active", "mu nu xi", "zh")          // new
+    ).toDF("doc_id", "status", "text", "lang")
+    // pure re-send of b1's upserts (no deletes): must publish NOTHING
+    val b2 = b1.filter(col("status") =!= "deleted")
+
+    val src = java.nio.file.Files.createTempDirectory("graft_esrc")
+    val state = java.nio.file.Files.createTempDirectory("graft_estate")
+      .resolve("etl").toString
+    val t0 = System.currentTimeMillis() - 600000
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      stage(b, src, s"b$i", t0 + i * 60000) }
+    run(src, state)
+
+    // served index == transform of the live, valid, latest records
+    val expectedRaw = Seq(
+      rec(0, "active", "alpha beta gamma", "en"),
+      rec(1, "active", "delta epsilon PATCHED", "de"),
+      rec(3, "active", "theta iota", "en"),
+      rec(8, "active", "now nonempty", "en"),
+      rec(10, "active", "mu nu xi", "zh")
+    ).toDF("doc_id", "status", "text", "lang")
+    val want = xform(expectedRaw)
+    val got = EtlStream.servingIndex(spark, state)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "served index diverges from the batch-computed expectation")
+
+    // quarantine: ONLY batch 0's two invalid rows — the unchanged
+    // invalid re-send in batch 1 was gated by the diff
+    val qr = EtlStream.quarantine(spark, state)
+      .select("doc_id", "batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(qr == Set((7L, 0L), (8L, 0L)), s"unexpected quarantine: $qr")
+
+    // pure re-send (batch 2) published nothing: its tag exists on
+    // NO table and the index version count stayed at 2
+    val iDir = EtlStream.indexDir(state)
+    assert(VersionedTable.listVersions(iDir).size == 2,
+      "pure re-send batch published an index version")
+    assert(VersionedTable.taggedVersion(iDir, "run0-2").isEmpty
+      && VersionedTable.taggedVersion(
+        EtlStream.snapshotDir(state), "run0-2").isEmpty,
+      "pure re-send batch committed a merge")
+
+    // replay the whole lineage: markers no-op every batch
+    val vBefore = VersionedTable.latestVersion(iDir).get
+    run(src, state)
+    assert(VersionedTable.latestVersion(iDir).get == vBefore
+      && VersionedTable.listVersions(iDir).size == 2,
+      "replay re-applied batches despite markers")
+  }
+
+  test("crash-window replay (marker lost after commits) changes nothing") {
+    def rec(id: Long, st: String, tx: String, lg: String) = (id, st, tx, lg)
+    val b0 = Seq(rec(0, "active", "one two", "en"),
+      rec(1, "active", "bad", "xx")).toDF("doc_id", "status", "text", "lang")
+    val src = java.nio.file.Files.createTempDirectory("graft_ecrash")
+    val state = java.nio.file.Files.createTempDirectory("graft_ecstate")
+      .resolve("etl").toString
+    stage(b0, src, "b0", System.currentTimeMillis() - 600000)
+    run(src, state)
+    val marker = java.nio.file.Paths.get(state, "_batch-run0-0")
+    assert(java.nio.file.Files.deleteIfExists(marker))
+    val got0 = EtlStream.servingIndex(spark, state).collect().toSet
+    val q0 = EtlStream.quarantine(spark, state).collect().toSet
+    run(src, state) // markerless replay: tags + committed snapshot gate it
+    assert(EtlStream.servingIndex(spark, state).collect().toSet == got0,
+      "markerless replay changed the served index")
+    assert(EtlStream.quarantine(spark, state).collect().toSet == q0,
+      "markerless replay changed the quarantine")
+  }
+}

@@ -244,6 +244,24 @@ class RoundTenSpec extends AnyFunSuite {
     assert(compiled == hand, "compiled stylesheet output != hand-built t3")
   }
 
+  test("compileXslt maps a bare for-each to XAll (repeated text)") {
+    import graft.operators.Transform._
+    import org.apache.spark.sql.functions.{col, to_json}
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    val rules = compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/record"><o>
+          <ids><xsl:for-each select="controlfield"><xsl:value-of select="."/></xsl:for-each></ids>
+          </o></xsl:template></xsl:stylesheet>""")
+    assert(rules == Seq(XAll("ids", "/record/controlfield/text()")))
+    // semantics on real records: the doc_id % 7 == 5 shape carries
+    // TWO 001 controlfields and must surface both, in document order
+    val rec = queries.Xml.marcXml(Tables.documents(spark, sf))
+      .filter(col("doc_id") === 5)
+      .select(to_json(structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .collect().head.getString(0)
+    assert(rec == """{"ids":["5","6"]}""", s"unexpected XAll output: $rec")
+  }
+
   test("compileXslt refuses constructs outside the subset") {
     import graft.operators.Transform.compileXslt
     val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
