@@ -63,12 +63,29 @@ object SegmentedBm25 {
   private def docBucket =
     pmod(xxhash64(col("doc_id")), lit(DocBuckets.toLong))
 
-  private def listSegDirs(indexDir: String): Seq[Long] = {
-    val d = new java.io.File(segDataRoot(indexDir))
+  private def listSegDirsUnder(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
     if (!d.exists()) Seq.empty
     else d.listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("seg="))
       .map(_.getName.stripPrefix("seg=").toLong).sorted
+  }
+
+  private def listSegDirs(indexDir: String): Seq[Long] =
+    listSegDirsUnder(segDataRoot(indexDir))
+
+  /** Read ONLY the named segment directories (basePath keeps the
+    * `seg`/bucket partition columns). Reading the root instead would
+    * re-list every segment directory ever written — superseded
+    * segments stay on disk for manifest rollback until [[vacuum]] —
+    * so the per-append/per-search file-listing cost would grow with
+    * index AGE, not live size (the r10 soak's 3.3→5.7 s append-wall
+    * drift). */
+  private def readSegs(spark: SparkSession, root: String,
+      segs: Seq[Long]): DataFrame = {
+    require(segs.nonEmpty, s"no live segments under $root")
+    spark.read.option("basePath", root)
+      .parquet(segs.map(s => s"$root/seg=$s"): _*)
   }
 
   private def readManifest(spark: SparkSession, indexDir: String): Option[DataFrame] =
@@ -124,13 +141,13 @@ object SegmentedBm25 {
           .collect().map(_.getAs[Number]("doc_bucket").longValue()).toSeq
         val priorTombs = m.filter(col("kind") === "tomb")
           .select(col("doc_id").as("t_doc"), col("before_seg"))
-        // manifest-listed prior segments ONLY: `seg < segId` would also
-        // sweep orphan docmeta dirs a crashed/replayed append left
-        // behind, tombstoning "prior copies" the manifest never served
-        // and permanently corrupting nDocs/avgdl
-        val priorMeta = spark.read.parquet(docMetaRoot(indexDir))
-          .filter(col("seg").isin(priorSegs: _*) &&
-            col("doc_bucket").isin(batchBuckets: _*))
+        // manifest-listed prior segments ONLY (explicit paths): orphan
+        // docmeta dirs a crashed/replayed append left behind must not
+        // be read (they'd tombstone "prior copies" the manifest never
+        // served, corrupting nDocs/avgdl), and superseded dirs
+        // awaiting vacuum must not even be LISTED
+        val priorMeta = readSegs(spark, docMetaRoot(indexDir), priorSegs)
+          .filter(col("doc_bucket").isin(batchBuckets: _*))
           .join(dmBack.select(col("doc_id")), "doc_id")
           .join(priorTombs,
             col("doc_id") === col("t_doc") && col("seg") < col("before_seg"),
@@ -199,8 +216,8 @@ object SegmentedBm25 {
 
     val tombs = manifest.filter(col("kind") === "tomb")
       .select(col("doc_id").as("t_doc"), col("before_seg"))
-    val live = spark.read.parquet(segDataRoot(indexDir))
-      .filter(col("seg").isin(segs: _*) && col("tok_bucket").isin(buckets: _*))
+    val live = readSegs(spark, segDataRoot(indexDir), segs)
+      .filter(col("tok_bucket").isin(buckets: _*))
       .join(tombs,
         col("doc_id") === col("t_doc") && col("seg") < col("before_seg"),
         "left_anti")
@@ -235,7 +252,7 @@ object SegmentedBm25 {
     * independent of index age or total corpus size. Returns the
     * compacted segment id when compaction ran. */
   def maintain(spark: SparkSession, indexDir: String, maxSegments: Int = 8,
-      maxTombPct: Int = 20): Option[Long] =
+      maxTombPct: Int = 20, keepManifests: Int = 3): Option[Long] =
     readManifest(spark, indexDir).flatMap { m =>
       val isSeg = col("kind") === "seg"
       val r = m.agg(
@@ -244,10 +261,47 @@ object SegmentedBm25 {
         count(when(!isSeg, lit(1))).as("n_tomb")).head()
       val (nSeg, nTomb) = (r.getLong(0), r.getLong(2))
       val nLive = r.getLong(1) - nTomb
-      if (nSeg > maxSegments || nTomb * 100L > nLive.max(1L) * maxTombPct)
-        Some(compact(spark, indexDir))
-      else None
+      if (nSeg > maxSegments || nTomb * 100L > nLive.max(1L) * maxTombPct) {
+        val seg = compact(spark, indexDir)
+        vacuum(spark, indexDir, keepManifests)
+        Some(seg)
+      } else None
     }
+
+  /** Bound on-disk state by index LIVENESS instead of index AGE:
+    * prune manifest history to the newest `keepManifests` versions
+    * (the rollback window) and delete every segment directory no
+    * retained manifest version references. Without this, superseded
+    * segments and manifest versions accumulate one per append
+    * forever; with it, total directory count is O(live segments +
+    * rollback window) no matter how many micro-batches the index has
+    * absorbed. Single-writer contract (same as append/compact): must
+    * not run concurrently with an append — a not-yet-committed
+    * segment is protected only by being newer than every referenced
+    * id, which a racing append can violate. */
+  def vacuum(spark: SparkSession, indexDir: String,
+      keepManifests: Int = 3): Unit = {
+    val mDir = manifestDir(indexDir)
+    if (VersionedTable.latestVersion(mDir).isEmpty) return
+    VersionedTable.pruneVersions(mDir, keepManifests)
+    val referenced = VersionedTable.listVersions(mDir).flatMap { v =>
+      spark.read.parquet(s"$mDir/v=$v").filter(col("kind") === "seg")
+        .select("seg_id").collect().map(_.getLong(0))
+    }.toSet
+    if (referenced.isEmpty) return
+    // ids above the newest referenced one belong to an append/compact
+    // whose manifest flip hasn't landed (or a crashed one the next
+    // append will skip past) — never touch those
+    val maxRef = referenced.max
+    Seq(segDataRoot(indexDir), docMetaRoot(indexDir)).foreach { root =>
+      listSegDirsUnder(root)
+        .filter(s => s < maxRef && !referenced(s))
+        .foreach { s =>
+          VersionedTable.deleteRecursively(
+            java.nio.file.Paths.get(root, s"seg=$s"))
+        }
+    }
+  }
 
   /** Fold all live postings into one fresh segment and clear the
     * tombstones (Solr/Lucene merge): bounds the segment count and the
@@ -266,8 +320,7 @@ object SegmentedBm25 {
     val segId = (segs ++ listSegDirs(indexDir)).max + 1
     val tombs = manifest.filter(col("kind") === "tomb")
       .select(col("doc_id").as("t_doc"), col("before_seg"))
-    val live = spark.read.parquet(segDataRoot(indexDir))
-      .filter(col("seg").isin(segs: _*))
+    val live = readSegs(spark, segDataRoot(indexDir), segs)
       .join(tombs,
         col("doc_id") === col("t_doc") && col("seg") < col("before_seg"),
         "left_anti")

@@ -45,6 +45,11 @@ object Transform {
     *    position i of each array refers to the same node).
     *  - [[XNode]]  — a literal result element with children: nested
     *    struct.
+    *  - [[XWhen]]  — `xsl:if` with an existence test: the guarded
+    *    rule's value when the test xpath matches a node, SQL NULL
+    *    otherwise — and `to_json` DROPS null fields, which is exactly
+    *    xsl:if's element-absent output semantics (a CASE WHEN guard
+    *    column; `xpath_boolean` evaluates the test).
     *
     * Everything compiles to one codegen'd projection over the XML
     * column — map-only, no shuffle, no per-record process spawn — so
@@ -54,26 +59,57 @@ object Transform {
   final case class XAll(name: String, path: String) extends XRule
   final case class XZip(name: String, fields: Seq[(String, String)]) extends XRule
   final case class XNode(name: String, children: Seq[XRule]) extends XRule
+  final case class XWhen(test: String, inner: XRule) extends XRule
 
-  private def compileRule(xml: Column, r: XRule): Column = r match {
-    case XLeaf(n, p) => coalesce(xpath_string(xml, lit(p)), lit("")).as(n)
-    case XAll(n, p) => xpath(xml, lit(p)).as(n)
-    case XZip(n, fields) =>
+  private def ruleName(r: XRule): String = r match {
+    case XLeaf(n, _) => n
+    case XAll(n, _) => n
+    case XZip(n, _) => n
+    case XNode(n, _) => n
+    case XWhen(_, inner) => ruleName(inner)
+  }
+
+  private def ruleExpr(xml: Column, r: XRule): Column = r match {
+    case XLeaf(_, p) => coalesce(xpath_string(xml, lit(p)), lit(""))
+    case XAll(_, p) => xpath(xml, lit(p))
+    case XZip(_, fields) =>
       val arrs = fields.map { case (_, p) => xpath(xml, lit(p)) }
       // transform-with-index over the first array; element_at is
       // 1-based. Interpreted HOF — fine here: this is a transform
       // surface, not a dedup hot path, and stays linear map-only.
       transform(arrs.head, (_, i) => struct(
         fields.map(_._1).zip(arrs).map { case (fn, a) =>
-          element_at(a, i + 1).as(fn) }: _*)).as(n)
-    case XNode(n, cs) => struct(cs.map(compileRule(xml, _)): _*).as(n)
+          element_at(a, i + 1).as(fn) }: _*))
+    case XNode(_, cs) => struct(cs.map(compileRule(xml, _)): _*)
+    case XWhen(t, inner) =>
+      // no otherwise(...) → NULL when the test fails; to_json then
+      // omits the field, mirroring xsl:if emitting nothing
+      when(xpath_boolean(xml, lit(t)), ruleExpr(xml, inner))
   }
+
+  private def compileRule(xml: Column, r: XRule): Column =
+    ruleExpr(xml, r).as(ruleName(r))
 
   /** Compile a rule tree over a serialized-XML column into one nested
     * struct Column (serialize with `to_json` for a stable wire/oracle
     * form). */
   def structuralCrosswalk(xml: Column, rules: Seq[XRule]): Column =
     struct(rules.map(compileRule(xml, _)): _*)
+
+  /** A stylesheet as a whole-frame transform — the shape
+    * [[graft.streaming.EtlStream.maintainEtl]]'s `transform` seam
+    * takes, so a user-authored `.xsl` drives the streaming ETL DAG
+    * end-to-end (the reference's transform_s3_xsl task wired into its
+    * harvest loop, transform.py:20-76). Compiles ONCE at construction
+    * (a bad stylesheet fails fast, not per batch); each batch then
+    * pays one codegen'd projection: the carried columns plus the
+    * crosswalk output serialized to `outCol`. */
+  def xsltTransform(xslt: String, xmlCol: String, carry: Seq[String],
+      outCol: String = "rec"): DataFrame => DataFrame = {
+    val rules = compileXslt(xslt)
+    df => df.select(carry.map(col) :+
+      to_json(structuralCrosswalk(col(xmlCol), rules)).as(outCol): _*)
+  }
 
   /** XSLT-subset → [[XRule]] compiler: the in-scope answer to the
     * reference's Saxon dependency (transform.py:20-76 shells to an
@@ -103,10 +139,18 @@ object Transform {
     *      [[XZip]]: the per-match fields zip positionally, exactly
     *      how the for-each visits nodes in document order.
     *
+    *    - `xsl:if test="rel-path"` with an existence test, either
+    *      WRAPPING one literal element or as the sole child of one
+    *      holding a single `xsl:value-of` → [[XWhen]]: the field is
+    *      emitted only when the tested node exists (the CASE WHEN
+    *      guard; to_json's null-dropping is the element-absent
+    *      output).
+    *
     * Anything outside the subset (apply-templates, call-template,
-    * xsl:if/choose, nested for-each) throws — a compiler that
-    * silently mis-runs a stylesheet is worse than one that refuses
-    * it. Parsing is JDK DOM; no execution engine is involved. */
+    * xsl:choose, nested for-each, non-path xsl:if tests) throws — a
+    * compiler that silently mis-runs a stylesheet is worse than one
+    * that refuses it. Parsing is JDK DOM; no execution engine is
+    * involved. */
   def compileXslt(xslt: String): Seq[XRule] = {
     import org.w3c.dom.Element
     val XslNs = "http://www.w3.org/1999/XSL/Transform"
@@ -133,13 +177,34 @@ object Transform {
       else if (sel.split("/").last.startsWith("@")) s"$base/$sel"
       else s"$base/$sel/text()"
     }
+    // an xsl:if test is an EXISTENCE predicate over a context-relative
+    // node path (the shape the reference's crosswalks use); anything
+    // computational (=, functions, and/or) is out of subset
+    def testPath(base: String, test: String): String = {
+      // operators are checked OUTSIDE [...] predicates: a step filter
+      // like [@tag='001'] is still a node-existence path
+      val stripped = test.replaceAll("\\[[^\\]]*\\]", "")
+      require(test.nonEmpty && !test.startsWith("/") && !test.contains("//")
+          && !stripped.exists(c => "=<>!|&()".contains(c)),
+        s"unsupported xsl:if test '$test' (only context-relative " +
+          "node-existence paths are in the subset)")
+      s"$base/$test"
+    }
     def compileLeafOrNode(e: Element, base: String): XRule = {
       require(e.getNamespaceURI == null,
         s"unsupported xsl:${name(e)} here — only value-of/for-each/" +
-          "literal elements are in the subset")
+          "if/literal elements are in the subset")
       elems(e) match {
         case Seq(vo) if isXsl(vo, "value-of") =>
           XLeaf(name(e), valuePath(base, vo.getAttribute("select")))
+        case Seq(xif) if isXsl(xif, "if") =>
+          val vo = elems(xif) match {
+            case Seq(v) if isXsl(v, "value-of") => v
+            case _ => throw new IllegalArgumentException(
+              s"xsl:if inside <${name(e)}> must hold exactly one value-of")
+          }
+          XWhen(testPath(base, xif.getAttribute("test")),
+            XLeaf(name(e), valuePath(base, vo.getAttribute("select"))))
         case Seq(fe) if isXsl(fe, "for-each")
             && elems(fe).forall(isXsl(_, "value-of")) =>
           val sel = fe.getAttribute("select")
@@ -159,7 +224,16 @@ object Transform {
       }
     }
     def compileTop(e: Element, base: String): XRule =
-      if (isXsl(e, "for-each")) {
+      if (isXsl(e, "if")) {
+        val inner = elems(e) match {
+          case Seq(one) if one.getNamespaceURI == null => one
+          case other => throw new IllegalArgumentException(
+            "xsl:if body must be one literal element, got " +
+              other.map(name).mkString(","))
+        }
+        XWhen(testPath(base, e.getAttribute("test")),
+          compileTop(inner, base))
+      } else if (isXsl(e, "for-each")) {
         val sel = e.getAttribute("select")
         require(sel.nonEmpty && !sel.startsWith("/"),
           s"for-each select must be context-relative, got '$sel'")

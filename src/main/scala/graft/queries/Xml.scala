@@ -184,6 +184,37 @@ object Xml {
       |  </xsl:template>
       |</xsl:stylesheet>""".stripMargin
 
+  /** The t6 stylesheet: `xsl:if` in BOTH subset shapes — wrapping a
+    * literal element (id emitted only when an 001 exists) and inside
+    * one (alt guarded on any controlfield) — over records where the
+    * %7==3 branch makes both guards FALSE, so the element-absent
+    * output is data-exercised at every SF. */
+  private val t6Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |  <xsl:template match="/record">
+      |    <doc>
+      |      <xsl:if test="controlfield[@tag='001']">
+      |        <id><xsl:value-of select="controlfield[@tag='001']"/></id>
+      |      </xsl:if>
+      |      <alt><xsl:if test="controlfield"><xsl:value-of select="controlfield/@tag"/></xsl:if></alt>
+      |      <lang><xsl:value-of select="datafield[@tag='041']/subfield[@code='a']"/></lang>
+      |    </doc>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t6: the `xsl:if` guard through the compiled path — CASE WHEN
+    * columns whose NULL branch makes to_json omit the field, exactly
+    * the stylesheet's element-absent output; the oracle rebuilds the
+    * conditional JSON segments with its own CASE. */
+  def t6XsltIf(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Transform.compileXslt(t6Stylesheet)
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        to_json(Transform.structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id")
+  }
+
   /** t5: crosswalk COMPILED from a stylesheet (the Saxon-replacing
     * path) — same map-only one-projection plan as t3, but the rule
     * tree is parsed from XSLT instead of hand-built. The oracle
@@ -204,6 +235,7 @@ object Xml {
     "v6_xml_validate" -> (v6XmlValidate _),
     "t3_structural" -> (t3Structural _),
     "t5_xslt" -> (t5Xslt _),
+    "t6_xslt_if" -> (t6XsltIf _),
     "v9_schematron" -> (v9Schematron _),
   )
 
@@ -260,6 +292,19 @@ object Xml {
            '","leader":"00000nam a2200000 a 4500"},',
            '"field":[{"tag":"041","code":"a","val":"', lang,
            '"},{"tag":"856","code":"u","val":"', source, '"}]}') AS rec
+         FROM ex ORDER BY doc_id""",
+    // t6: the guarded JSON segments rebuilt with CASE — '' when the
+    // guard node is absent (both guards key off the 001 branch, so
+    // %7==3 records drop both fields), the trailing lang field
+    // unconditional so comma placement is static
+    "t6_xslt_if" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, $idsSql AS ids FROM marc)
+         SELECT doc_id, concat('{',
+           CASE WHEN len(ids) > 0
+                THEN concat('"id":"', ids[1], '","alt":"001",')
+                ELSE '' END,
+           '"lang":"', lang, '"}') AS rec
          FROM ex ORDER BY doc_id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),

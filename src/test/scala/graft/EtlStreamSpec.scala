@@ -130,6 +130,56 @@ class EtlStreamSpec extends AnyFunSuite {
       "replay re-applied batches despite markers")
   }
 
+  test("the transform seam runs a COMPILED stylesheet end-to-end " +
+      "(user-authored .xsl drives the streaming DAG)") {
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    val sheet =
+      s"""<xsl:stylesheet $ns><xsl:template match="/record"><doc>
+          <xsl:if test="controlfield[@tag='001']">
+            <id><xsl:value-of select="controlfield[@tag='001']"/></id>
+          </xsl:if>
+          <lang><xsl:value-of select="datafield[@tag='041']/subfield"/></lang>
+          </doc></xsl:template></xsl:stylesheet>"""
+    def xml(id: Long, lang: String, with001: Boolean) = {
+      val cf = if (with001)
+        "<controlfield tag=\"001\">" + id + "</controlfield>" else ""
+      "<record>" + cf + "<datafield tag=\"041\"><subfield code=\"a\">" +
+        lang + "</subfield></datafield></record>"
+    }
+    val b0 = Seq(
+      (0L, "active", xml(0, "en", true)),
+      (1L, "active", xml(1, "xx", true)),   // invalid lang → quarantine
+      (2L, "active", xml(2, "de", false))   // no 001 → id-absent JSON, still valid
+    ).toDF("doc_id", "status", "xml")
+    val xf = Transform.xsltTransform(sheet, "xml", carry = Seq("doc_id"))
+    val xmlRules = Seq(Validate.Rule("known_lang",
+      get_json_object(col("rec"), "$.lang")
+        .isInCollection(Seq("en", "de", "fr", "es", "zh")),
+      "unknown language"))
+    val src = java.nio.file.Files.createTempDirectory("graft_exslt")
+    val state = java.nio.file.Files.createTempDirectory("graft_exsltstate")
+      .resolve("etl").toString
+    stage(b0, src, "b0", System.currentTimeMillis() - 600000)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("status", StringType), StructField("xml", StringType))))
+      .format("parquet").option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = EtlStream.maintainEtl(stream, state, "doc_id", "status",
+      deletedValue = "deleted", contentCols = Seq("xml"),
+      transform = xf, rules = xmlRules)
+    q.processAllAvailable(); q.stop()
+
+    val got = EtlStream.servingIndex(spark, state)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == Set(0L, 2L), s"unexpected index ids: ${got.keySet}")
+    assert(got(0L) == """{"id":"0","lang":"en"}""", got(0L))
+    assert(got(2L) == """{"lang":"de"}""",
+      s"xsl:if must drop the id field for the 001-less record: ${got(2L)}")
+    val qr = EtlStream.quarantine(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(qr == Set(1L), s"unexpected quarantine: $qr")
+  }
+
   test("crash-window replay (marker lost after commits) changes nothing") {
     def rec(id: Long, st: String, tx: String, lg: String) = (id, st, tx, lg)
     val b0 = Seq(rec(0, "active", "one two", "en"),

@@ -70,10 +70,16 @@ class PlanAuditSpec extends AnyFunSuite {
                          // near) — the distinct counting is keyed and
                          // map-side partial; only the single-counter
                          // finals serialize
-    "x19_mlt")           // the self-tuning df cap: one global KLL
+    "x19_mlt",           // the self-tuning df cap: one global KLL
                          // sketch merge (O(sketchK) state, map-side
                          // partial sketches) producing the 1-row cut
                          // frame; scoring stays shingle-keyed
+    "s10_pq")            // Spark-INJECTED runtime bloom-filter
+                         // subqueries on the refine joins
+                         // (bloom_filter_agg: fixed-size bitmap,
+                         // map-side partial — O(1) state like the KLL
+                         // merges above, not a data serialization);
+                         // codebook/encode/ADC stages stay keyed
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -87,6 +87,75 @@ class RankStreamSpec extends AnyFunSuite {
       "replayed batches were re-applied despite markers")
   }
 
+  test("posting compaction cadence bounds dirs/versions and is invisible to ranks") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val nb = 12
+    val src = java.nio.file.Files.createTempDirectory("graft_rcomp")
+    val state = java.nio.file.Files.createTempDirectory("graft_rcompstate")
+      .resolve("rank").toString
+    val t0 = System.currentTimeMillis() - 1200000
+    (0 until nb).foreach { i =>
+      stage(docs.filter(crc32(col("text")) % nb === i), src, s"b$i",
+        t0 + i * 60000) }
+    val stream = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = RankStream.maintainRank(stream, state,
+      maxBatchDirs = 3, keepVersions = 2)
+    q.processAllAvailable(); q.stop()
+
+    // the fold happened and bounded the per-batch dir count
+    val batchDirs = new java.io.File(RankStream.postingsRoot(state))
+      .listFiles().toSeq.filter(f => f.isDirectory
+        && f.getName.startsWith("batch="))
+    assert(batchDirs.size <= 3,
+      s"compaction must bound batch dirs, got ${batchDirs.size}")
+    assert(VersionedTable
+      .latestVersion(RankStream.postingsBaseDir(state)).nonEmpty,
+      "a compacted base must exist after 12 batches at cadence 3")
+    // version history pruned at every batch boundary
+    Seq(RankStream.postingsBaseDir(state), RankStream.edgesDir(state),
+        RankStream.ranksDir(state)).foreach { d =>
+      assert(VersionedTable.listVersions(d).size <= 2,
+        s"version history under $d must be pruned to keepVersions")
+    }
+    // and the served state is unchanged by any of it
+    val got = RankStream.servingRanks(spark, state)
+    val want = batchRanks(docs)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "compaction must be invisible to the served ranks")
+  }
+
+  test("interrupted fold (duplicate prior rows) cannot double edge weights") {
+    val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
+    val b0 = docs.filter(crc32(col("text")) % 2 === 0)
+    val b1 = docs.filter(crc32(col("text")) % 2 === 1)
+    val state = java.nio.file.Files.createTempDirectory("graft_rfold")
+      .resolve("rank").toString
+    RankStream.applyBatch(b0, state, "t-0")
+    assert(RankStream.maintain(spark, state, maxBatchDirs = 0).nonEmpty)
+    // simulate a crash between the base fold and the subdir deletes:
+    // a leftover batch dir carrying rows the base ALREADY holds
+    val baseV = VersionedTable
+      .latestVersion(RankStream.postingsBaseDir(state)).get
+    val src = java.nio.file.Paths.get(
+      RankStream.postingsBaseDir(state), s"v=$baseV")
+    val dst = java.nio.file.Paths.get(
+      RankStream.postingsRoot(state), "batch=leftover")
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach { p =>
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+      ()
+    }
+    RankStream.applyBatch(b1, state, "t-1")
+    val gotE = VersionedTable.readLatest(spark, RankStream.edgesDir(state))
+    val wantE = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
+        col("text"), width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+    assert(gotE.exceptAll(wantE).isEmpty && wantE.exceptAll(gotE).isEmpty,
+      "duplicate prior rows from an interrupted fold doubled edge weights")
+  }
+
   test("crash-window replay of the edge merge does not double weights") {
     val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
       .filter(col("source").isin("src0", "src1", "src2"))

@@ -217,6 +217,15 @@ class RoundTenSpec extends AnyFunSuite {
       }, ":segbm25:v1")
   }
 
+  test("graft_pq cache sweeps orphans, keeps the live build") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+        functions.Vectors.toDouble(col("embedding")).as("v"))
+    assertSwept("graft_pq", () => similarity.Pq.ensureIndex(
+      e.filter(col("id") >= 10), "id", "v", sf), ":pq:v1")
+  }
+
   test("compileXslt: the fixture .xsl compiles to the hand-built t3 " +
       "tree and produces identical output") {
     import graft.operators.Transform._
@@ -262,6 +271,38 @@ class RoundTenSpec extends AnyFunSuite {
     assert(rec == """{"ids":["5","6"]}""", s"unexpected XAll output: $rec")
   }
 
+  test("compileXslt maps xsl:if (both shapes) to XWhen guard columns") {
+    import graft.operators.Transform._
+    import org.apache.spark.sql.functions.{col, to_json}
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    val rules = compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/record"><o>
+          <xsl:if test="controlfield[@tag='001']">
+            <id><xsl:value-of select="controlfield[@tag='001']"/></id>
+          </xsl:if>
+          <alt><xsl:if test="controlfield"><xsl:value-of select="controlfield/@tag"/></xsl:if></alt>
+          <lang><xsl:value-of select="datafield[@tag='041']/subfield[@code='a']"/></lang>
+          </o></xsl:template></xsl:stylesheet>""")
+    assert(rules == Seq(
+      XWhen("/record/controlfield[@tag='001']",
+        XLeaf("id", "/record/controlfield[@tag='001']/text()")),
+      XWhen("/record/controlfield",
+        XLeaf("alt", "/record/controlfield/@tag")),
+      XLeaf("lang", "/record/datafield[@tag='041']/subfield[@code='a']/text()")),
+      s"compiled tree diverges:\n$rules")
+    // guard-false records (doc_id % 7 == 3 has no controlfield) must
+    // DROP both fields from the JSON; guard-true records carry them
+    val recs = queries.Xml.marcXml(Tables.documents(spark, sf))
+      .filter(col("doc_id").isin(3, 1))
+      .select(col("doc_id"),
+        to_json(structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recs(3L).startsWith("""{"lang":"""),
+      s"absent guard must omit id AND alt: ${recs(3L)}")
+    assert(recs(1L).startsWith("""{"id":"1","alt":"001","lang":"""),
+      s"present guard must emit both: ${recs(1L)}")
+  }
+
   test("compileXslt refuses constructs outside the subset") {
     import graft.operators.Transform.compileXslt
     val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
@@ -276,6 +317,15 @@ class RoundTenSpec extends AnyFunSuite {
           <xsl:for-each select="d"><f><t><xsl:value-of select="@tag"/></t></f>
           <g><t><xsl:value-of select="."/></t></g>
           </xsl:for-each></o></xsl:template></xsl:stylesheet>"""))
+    // xsl:choose and computational if-tests stay out of subset
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/r"><o>
+          <xsl:choose><xsl:when test="a"><x><xsl:value-of select="a"/></x></xsl:when></xsl:choose>
+          </o></xsl:template></xsl:stylesheet>"""))
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/r"><o>
+          <xsl:if test="count(a) = 2"><x><xsl:value-of select="a"/></x></xsl:if>
+          </o></xsl:template></xsl:stylesheet>"""))
   }
 
   test("self-tuning MLT cap: KLL p99 is the exact order statistic and " +

@@ -169,6 +169,30 @@ class SegmentedBm25Spec extends AnyFunSuite {
     assert(rows(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5)) ==
       rows(Retrieval.searchIndex(spark, scratch, queries, "doc_id", "text", 5)),
       "compaction cadence must be invisible to search results")
+
+    // vacuum (runs inside maintain at each compaction): on-disk state
+    // is bounded by LIVENESS, not append history — 12 appends plus
+    // compactions wrote 14+ segment dirs ever, but only those
+    // referenced by the retained manifest window may remain
+    def segDirs(root: String) = new java.io.File(s"$idx/$root")
+      .listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("seg="))
+    val nEver = 12 + compactions
+    assert(segDirs("segdata").size < nEver - 2,
+      s"vacuum must delete superseded segment dirs (${segDirs("segdata").size} of $nEver remain)")
+    assert(segDirs("docmeta").size == segDirs("segdata").size,
+      "segdata and docmeta must vacuum in lockstep")
+    val versions = graft.sources.VersionedTable.listVersions(s"$idx/manifest")
+    assert(versions.size <= 3 + 4,
+      s"manifest history must be pruned to the keep window (+appends since), got ${versions.size}")
+
+    // rollback stays live WITHIN the keep window: every seg a retained
+    // manifest version references survived the vacuum, so pointing the
+    // alias at the oldest retained version still serves results
+    val serving = graft.sources.VersionedTable.latestVersion(s"$idx/manifest").get
+    graft.sources.VersionedTable.swapTo(s"$idx/manifest", versions.min)
+    assert(SegmentedBm25.search(spark, idx, queries, "doc_id", "text", 5)
+      .count() > 0, "rollback within the keep window must still serve")
+    graft.sources.VersionedTable.swapTo(s"$idx/manifest", serving)
   }
 
   test("streaming maintenance appends one segment per micro-batch, replay-safe") {
