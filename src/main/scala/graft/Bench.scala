@@ -79,7 +79,8 @@ object Bench {
     // d15 would otherwise pay the LSH+CC build inside a timed rep
     val indexedQueries = Set("x7_bm25", "x8_seg_search",
       "x18_suggest_serving", "d15_persisted_rep", "s4_knn_ivf",
-      "p13_cluster_balanced", "d22_dedup_funnel", "s10_pq")
+      "p13_cluster_balanced", "d22_dedup_funnel", "s10_pq", "s11_ivfpq",
+      "x21_boosted_search")
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       if (indexedQueries(name)) {

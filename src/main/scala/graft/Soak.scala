@@ -302,6 +302,22 @@ object Soak {
         ()
       }
     }
+    // IVF×PQ maintainer: frozen-centroid assign + frozen-codebook
+    // encode per batch — cost must track the delta (|batch|·m·|cb|
+    // encode work), not accumulated segments; the compaction cadence
+    // bounds the probe-union and manifest sides
+    val ivfpqSoakDir = java.nio.file.Files
+      .createTempDirectory("graft_soak_ivfpq").toString
+    similarity.Ivfpq.buildIndex(emb, "label", "id", "v", ivfpqSoakDir)
+    val ivfpqTimes = (0 until nMaintBatches).map { i =>
+      val delta = emb.select(
+        (col("id") + lit((i + 1) * 10000000L)).as("id"), col("v"))
+      timeS {
+        similarity.Ivfpq.appendToIndex(spark, ivfpqSoakDir, delta)
+        similarity.Ivfpq.maintain(spark, ivfpqSoakDir, maxSegments = 4)
+        ()
+      }
+    }
     // rank maintainer (r11 item): per-batch wall must track BATCH
     // passage volume + the |sources|²-bounded edge work, not the
     // accumulated posting history — the posting-fold cadence
@@ -319,7 +335,7 @@ object Soak {
       }
     }
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"rank_batch_s":${fmt(rankTimes)},"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -33,6 +33,42 @@ object Events {
       .drop("__new")
   }
 
+  /** Inter-event gap histogram — the distribution that TUNES
+    * [[sessionize]]'s gap knob (pick the valley between the
+    * within-session and between-session modes): per-key consecutive
+    * gaps in exact integer seconds, bucketed by fixed thresholds
+    * (one boundary at each candidate session gap), reduced to one
+    * tiny per-bucket row. Scale shape: the lag window partitions by
+    * the event key — bounded per key, never a global sort — and the
+    * bucket aggregation is map-side-combining on ≤ |buckets| groups.
+    * Bucket labels carry an ordering prefix so a plain ORDER BY
+    * yields threshold order. */
+  def gapHistogram(df: DataFrame, keyCol: Column, tsCol: Column,
+      tieBreak: Column,
+      boundaries: Seq[(Long, String)] = Seq(
+        60L -> "a_under_1m", 300L -> "b_1m_5m", 900L -> "c_5m_15m",
+        1800L -> "d_15m_30m", 3600L -> "e_30m_1h", 21600L -> "f_1h_6h"),
+      overflowLabel: String = "g_over_6h"): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
+    val prevUs = lag(unix_micros(tsCol), 1).over(order)
+    // integer microsecond math end to end (`DIV`, never a float
+    // divide): gaps are non-negative, so integer division floors
+    // identically in Spark and DuckDB
+    val gaps = df
+      .withColumn("__gap_us", unix_micros(tsCol) - prevUs)
+      .withColumn("__gap_s", expr("__gap_us DIV 1000000"))
+      .filter(col("__gap_s").isNotNull)
+    val bucket = boundaries.foldRight(lit(overflowLabel): Column) {
+      case ((bound, label), rest) =>
+        when(col("__gap_s") < bound, label).otherwise(rest)
+    }
+    gaps.select(bucket.as("gap_bucket"), col("__gap_s").as("gap_s"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_gap_s"),
+        max("gap_s").as("max_gap_s"))
+  }
+
   /** As-of attribution: for every row, the id of the most recent
     * prior row (same key) satisfying `sourcePred` — e.g. last-click
     * attribution for purchases. One shuffle on the key; the carry is

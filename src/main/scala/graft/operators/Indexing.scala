@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Index-sink preparation and collection lifecycle semantics
@@ -153,6 +154,48 @@ object Indexing {
       .select(explode(map(pairs: _*)).as(Seq("facet_field", "facet_value")))
       .groupBy("facet_field", "facet_value")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Pivot (hierarchical) facet — Solr's `facet.pivot=f1,f2` with
+    * `facet.limit` semantics at each level: the top `limit1` parent
+    * values by count, and under each surviving parent the top
+    * `limit2` child values, every node carrying its count and an
+    * aggregated stat (the stats-component-inside-pivot shape).
+    * Parent rows surface with child = `(all)` and count over ALL the
+    * parent's docs (Solr's pivot parent count is not the sum of its
+    * surfaced children). Scale shape: two aggregations — (parent) and
+    * (parent, child) — both map-side partial; the parent top-k ranks
+    * an O(|parent values|) aggregate (tiny by construction) and the
+    * child ranks window per-parent over the aggregated (parent,
+    * child) frame, bounded by |child values| per parent, never
+    * doc-level rows. Ties break (count desc, value asc) — total
+    * order, deterministic cross-engine. */
+  def pivotFacet(docs: DataFrame, predicate: Column, parentField: String,
+      childField: String, statCol: Column, limit1: Int, limit2: Int): DataFrame = {
+    val base = docs.filter(predicate)
+      .select(coalesce(col(parentField).cast("string"), lit("(missing)")).as("parent"),
+        coalesce(col(childField).cast("string"), lit("(missing)")).as("child"),
+        statCol.as("__stat"))
+    // one (parent, child) aggregation serves both levels: parents are
+    // its second-stage rollup, so doc rows shuffle exactly once
+    val cells = base.groupBy("parent", "child")
+      .agg(count(lit(1)).as("n_docs"), sum("__stat").as("stat_sum"))
+      .localCheckpoint(false) // both level branches of ONE execution
+    val parents = cells.groupBy("parent")
+      .agg(sum("n_docs").as("n_docs"), sum("stat_sum").as("stat_sum"))
+    val w1 = Window.orderBy(col("n_docs").desc, col("parent").asc)
+    val topParents = parents.withColumn("r", row_number().over(w1))
+      .filter(col("r") <= limit1).drop("r")
+    val w2 = Window.partitionBy("parent")
+      .orderBy(col("n_docs").desc, col("child").asc)
+    val topChildren = cells
+      .join(topParents.select("parent"), "parent")
+      .withColumn("r", row_number().over(w2))
+      .filter(col("r") <= limit2).drop("r")
+    topParents.select(col("parent"), lit("(all)").as("child"),
+        col("n_docs"), col("stat_sum"))
+      .unionByName(topChildren
+        .select(col("parent"), col("child"), col("n_docs"), col("stat_sum")))
   }
 
   /** Positional phrase search — Solr's exact-phrase query run on the

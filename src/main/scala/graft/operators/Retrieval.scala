@@ -67,6 +67,21 @@ object Retrieval {
     */
   private[operators] def scoreBm25(tf: DataFrame, nDocs: Long, avgdl: Double,
       qTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val scored = scoreBm25Int(tf, nDocs, avgdl, qTerms, k1, b)
+      .select(col("q_id"), col("n_id"),
+        round(col("score_q") / 1e6, 4).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("q_id", "n_id", "score", "rank")
+  }
+
+  /** The integer core of [[scoreBm25]]: (q_id, n_id, score_q) with
+    * score_q = Σ round(per-term contribution · 10⁶) as an exact
+    * BIGINT — the form boosting multiplies (integer × integer stays
+    * hash-exact cross-engine, where re-rounding a boosted float can
+    * land on a .5 decimal boundary). */
+  private[operators] def scoreBm25Int(tf: DataFrame, nDocs: Long,
+      avgdl: Double, qTerms: DataFrame, k1: Double, b: Double): DataFrame = {
     // df only for terms the queries actually use: the full-vocabulary
     // df table is corpus-sized at 100 TB and must never broadcast —
     // semi-restricting the aggregation first keeps the broadcast side
@@ -79,15 +94,10 @@ object Retrieval {
       log(((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) + 1.0) *
         (col("tf") * (k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
-    val scored = tf.join(broadcast(qTerms), "tok")
+    tf.join(broadcast(qTerms), "tok")
       .join(broadcast(dfreq), "tok")
       .groupBy(col("q_id"), col("doc_id").as("n_id"))
       .agg(sum(round(contrib * 1e6).cast("long")).as("score_q"))
-      .select(col("q_id"), col("n_id"),
-        round(col("score_q") / 1e6, 4).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("q_id", "n_id", "score", "rank")
   }
 
   /** Ad-hoc BM25 more-like-this: rank corpus documents against each
@@ -169,6 +179,17 @@ object Retrieval {
   def searchIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
       idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, nDocs, avgdl, qTerms) =
+      indexProbe(spark, indexDir, queries, idCol, textCol)
+    scoreBm25(tf, nDocs, avgdl, qTerms, k, k1, b)
+  }
+
+  /** Shared probe path for the persisted index: cached global stats,
+    * driver-side query-term collect, bucket-pruned tf scan, and the
+    * LocalRelation query-term frame. */
+  private def indexProbe(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, Long, Double, DataFrame) = {
     val version = graft.sources.VersionedTable.latestVersion(s"$indexDir/stats")
       .getOrElse(throw new IllegalStateException(s"no index at $indexDir"))
     val (nDocs, avgdl, nBuckets) = statsCache.computeIfAbsent(
@@ -192,7 +213,39 @@ object Retrieval {
         org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), qSchema)
     val tf = graft.sources.VersionedTable.readLatest(spark, s"$indexDir/tf")
       .filter(col("tok_bucket").isin(buckets: _*))
-    scoreBm25(tf, nDocs, avgdl, qTerms, k, k1, b)
+    (tf, nDocs, avgdl, qTerms)
+  }
+
+  /** Authority-boosted retrieval — Solr's boost-function query
+    * (`boost=` / multiplicative external-file-field) on the data
+    * plane: boosted(q, d) = score_q(q, d) · bw(d), where score_q is
+    * the exact integer BM25 sum and `boosts` supplies an exact
+    * integer weight per document (e.g. [[graft.operators.Graph]]'s
+    * source-authority rank). The boost joins BEFORE top-k selection
+    * (a post-filter of the unboosted top-k would be wrong — boosting
+    * reorders candidates), and because both factors are integers the
+    * boosted score needs no re-rounding — the product ranks and
+    * hashes identically cross-engine. `boosts` is per-document and
+    * may be corpus-sized (an external-file-field is): the join is an
+    * equi-join against the candidate frame (bounded by |q|·matching
+    * docs), so Catalyst/AQE picks broadcast vs shuffle from the
+    * actual sizes — no hint. Docs missing from `boosts` get weight
+    * `defaultBw`. */
+  def searchIndexBoosted(spark: SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, textCol: String, k: Int,
+      boosts: DataFrame, defaultBw: Long = 1L,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, nDocs, avgdl, qTerms) =
+      indexProbe(spark, indexDir, queries, idCol, textCol)
+    val boosted = scoreBm25Int(tf, nDocs, avgdl, qTerms, k1, b)
+      .join(boosts.select(col("n_id"), col("bw")), Seq("n_id"), "left")
+      .select(col("q_id"), col("n_id"),
+        (col("score_q") * coalesce(col("bw"), lit(defaultBw))).as("boosted"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("boosted").desc, col("n_id").asc)
+    boosted.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "boosted", "rank")
   }
 
   /** Fingerprint of a corpus path: for a plain file, (path, mtime,

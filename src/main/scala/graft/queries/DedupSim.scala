@@ -583,8 +583,35 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s11: IVF × PQ — the composed billion-scale ANN shape (FAISS
+    * IVFADC, by_residual=false): s4's quantized coarse quantizer
+    * prunes the scan to 2 probed lists per query (file-level
+    * partition pruning on the persisted code table), s10's
+    * all-integer PQ answers distances inside the probed lists from
+    * 8 one-byte codes per vector via ADC tables, and the top-80
+    * shortlist is exactly refined. Both stages are integer-exact, so
+    * the full composed trajectory — coarse means, probe selection,
+    * codebook training, encode, ADC, refine — replays bit-identically
+    * in SQL, keeping even the two-stage approximate index
+    * hash-checkable. */
+  def s11IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val idx = graft.similarity.Ivfpq.ensureIndex(
+      e.filter(col("id") >= 10), "label", "id", "v", dir,
+      nCodes = 32, iters = 1, dsub = 8, scale = 10000L,
+      centroidScale = 1000000L)
+    graft.similarity.Ivfpq.searchIndex(spark, idx,
+        e.filter(col("id") < 10).select("id", "v"), "id", "v",
+        k = 5, nProbe = 2, rerank = 80)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_pq" -> (s10Pq _),
+    "s11_ivfpq" -> (s11IvfPq _),
     "s3_hybrid" -> (s3Hybrid _),
     "d19_contain_keep" -> (d19ContainKeep _),
     "d20_semdedup_rep" -> (d20SemdedupRep _),
@@ -685,6 +712,40 @@ object DedupSim {
          list_transform(range(1, 65),
            i -> CAST(embedding[i] AS DOUBLE) + 0.05 * CAST(embedding[(i % 64) + 1] AS DOUBLE))
        FROM embeddings"""
+
+  /** g2's exact-integer weighted-PageRank replay over the source
+    * passage-overlap graph (3 unrolled iterations ending in r3, plus
+    * deg) — shared by the g2 oracle and Etl's x21 boosted-search
+    * oracle (same package). */
+  private[queries] val weightedRankCtes: String =
+    """t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p),
+         pr AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS w
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+         edges AS (SELECT sa AS u, sb AS v, w FROM pr
+           UNION ALL SELECT sb, sa, w FROM pr),
+         nodes AS (SELECT DISTINCT source FROM t),
+         deg AS (SELECT n.source, CAST(coalesce(sum(e.w), 0) AS BIGINT) AS wdeg
+           FROM nodes n LEFT JOIN edges e ON n.source = e.u GROUP BY 1),
+         r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         c1 AS (SELECT e.v, sum((r0.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r0 ON e.u = r0.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r1 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 ON n.source = c1.v),
+         c2 AS (SELECT e.v, sum((r1.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r1 ON e.u = r1.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r2 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 ON n.source = c2.v),
+         c3 AS (SELECT e.v, sum((r2.r * e.w) // d.wdeg) AS m FROM edges e
+           JOIN r2 ON e.u = r2.source JOIN deg d ON e.u = d.source GROUP BY 1),
+         r3 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 ON n.source = c3.v)"""
 
   private def cosSql(a: String, b: String): String =
     s"round(list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 4)"
@@ -1187,6 +1248,84 @@ object DedupSim {
            SELECT q_id, n_id, adist, CAST(row_number() OVER (PARTITION BY q_id
              ORDER BY adist ASC, n_id ASC) AS INT) AS rank FROM ex2)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s11: s10's PQ training/encode CTEs verbatim + s4's quantized
+    // coarse-centroid probe CTEs; the only composition point is the
+    // adc CTE, which admits a (q_id, n_id) pair only when n's list is
+    // among q's 2 probed lists — exactly the partition-pruned scan
+    // the Spark plan performs
+    "s11_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         wq AS (SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 10000) AS BIGINT)) AS w
+           FROM e),
+         dims AS (SELECT unnest(range(1, 65)) AS dim),
+         corp AS (SELECT vec_id, w FROM wq WHERE vec_id >= 10),
+         qs AS (SELECT vec_id, w FROM wq WHERE vec_id < 10),
+         sg AS (SELECT vec_id % 32 AS code, min(vec_id) AS sid
+           FROM corp GROUP BY 1),
+         cb1 AS (SELECT CAST(sg.code AS INT) AS code, dim,
+             CAST((dim - 1) // 8 AS INT) AS sub, c.w[dim] AS cm
+           FROM sg JOIN corp c ON c.vec_id = sg.sid CROSS JOIN dims),
+         dc1 AS (SELECT c.vec_id AS id, cb1.sub, cb1.code,
+             CAST(sum((c.w[cb1.dim] - cb1.cm) * (c.w[cb1.dim] - cb1.cm)) AS BIGINT) AS d2
+           FROM corp c CROSS JOIN cb1 GROUP BY 1, 2, 3),
+         as1 AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2 ASC, code ASC) AS rn FROM dc1)
+           WHERE rn = 1),
+         cb AS (SELECT code, dim, CAST((dim - 1) // 8 AS INT) AS sub,
+             CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                  ELSE -((2*(-s) + n) // (2*n)) END AS cm
+           FROM (SELECT a.code, d.dim, CAST(sum(c.w[d.dim]) AS BIGINT) AS s,
+               count(*) AS n
+             FROM corp c CROSS JOIN dims d
+             JOIN as1 a ON a.id = c.vec_id AND a.sub = (d.dim - 1) // 8
+             GROUP BY 1, 2)),
+         dc AS (SELECT c.vec_id AS n_id, cb.sub, cb.code,
+             CAST(sum((c.w[cb.dim] - cb.cm) * (c.w[cb.dim] - cb.cm)) AS BIGINT) AS d2
+           FROM corp c CROSS JOIN cb GROUP BY 1, 2, 3),
+         codes AS (SELECT n_id, sub, code FROM (
+             SELECT n_id, sub, code, row_number() OVER (PARTITION BY n_id, sub
+               ORDER BY d2 ASC, code ASC) AS rn FROM dc)
+           WHERE rn = 1),
+         qd AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+             CAST(sum((q.w[cb.dim] - cb.cm) * (q.w[cb.dim] - cb.cm)) AS BIGINT) AS d2
+           FROM qs q CROSS JOIN cb GROUP BY 1, 2, 3),
+         dlab AS (SELECT vec_id AS n_id, label FROM e WHERE vec_id >= 10),
+         fq AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         cents0 AS (SELECT label, dim,
+             CAST(sum(CAST(round(v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM e CROSS JOIN dims WHERE vec_id >= 10
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid
+           FROM cents0 GROUP BY 1),
+         probes AS (SELECT q_id, label FROM (
+             SELECT fq.q_id, cents.label,
+               row_number() OVER (PARTITION BY fq.q_id
+                 ORDER BY ${cosSql("fq.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM fq CROSS JOIN cents)
+           WHERE p <= 2),
+         adc AS (SELECT qd.q_id, codes.n_id, CAST(sum(qd.d2) AS BIGINT) AS adist
+           FROM codes
+           JOIN dlab ON dlab.n_id = codes.n_id
+           JOIN probes p ON p.label = dlab.label
+           JOIN qd ON qd.q_id = p.q_id AND qd.sub = codes.sub
+             AND qd.code = codes.code
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY adist ASC, n_id ASC) AS arank FROM adc)
+           WHERE arank <= 80),
+         ex2 AS (SELECT s.q_id, s.n_id,
+             CAST(sum((q.w[d.dim] - c.w[d.dim]) * (q.w[d.dim] - c.w[d.dim])) AS BIGINT) AS adist
+           FROM short s JOIN qs q ON q.vec_id = s.q_id
+           JOIN corp c ON c.vec_id = s.n_id CROSS JOIN dims d
+           GROUP BY 1, 2)
+         SELECT q_id, n_id, adist, rank FROM (
+           SELECT q_id, n_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, n_id ASC) AS INT) AS rank FROM ex2)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "s4_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          d AS (SELECT vec_id AS n_id, label, v AS n_v FROM e WHERE vec_id >= 10),
@@ -1490,34 +1629,7 @@ object DedupSim {
     // weighted split (r*w) // wdeg — integer div per edge, matching
     // the Spark expression exactly
     "g2_weighted_rank" ->
-      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
-           FROM documents),
-         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
-         p AS (SELECT source,
-             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
-           FROM s),
-         sh AS (SELECT DISTINCT source, h FROM p),
-         pr AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS w
-           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-           GROUP BY 1, 2),
-         edges AS (SELECT sa AS u, sb AS v, w FROM pr
-           UNION ALL SELECT sb, sa, w FROM pr),
-         nodes AS (SELECT DISTINCT source FROM t),
-         deg AS (SELECT n.source, CAST(coalesce(sum(e.w), 0) AS BIGINT) AS wdeg
-           FROM nodes n LEFT JOIN edges e ON n.source = e.u GROUP BY 1),
-         r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS r FROM nodes),
-         c1 AS (SELECT e.v, sum((r0.r * e.w) // d.wdeg) AS m FROM edges e
-           JOIN r0 ON e.u = r0.source JOIN deg d ON e.u = d.source GROUP BY 1),
-         r1 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c1.m, 0)) // 100 AS BIGINT) AS r
-           FROM nodes n LEFT JOIN c1 ON n.source = c1.v),
-         c2 AS (SELECT e.v, sum((r1.r * e.w) // d.wdeg) AS m FROM edges e
-           JOIN r1 ON e.u = r1.source JOIN deg d ON e.u = d.source GROUP BY 1),
-         r2 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c2.m, 0)) // 100 AS BIGINT) AS r
-           FROM nodes n LEFT JOIN c2 ON n.source = c2.v),
-         c3 AS (SELECT e.v, sum((r2.r * e.w) // d.wdeg) AS m FROM edges e
-           JOIN r2 ON e.u = r2.source JOIN deg d ON e.u = d.source GROUP BY 1),
-         r3 AS (SELECT n.source, CAST(150000 + (85 * coalesce(c3.m, 0)) // 100 AS BIGINT) AS r
-           FROM nodes n LEFT JOIN c3 ON n.source = c3.v)
+      s"""WITH $weightedRankCtes
          SELECT r3.source, d.wdeg, r3.r AS rank_i3
          FROM r3 JOIN deg d ON r3.source = d.source
          ORDER BY r3.source""",

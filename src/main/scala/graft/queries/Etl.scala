@@ -288,6 +288,53 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** x21: authority-boosted retrieval — Solr's multiplicative
+    * boost-function query (`boost=`) fed by an external per-document
+    * signal, here the g2 source-authority PageRank: boosted(q, d) =
+    * score_q(q, d) · rank(source(d)), both EXACT INTEGERS (the BM25
+    * sum pre-rounding × the integer PageRank value), so the boosted
+    * ranking needs no float re-round and hash-matches cross-engine.
+    * The boost joins BEFORE top-k selection — boosting reorders
+    * candidates, so filtering the unboosted top-5 would be wrong —
+    * and the join is bounded by the candidate frame (the doc→weight
+    * table behaves like Solr's ExternalFileField: corpus-sized, but
+    * only candidate rows are ever touched). Probes the same
+    * persisted x7 index. */
+  def x21BoostedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = Retrieval.ensureIndex(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text", dir)
+    val pairs = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
+        col("text"), width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+      .localCheckpoint(false)
+    val authority = graft.operators.Graph.weightedPageRank(
+      docs.select("source").distinct(), pairs, iters = 3)
+    val boosts = docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("n_id"), col("source"))
+      .join(authority.select(col("source"), col("rank_i3").as("bw")), "source")
+      .select("n_id", "bw")
+    Retrieval.searchIndexBoosted(spark, idx,
+        docs.filter(col("doc_id") < 5), "doc_id", "text", k = 5, boosts)
+      .orderBy("q_id", "rank")
+  }
+
+  /** x22: pivot facet — Solr's `facet.pivot=source,lang` with
+    * `facet.limit` at each level (top-5 sources, top-3 langs within
+    * each) and the stats component inside the pivot (n_chars sums
+    * per node). Parent rows carry child `(all)` and count ALL the
+    * parent's matching docs — Solr's parent count is not the sum of
+    * its surfaced children. The near-uniform source counts make the
+    * (count desc, value asc) tie-break carry real weight at every
+    * SF. One doc-level shuffle total: parents roll up from the
+    * (parent, child) cells. */
+  def x22PivotFacet(spark: SparkSession, dir: String): DataFrame =
+    Indexing.pivotFacet(Tables.documents(spark, dir),
+        predicate = col("n_chars") >= 200, parentField = "source",
+        childField = "lang", statCol = col("n_chars"),
+        limit1 = 5, limit2 = 3)
+      .orderBy("parent", "child")
+
   /** x8: search over the SEGMENTED incrementally-maintained BM25
     * index (operators/SegmentedBm25.scala — the Lucene/Solr segment
     * lifecycle: harvest.py:185-208 feeds a long-lived collection
@@ -542,6 +589,8 @@ object Etl {
     "v8_profile_drift" -> (v8ProfileDrift _),
     "v12_quantile_drift" -> (v12QuantileDrift _),
     "x7_bm25" -> (x7Bm25 _),
+    "x21_boosted_search" -> (x21BoostedSearch _),
+    "x22_pivot_facet" -> (x22PivotFacet _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
     "h9_missing_days" -> (h9MissingDays _),
@@ -568,6 +617,36 @@ object Etl {
     "x2_latest_version" -> (x2LatestVersion _),
     "x3_alias_resolve" -> (x3AliasResolve _),
   )
+
+  /** The x7 BM25 scoring chain through the per-term quantized
+    * contributions `sc` (cq = round(term score · 10⁶) BIGINT) —
+    * shared by the x7 oracle (rounds the exact sum back to a 4-dp
+    * score) and the x21 oracle (keeps the integer sum and multiplies
+    * by the integer authority weight). */
+  private val bm25ScoreCtes: String =
+    """toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+           FROM documents WHERE doc_id >= 5),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+         q AS (SELECT DISTINCT doc_id AS q_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+           FROM documents WHERE doc_id < 5),
+         d AS (SELECT tok, count(*) AS df FROM tf
+           WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+         sc AS (
+           SELECT q.q_id, tf.doc_id AS n_id,
+             CAST(round(
+               ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE)
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                         / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+               * 1000000.0) AS BIGINT) AS cq
+           FROM tf JOIN q USING (tok) JOIN d USING (tok)
+             JOIN dl ON tf.doc_id = dl.doc_id
+             CROSS JOIN stats s)"""
 
   val oracleSql: Map[String, String] = Map(
     // x19: same '0:'-seeded md5 shingle hashing as the dedup oracles,
@@ -1093,29 +1172,7 @@ object Etl {
     // (exact integer aggregation, order-independent), and only then
     // rounded for display
     "x7_bm25" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-           FROM documents WHERE doc_id >= 5),
-         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-         q AS (SELECT DISTINCT doc_id AS q_id,
-             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
-           FROM documents WHERE doc_id < 5),
-         d AS (SELECT tok, count(*) AS df FROM tf
-           WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
-         sc AS (
-           SELECT q.q_id, tf.doc_id AS n_id,
-             CAST(round(
-               ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                 * (tf.tf * CAST(1.2 + 1.0 AS DOUBLE)
-                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
-                         / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
-               * 1000000.0) AS BIGINT) AS cq
-           FROM tf JOIN q USING (tok) JOIN d USING (tok)
-             JOIN dl ON tf.doc_id = dl.doc_id
-             CROSS JOIN stats s),
+      s"""WITH $bm25ScoreCtes,
          agg AS (SELECT q_id, n_id,
              round(CAST(sum(cq) AS BIGINT) / 1000000.0, 4) AS score
            FROM sc GROUP BY 1, 2)
@@ -1124,6 +1181,52 @@ object Etl {
              CAST(row_number() OVER (PARTITION BY q_id
                ORDER BY score DESC, n_id ASC) AS INT) AS rank
            FROM agg)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "x22_pivot_facet" ->
+      """WITH base AS (SELECT
+             coalesce(CAST(source AS VARCHAR), '(missing)') AS parent,
+             coalesce(CAST(lang AS VARCHAR), '(missing)') AS child,
+             n_chars
+           FROM documents WHERE n_chars >= 200),
+         cells AS (SELECT parent, child, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS stat_sum
+           FROM base GROUP BY 1, 2),
+         parents AS (SELECT parent, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(stat_sum) AS BIGINT) AS stat_sum
+           FROM cells GROUP BY 1),
+         topp AS (SELECT parent, n_docs, stat_sum FROM (
+             SELECT parent, n_docs, stat_sum,
+               row_number() OVER (ORDER BY n_docs DESC, parent ASC) AS r
+             FROM parents)
+           WHERE r <= 5),
+         topc AS (SELECT parent, child, n_docs, stat_sum FROM (
+             SELECT c.parent, c.child, c.n_docs, c.stat_sum,
+               row_number() OVER (PARTITION BY c.parent
+                 ORDER BY c.n_docs DESC, c.child ASC) AS r
+             FROM cells c JOIN topp t ON c.parent = t.parent)
+           WHERE r <= 3)
+         SELECT parent, child, n_docs, stat_sum FROM (
+           SELECT parent, '(all)' AS child, n_docs, stat_sum FROM topp
+           UNION ALL
+           SELECT parent, child, n_docs, stat_sum FROM topc)
+         ORDER BY parent, child""",
+    // x21: the g2 weighted-PageRank replay (DedupSim.weightedRankCtes,
+    // ending in r3) supplies the per-source integer authority; the
+    // bm25 chain's exact integer sum is multiplied — never re-rounded
+    "x21_boosted_search" ->
+      s"""WITH ${DedupSim.weightedRankCtes},
+         $bm25ScoreCtes,
+         agg AS (SELECT q_id, n_id, CAST(sum(cq) AS BIGINT) AS score_q
+           FROM sc GROUP BY 1, 2),
+         bst AS (SELECT a.q_id, a.n_id,
+             CAST(a.score_q * r3.r AS BIGINT) AS boosted
+           FROM agg a JOIN documents ds ON a.n_id = ds.doc_id
+           JOIN r3 ON ds.source = r3.source)
+         SELECT q_id, n_id, boosted, rank FROM (
+           SELECT q_id, n_id, boosted,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY boosted DESC, n_id ASC) AS INT) AS rank
+           FROM bst)
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "x5_inverted" ->
       """WITH toks AS (

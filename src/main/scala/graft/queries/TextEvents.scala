@@ -250,6 +250,17 @@ object TextEvents {
         col("user_id"), col("ts"))
       .orderBy("user_id", "session_id")
 
+  /** e13: inter-event gap histogram — the distribution that picks
+    * e2's 1800 s sessionization gap (one bucket boundary sits at
+    * every candidate gap, 1800 included, so the histogram directly
+    * shows how many session splits each knob value would cause).
+    * Per-user lag window (bounded per key — never a global sort),
+    * exact integer-microsecond math, seven-row output. */
+  def e13GapHistogram(spark: SparkSession, dir: String): DataFrame =
+    Events.gapHistogram(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"))
+      .orderBy("gap_bucket")
+
   def e3JsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       // idiomatic JSON extraction: schema-checked from_json (the
@@ -458,6 +469,7 @@ object TextEvents {
     "ta4_fingerprint" -> (ta4Fingerprint _),
     "e1_tumbling" -> (e1Tumbling _),
     "e2_sessionize" -> (e2Sessionize _),
+    "e13_gap_histogram" -> (e13GapHistogram _),
     "e3_json_props" -> (e3JsonProps _),
   )
 
@@ -836,6 +848,23 @@ object TextEvents {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e13_gap_histogram" ->
+      """WITH g AS (
+           SELECT (epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+           FROM events),
+         b AS (SELECT gap_s,
+             CASE WHEN gap_s < 60 THEN 'a_under_1m'
+                  WHEN gap_s < 300 THEN 'b_1m_5m'
+                  WHEN gap_s < 900 THEN 'c_5m_15m'
+                  WHEN gap_s < 1800 THEN 'd_15m_30m'
+                  WHEN gap_s < 3600 THEN 'e_30m_1h'
+                  WHEN gap_s < 21600 THEN 'f_1h_6h'
+                  ELSE 'g_over_6h' END AS gap_bucket
+           FROM g WHERE gap_s IS NOT NULL)
+         SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         FROM b GROUP BY 1 ORDER BY 1""",
     "e2_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end

@@ -128,7 +128,7 @@ object Pq {
     * (id, sub, code) reduction shuffled |vecs|·d·|codebook| rows.
     * Integer sums are order-independent, so the HOF accumulation is
     * bit-identical to any other order. */
-  private def subDistances(vecs: DataFrame, cb: DataFrame,
+  private[similarity] def subDistances(vecs: DataFrame, cb: DataFrame,
       idCol: String, vecCol: String, dsub: Int, scale: Long): DataFrame =
     subVectors(vecs, idCol, vecCol, dsub, scale)
       .join(broadcast(cbSubVectors(cb)), "sub")
@@ -187,7 +187,7 @@ object Pq {
   /** The exact-refine stage: top-`rerank` ADC candidates re-scored
     * with the true integer distance (light per-element HOF — the
     * measured-fast shape for small work), then the final top-k. */
-  private def refine(adc: DataFrame, queries: DataFrame, nw: DataFrame,
+  private[similarity] def refine(adc: DataFrame, queries: DataFrame, nw: DataFrame,
       idCol: String, vecCol: String, k: Int, rerank: Int,
       scale: Long): DataFrame = {
     val w = Window.partitionBy("q_id")

@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.Vectors
+import graft.similarity.{Ivf, Ivfpq, Pq}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF×PQ composition contract: (1) the probed-list restriction is
+  * structural — every returned neighbor lives in one of its query's
+  * probed lists, and the code scan partition-prunes; (2) within the
+  * probed lists the result IS the PQ answer — ADC + refine over the
+  * probed subset equals an unpruned PQ search restricted to those
+  * lists post-hoc (the composition adds pruning, never different
+  * arithmetic); (3) recall@5 vs the exact integer-L2 top-5 clears a
+  * usable floor despite both approximation stages. */
+class IvfpqSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def embs = Tables.embeddings(spark, sf)
+    .select(col("vec_id").as("id"), col("label"),
+      Vectors.toDouble(col("embedding")).as("v"))
+
+  test("neighbors come from probed lists only, via a pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_t1").toString
+    val corpus = embs.filter(col("id") >= 10)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    Ivfpq.buildIndex(corpus, "label", "id", "v", dir)
+    val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected a partition filter on list_id in:\n$plan")
+
+    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    val probed = Ivf.probeLists(queries, cents, nProbe = 2)
+      .select("q_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.get(1))).toSet
+    val labels = corpus.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    got.collect().foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(probed.contains((q, labels(n))),
+        s"neighbor $n of query $q is outside the probed lists")
+    }
+  }
+
+  test("equals a sequential replay of ADC+refine over the probed lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_t2").toString
+    val corpus = embs.filter(col("id") >= 10)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    Ivfpq.buildIndex(corpus, "label", "id", "v", dir)
+    val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+        k = 5, nProbe = 2, rerank = 80)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("rank").intValue()) ->
+        (r.getLong(1), r.getLong(2))).toMap
+
+    // independent reference: collect the persisted index state and
+    // replay probe → ADC → top-80 shortlist → exact refine → top-5
+    // sequentially on the driver
+    import graft.sources.VersionedTable
+    val cm = VersionedTable.readLatest(spark, s"$dir/cb").collect()
+      .map(r => (r.getAs[Number]("code").intValue(),
+        r.getAs[Number]("dim").intValue()) -> r.getAs[Number]("cm").longValue())
+      .toMap
+    val codes = VersionedTable.readLatest(spark, s"$dir/codes").collect()
+      .map(r => (r.getAs[Number]("id").longValue(),
+        r.getAs[Number]("sub").intValue()) ->
+        (r.getAs[Number]("code").intValue(), r.getAs[Any]("list_id")))
+    val wvecs = VersionedTable.readLatest(spark, s"$dir/wvecs").collect()
+      .map(r => r.getAs[Number]("n_id").longValue() -> r.getSeq[Long](1)).toMap
+    val cents = VersionedTable.readLatest(spark, s"$dir/centroids")
+    val probed = Ivf.probeLists(queries, cents, nProbe = 2)
+      .select("q_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.get(1)))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val qw = queries.select(col("id"), Pq.quantize(col("v"), 10000L).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val perDocCodes = codes.groupBy(_._1._1) // n_id -> its (sub -> (code, list))
+    val dsub = 8
+
+    qw.foreach { case (q, w) =>
+      val lists = probed(q)
+      val cands = perDocCodes.collect {
+        case (n, subs) if lists.contains(subs.head._2._2) =>
+          val adist = subs.map { case ((_, sub), (code, _)) =>
+            (sub * dsub until (sub + 1) * dsub).map { d =>
+              val diff = w(d) - cm((code, d)); diff * diff
+            }.sum
+          }.sum
+          (n, adist)
+      }.toSeq
+      val short = cands.sortBy { case (n, a) => (a, n) }.take(80).map(_._1)
+      val top5 = short.map { n =>
+        n -> w.zip(wvecs(n)).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (n, dd) => (dd, n) }.take(5)
+      top5.zipWithIndex.foreach { case ((n, dd), i) =>
+        assert(got((q, i + 1)) == ((n, dd)),
+          s"query $q rank ${i + 1}: got ${got((q, i + 1))}, replay says ($n, $dd)")
+      }
+    }
+  }
+
+  test("recall@5 vs exact integer-L2 clears the floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_t3").toString
+    val corpus = embs.filter(col("id") >= 10)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    Ivfpq.buildIndex(corpus, "label", "id", "v", dir)
+    val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+        k = 5, nProbe = 3, rerank = 80)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val w = embs.select(col("id"), Pq.quantize(col("v"), 10000L).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val (qs, cs) = (w.filter(_._1 < 10), w.filter(_._1 >= 10))
+    val recalls = qs.map { case (q, qw) =>
+      val exact = cs.map { case (n, nw) =>
+        n -> qw.zip(nw).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (n, d) => (d, n) }.take(5).map(_._1).toSet
+      got(q).intersect(exact).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    // coarse pruning costs recall vs s10's unpruned 0.90 (measured:
+    // 0.34 at nProbe=2, the query's knob; this test probes 3 of the
+    // ~20 lists — the s9-style recall-vs-nProbe tradeoff); the floor
+    // stays generous so data regeneration can't flake the suite
+    assert(mean >= 0.4, f"mean IVF-PQ recall@5 $mean%.2f below floor")
+  }
+}

@@ -35,6 +35,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "s8_recall",       // composes s1's broadcast bruteForce (truth side) and
                        // s4's broadcast-centroid assignment — both by design
     "s9_recall_sweep", // s8's shape swept over three probe levels
+    "s11_ivfpq",       // s4's broadcast-centroid probe assignment
+                       // feeds the coarse stage (the ADC joins are
+                       // all equi-joins)
     "x19_mlt")         // the 1-row derived-df-cap frame broadcast
                        // over the df table (a constant equi-key
                        // would be constant-folded away)
@@ -74,12 +77,18 @@ class PlanAuditSpec extends AnyFunSuite {
                          // sketch merge (O(sketchK) state, map-side
                          // partial sketches) producing the 1-row cut
                          // frame; scoring stays shingle-keyed
-    "s10_pq")            // Spark-INJECTED runtime bloom-filter
+    "s10_pq",            // Spark-INJECTED runtime bloom-filter
                          // subqueries on the refine joins
                          // (bloom_filter_agg: fixed-size bitmap,
                          // map-side partial — O(1) state like the KLL
                          // merges above, not a data serialization);
                          // codebook/encode/ADC stages stay keyed
+    "s11_ivfpq",         // same injected bloom filters on the
+                         // shortlist refine joins; probe/ADC keyed
+    "x22_pivot_facet")   // parent top-k window over the
+                         // O(|parent values|) aggregate (the p10
+                         // shape); doc rows shuffle once, keyed by
+                         // (parent, child), map-side partial
 
   test("no query plan contains a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -111,6 +120,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "x7_bm25" -> Seq("PartitionFilters: [", "tok_bucket"),
     // segmented BM25 probe: manifest-listed segments + token buckets
     "x8_seg_search" -> Seq("PartitionFilters: [", "tok_bucket"),
+    // IVF×PQ probe: only the probed lists' code partitions scanned
+    "s11_ivfpq" -> Seq("PartitionFilters: [", "list_id"),
     // selective filter+project must reach the parquet scan (a
     // non-empty pushdown always leads with the IsNotNull guards)
     "q5_filter_project" -> Seq("PushedFilters: [IsNotNull"))
