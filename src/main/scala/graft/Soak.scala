@@ -318,6 +318,53 @@ object Soak {
         ()
       }
     }
+    // --- ANN probe matrix (r11 item): recall@5 + probe seconds per
+    // index family at matched knobs over the SAME corpus/queries —
+    // the operating chart that picks an index per corpus size.
+    // Embeddings are unit-norm, so exact cosine order ≡ exact L2
+    // order and ONE truth set serves the cosine families (brute/LSH/
+    // IVF) and the integer-L2 PQ families alike. Indexes are built
+    // untimed; the timed number is the serving-path probe.
+    val annQ = emb.filter(col("id") < 10).select("id", "v")
+    val annC = emb.filter(col("id") >= 10)
+    val annTruth = similarity.Knn.bruteForce(annQ, annC.select("id", "v"), 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def annCell(probe: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = probe.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = (System.nanoTime() - t0) / 1e9
+      (got.intersect(annTruth).size.toDouble / annTruth.size, t)
+    }
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_ann_ivf").toString
+    similarity.Ivf.buildIndex(annC, "label", "v", ivfDir)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_ann_pq").toString
+    similarity.Pq.buildIndex(annC, "id", "v", pqDir)
+    val ipqDir = java.nio.file.Files.createTempDirectory("graft_ann_ipq").toString
+    similarity.Ivfpq.buildIndex(annC, "label", "id", "v", ipqDir)
+    val resDir = java.nio.file.Files.createTempDirectory("graft_ann_res").toString
+    similarity.Ivfpq.buildIndex(annC, "label", "id", "v", resDir,
+      byResidual = true)
+    val annMatrix = Seq(
+      "brute" -> annCell(
+        similarity.Knn.bruteForce(annQ, annC.select("id", "v"), 5)),
+      "lsh_multiprobe" -> annCell(similarity.Knn.lshBucketed(
+        annQ, annC.select("id", "v"), 5, nPlanes = 8, dim = 64, nProbes = 3)),
+      "ivf_2probe" -> annCell(
+        similarity.Ivf.searchIndex(spark, ivfDir, annQ, 5, nProbe = 2)),
+      "pq_flat_r80" -> annCell(similarity.Pq.searchIndex(
+        spark, pqDir, annQ, "id", "v", 5, rerank = 80)),
+      "ivfpq_2probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, ipqDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)),
+      "ivfpq_residual_2probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, resDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)))
+    val annJson = annMatrix.map { case (m, (rec, t)) =>
+      s""""$m":{"recall":${BigDecimal(rec).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP)},"probe_s":${BigDecimal(t)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
+    }.mkString("{", ",", "}")
+
     // rank maintainer (r11 item): per-batch wall must track BATCH
     // passage volume + the |sources|²-bounded edge work, not the
     // accumulated posting history — the posting-fold cadence
@@ -335,7 +382,7 @@ object Soak {
       }
     }
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -118,6 +118,52 @@ object Corpus {
       orderCol, tokensCol, budget)
   }
 
+  /** First-fit-decreasing bin packing — the PADDED-batch packing
+    * contract, the other training-shard shape next to
+    * [[packSequences]]: documents never split across sequences, so
+    * each bin's unused tail is PADDING WASTE and the packer's job is
+    * to minimize it. FFD (sort descending, place each item in the
+    * first bin with room) is the classic offline heuristic
+    * (≤ 11/9·OPT + 6/9 bins, Johnson 1973); packSequences' straddling
+    * stream has zero waste by construction but splits documents —
+    * pick by whether the training recipe masks cross-document
+    * attention or pads.
+    *
+    * Scale shape: the corpus hash-shards on the id (same contract as
+    * [[packSequencesSharded]]), each (shard) group's items ship to
+    * ONE task via groupByKey and the sequential FFD runs in-memory
+    * per group — nShards bounds group size, bins never cross shards,
+    * and determinism is total ((tokens desc, id asc) placement
+    * order, first-fit index). Oversize documents (> budget) get a
+    * singleton bin. Output: (doc_id, n_tokens, pack_shard, bin_id)
+    * with bin ids dense from 0 per shard. */
+  def packBinsFFD(df: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .withColumn("pack_shard",
+        pmod(Hashing.h32(17, col("id").cast("string")), lit(nShards)).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val sorted = it.toSeq.sortBy { case (id, t, _) => (-t, id) }
+        val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+        sorted.iterator.map { case (id, t, _) =>
+          val fit = if (t <= budget) remaining.indexWhere(_ >= t) else -1
+          val bin =
+            if (fit >= 0) { remaining(fit) -= t; fit }
+            else {
+              remaining += (if (t >= budget) 0L else budget - t)
+              remaining.size - 1
+            }
+          (id, t, shard, bin.toLong)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "pack_shard", "bin_id")
+  }
+
   /** Temperature rebalancing downsample (α = 1/2, the Pile/ROOTS-
     * style domain rebalance): acceptance rate per domain s is
     * r_s = √(n_min/n_s), so the realized mixture flattens toward the

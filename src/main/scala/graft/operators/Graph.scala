@@ -58,4 +58,34 @@ object Graph {
     r.join(wdeg, Seq("source"))
       .select(col("source"), col("wdeg"), col("r").as("rank_i3"))
   }
+
+  /** Build-if-absent PERSISTED source authority for a corpus derived
+    * from one data directory — the serving posture of an authority
+    * signal (Solr's ExternalFileField is a file computed offline,
+    * not a per-query graph pass): the d16 source-overlap graph +
+    * [[weightedPageRank]] land once as a VersionedTable behind the
+    * `graft_authority` fingerprint cache (orphan-swept like every
+    * other build-if-absent family), and query-time boosting reads
+    * the tiny rank table. Returns the cache dir; read with
+    * `VersionedTable.readLatest(spark, s"$dir/rank")`. */
+  def ensureSourceAuthority(docs: DataFrame, dataDir: String,
+      width: Int = 20, stride: Int = 20, iters: Int = 3): String =
+    synchronized {
+      val f = new java.io.File(s"$dataDir/documents.parquet")
+      val live = ":auth:v1"
+      val key = Retrieval.corpusFingerprintKey(f) +
+        s":$width:$stride:$iters" + live
+      val dir = graft.sources.FingerprintCache
+        .prepare("graft_authority", key, live)
+      if (graft.sources.VersionedTable.latestVersion(s"$dir/rank").isEmpty) {
+        val pairs = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
+            col("text"), width = width, stride = stride, maxDf = None)
+          .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+          .localCheckpoint(false)
+        graft.sources.VersionedTable.write(
+          weightedPageRank(docs.select("source").distinct(), pairs, iters),
+          s"$dir/rank")
+      }
+      dir
+    }
 }

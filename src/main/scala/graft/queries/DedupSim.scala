@@ -568,17 +568,23 @@ object DedupSim {
     * approximate ANN index hash-checkable. */
   def s10Pq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"),
+      .select(col("vec_id").as("id"), col("label"),
         Vectors.toDouble(col("embedding")).as("v"))
-    // train-once/probe-many: the codebook fit + corpus encode persist
-    // behind the fingerprint (the x7/s4 lifecycle — PQ indexes are
-    // trained offline and probed online); the probe touches only the
-    // codebook, the codes table, and the shortlist's sidecar rows
-    val idx = graft.similarity.Pq.ensureIndex(
-      e.filter(col("id") >= 10), "id", "v", dir,
+    // train-once/probe-many behind the fingerprint, SHARED with s11:
+    // flat PQ is IVF×PQ with every list scanned, and the IVFPQ
+    // index's codebook/codes/sidecar are trained by the identical
+    // deterministic pipeline (same corpus, same knobs — the coarse
+    // centroids are simply ignored here), so one persisted index
+    // serves both queries and the one-time build is paid once.
+    // Pq.searchIndex reads the BASE tables only (no appended
+    // segments) — exactly the build-once serving posture this query
+    // measures; a maintained deployment probes via Ivfpq.searchIndex
+    val idx = graft.similarity.Ivfpq.ensureIndex(
+      e.filter(col("id") >= 10), "label", "id", "v", dir,
       nCodes = 32, iters = 1, dsub = 8, scale = 10000L)
     graft.similarity.Pq.searchIndex(spark, idx,
-        e.filter(col("id") < 10), "id", "v", k = 5, rerank = 80)
+        e.filter(col("id") < 10).select("id", "v"), "id", "v",
+        k = 5, rerank = 80)
       .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
       .orderBy("q_id", "rank")
   }
@@ -609,9 +615,36 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s12: RESIDUAL IVF×PQ — s11 with by_residual=true, the accuracy
+    * rung FAISS defaults to: the PQ stage encodes x − c(list(x))
+    * against a per-list INTEGER centroid (half-away-from-zero
+    * integer means of the quantized coordinates, stored beside the
+    * float probe centroids), so the codebooks spend their entropy on
+    * within-list structure instead of re-describing list means.
+    * Residuals are exact integer vectors and the residual codebooks
+    * train at scale=1 on them, so the whole pipeline — integer
+    * centroid, residual, training, encode, per-(query, probed-list)
+    * ADC tables (the known nProbe× table cost of by_residual),
+    * refine — still replays bit-identically in SQL. */
+  def s12IvfpqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val idx = graft.similarity.Ivfpq.ensureIndex(
+      e.filter(col("id") >= 10), "label", "id", "v", dir,
+      nCodes = 32, iters = 1, dsub = 8, scale = 10000L,
+      centroidScale = 1000000L, byResidual = true)
+    graft.similarity.Ivfpq.searchIndex(spark, idx,
+        e.filter(col("id") < 10).select("id", "v"), "id", "v",
+        k = 5, nProbe = 2, rerank = 80)
+      .select(col("q_id"), col("n_id"), col("adist"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_pq" -> (s10Pq _),
     "s11_ivfpq" -> (s11IvfPq _),
+    "s12_ivfpq_residual" -> (s12IvfpqResidual _),
     "s3_hybrid" -> (s3Hybrid _),
     "d19_contain_keep" -> (d19ContainKeep _),
     "d20_semdedup_rep" -> (d20SemdedupRep _),
@@ -1311,6 +1344,99 @@ object DedupSim {
            JOIN dlab ON dlab.n_id = codes.n_id
            JOIN probes p ON p.label = dlab.label
            JOIN qd ON qd.q_id = p.q_id AND qd.sub = codes.sub
+             AND qd.code = codes.code
+           GROUP BY 1, 2),
+         short AS (SELECT q_id, n_id FROM (
+             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY adist ASC, n_id ASC) AS arank FROM adc)
+           WHERE arank <= 80),
+         ex2 AS (SELECT s.q_id, s.n_id,
+             CAST(sum((q.w[d.dim] - c.w[d.dim]) * (q.w[d.dim] - c.w[d.dim])) AS BIGINT) AS adist
+           FROM short s JOIN qs q ON q.vec_id = s.q_id
+           JOIN corp c ON c.vec_id = s.n_id CROSS JOIN dims d
+           GROUP BY 1, 2)
+         SELECT q_id, n_id, adist, rank FROM (
+           SELECT q_id, n_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+             ORDER BY adist ASC, n_id ASC) AS INT) AS rank FROM ex2)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s12: s11's chain with the PQ stage run on RESIDUALS — the
+    // per-list integer centroid (icent: half-up integer means of the
+    // quantized coords), residual arrays for corpus and per-(query,
+    // probed-list), and the training/encode/ADC CTEs re-run on them;
+    // the exact refine still scores ORIGINAL quantized vectors
+    "s12_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         wq AS (SELECT vec_id,
+             list_transform(v, x -> CAST(round(x * 10000) AS BIGINT)) AS w
+           FROM e),
+         dims AS (SELECT unnest(range(1, 65)) AS dim),
+         corp AS (SELECT vec_id, w FROM wq WHERE vec_id >= 10),
+         qs AS (SELECT vec_id, w FROM wq WHERE vec_id < 10),
+         dlab AS (SELECT vec_id AS n_id, label FROM e WHERE vec_id >= 10),
+         fq AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         cents0 AS (SELECT label, dim,
+             CAST(sum(CAST(round(v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM e CROSS JOIN dims WHERE vec_id >= 10
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid
+           FROM cents0 GROUP BY 1),
+         probes AS (SELECT q_id, label FROM (
+             SELECT fq.q_id, cents.label,
+               row_number() OVER (PARTITION BY fq.q_id
+                 ORDER BY ${cosSql("fq.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM fq CROSS JOIN cents)
+           WHERE p <= 2),
+         ic0 AS (SELECT d.label, dm.dim, CAST(sum(c.w[dm.dim]) AS BIGINT) AS s,
+             count(*) AS n
+           FROM corp c JOIN dlab d ON c.vec_id = d.n_id CROSS JOIN dims dm
+           GROUP BY 1, 2),
+         icent AS (SELECT label, dim,
+             CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                  ELSE -((2*(-s) + n) // (2*n)) END AS cm
+           FROM ic0),
+         rcorp AS (SELECT c.vec_id, list(c.w[ic.dim] - ic.cm ORDER BY ic.dim) AS rw
+           FROM corp c JOIN dlab d ON c.vec_id = d.n_id
+           JOIN icent ic ON ic.label = d.label
+           GROUP BY 1),
+         sg AS (SELECT vec_id % 32 AS code, min(vec_id) AS sid
+           FROM rcorp GROUP BY 1),
+         cb1 AS (SELECT CAST(sg.code AS INT) AS code, dim,
+             CAST((dim - 1) // 8 AS INT) AS sub, c.rw[dim] AS cm
+           FROM sg JOIN rcorp c ON c.vec_id = sg.sid CROSS JOIN dims),
+         dc1 AS (SELECT c.vec_id AS id, cb1.sub, cb1.code,
+             CAST(sum((c.rw[cb1.dim] - cb1.cm) * (c.rw[cb1.dim] - cb1.cm)) AS BIGINT) AS d2
+           FROM rcorp c CROSS JOIN cb1 GROUP BY 1, 2, 3),
+         as1 AS (SELECT id, sub, code FROM (
+             SELECT id, sub, code, row_number() OVER (PARTITION BY id, sub
+               ORDER BY d2 ASC, code ASC) AS rn FROM dc1)
+           WHERE rn = 1),
+         cb AS (SELECT code, dim, CAST((dim - 1) // 8 AS INT) AS sub,
+             CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                  ELSE -((2*(-s) + n) // (2*n)) END AS cm
+           FROM (SELECT a.code, d.dim, CAST(sum(c.rw[d.dim]) AS BIGINT) AS s,
+               count(*) AS n
+             FROM rcorp c CROSS JOIN dims d
+             JOIN as1 a ON a.id = c.vec_id AND a.sub = (d.dim - 1) // 8
+             GROUP BY 1, 2)),
+         dc AS (SELECT c.vec_id AS n_id, cb.sub, cb.code,
+             CAST(sum((c.rw[cb.dim] - cb.cm) * (c.rw[cb.dim] - cb.cm)) AS BIGINT) AS d2
+           FROM rcorp c CROSS JOIN cb GROUP BY 1, 2, 3),
+         codes AS (SELECT n_id, sub, code FROM (
+             SELECT n_id, sub, code, row_number() OVER (PARTITION BY n_id, sub
+               ORDER BY d2 ASC, code ASC) AS rn FROM dc)
+           WHERE rn = 1),
+         qr AS (SELECT p.q_id, p.label,
+             list(q.w[ic.dim] - ic.cm ORDER BY ic.dim) AS rw
+           FROM probes p JOIN qs q ON q.vec_id = p.q_id
+           JOIN icent ic ON ic.label = p.label
+           GROUP BY 1, 2),
+         qd AS (SELECT qr.q_id, qr.label, cb.sub, cb.code,
+             CAST(sum((qr.rw[cb.dim] - cb.cm) * (qr.rw[cb.dim] - cb.cm)) AS BIGINT) AS d2
+           FROM qr CROSS JOIN cb GROUP BY 1, 2, 3, 4),
+         adc AS (SELECT qd.q_id, codes.n_id, CAST(sum(qd.d2) AS BIGINT) AS adist
+           FROM codes JOIN dlab ON dlab.n_id = codes.n_id
+           JOIN qd ON qd.label = dlab.label AND qd.sub = codes.sub
              AND qd.code = codes.code
            GROUP BY 1, 2),
          short AS (SELECT q_id, n_id FROM (

@@ -304,12 +304,13 @@ object Etl {
     val docs = Tables.documents(spark, dir)
     val idx = Retrieval.ensureIndex(
       docs.filter(col("doc_id") >= 5), "doc_id", "text", dir)
-    val pairs = graft.dedup.Dedup.sourceOverlap(docs, col("source"),
-        col("text"), width = 20, stride = 20, maxDf = None)
-      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
-      .localCheckpoint(false)
-    val authority = graft.operators.Graph.weightedPageRank(
-      docs.select("source").distinct(), pairs, iters = 3)
+    // the authority signal is PERSISTED (built once per dataset,
+    // like the index itself — Solr's ExternalFileField is an offline
+    // artifact): the probe reads the tiny rank table, never re-runs
+    // the overlap-graph pass
+    val authDir = graft.operators.Graph.ensureSourceAuthority(docs, dir)
+    val authority = graft.sources.VersionedTable
+      .readLatest(spark, s"$authDir/rank")
     val boosts = docs.filter(col("doc_id") >= 5)
       .select(col("doc_id").as("n_id"), col("source"))
       .join(authority.select(col("source"), col("rank_i3").as("bw")), "source")

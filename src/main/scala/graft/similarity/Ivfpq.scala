@@ -35,27 +35,77 @@ object Ivfpq {
 
   /** Train + persist: coarse centroids (from `listKey`'s seed
     * partition), PQ codebook, per-list-partitioned code table, and
-    * the quantized-vector refine sidecar — four versioned tables
-    * behind atomic latest-pointers, the x7/s4/s10 lifecycle. */
+    * the quantized-vector refine sidecar — versioned tables behind
+    * atomic latest-pointers, the x7/s4/s10 lifecycle.
+    *
+    * `byResidual = true` is FAISS's default IVFPQ accuracy rung: the
+    * PQ stage encodes x − c(list(x)) instead of x, so the codebooks
+    * spend their entropy on WITHIN-list structure the coarse
+    * quantizer already localized, not on re-describing list means.
+    * The list centroid used for residuals is a SECOND, integer
+    * representation — per-dim half-away-from-zero integer mean of
+    * the quantized coordinates (`icent`, stored beside the float
+    * probe centroids) — so residuals are exact integer vectors and
+    * the whole residual pipeline (training included, via scale=1 on
+    * the already-integer residuals) stays oracle-replayable. The
+    * presence of `icent` is what marks an index residual for
+    * [[searchIndex]]/[[appendToIndex]]. */
   def buildIndex(corpus: DataFrame, listKey: String, idCol: String,
       vecCol: String, dir: String, nCodes: Int = 32, iters: Int = 1,
       dsub: Int = 8, scale: Long = 10000L,
-      centroidScale: Long = 1000000L): Unit = {
+      centroidScale: Long = 1000000L, byResidual: Boolean = false): Unit = {
     val cents = Ivf.centroidsQuantized(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"), col(listKey)),
       listKey, "v", centroidScale)
     graft.sources.VersionedTable.write(cents, s"$dir/centroids")
-    val cb = Pq.fitCodebooks(corpus, idCol, vecCol, nCodes, dsub, scale, iters)
-      .localCheckpoint()
-    graft.sources.VersionedTable.write(cb, s"$dir/cb")
-    val codes = Pq.encode(corpus, cb, idCol, vecCol, dsub, scale)
-      .join(corpus.select(col(idCol).as("id"), col(listKey).as("list_id")), "id")
-    graft.sources.VersionedTable.writePartitioned(
-      codes.select("id", "sub", "code", "list_id"), s"$dir/codes", "list_id")
+    if (!byResidual) {
+      val cb = Pq.fitCodebooks(corpus, idCol, vecCol, nCodes, dsub, scale, iters)
+        .localCheckpoint()
+      graft.sources.VersionedTable.write(cb, s"$dir/cb")
+      val codes = Pq.encode(corpus, cb, idCol, vecCol, dsub, scale)
+        .join(corpus.select(col(idCol).as("id"), col(listKey).as("list_id")), "id")
+      graft.sources.VersionedTable.writePartitioned(
+        codes.select("id", "sub", "code", "list_id"), s"$dir/codes", "list_id")
+    } else {
+      val w = corpus.select(col(idCol).as("id"),
+        col(listKey).as("list_id"), Pq.quantize(col(vecCol), scale).as("w"))
+      val icent = integerCentroids(w)
+      graft.sources.VersionedTable.write(icent, s"$dir/icent")
+      // EAGER checkpoint: the residual frame feeds the iterative
+      // codebook fit AND the encode — separate executions
+      val resid = residuals(w, icent).localCheckpoint()
+      val cb = Pq.fitCodebooks(resid, "id", "rv", nCodes, dsub, 1L, iters)
+        .localCheckpoint()
+      graft.sources.VersionedTable.write(cb, s"$dir/cb")
+      val codes = Pq.encode(resid, cb, "id", "rv", dsub, 1L)
+        .join(resid.select("id", "list_id"), "id")
+      graft.sources.VersionedTable.writePartitioned(
+        codes.select("id", "sub", "code", "list_id"), s"$dir/codes", "list_id")
+    }
     graft.sources.VersionedTable.write(
       corpus.select(col(idCol).as("n_id"),
         Pq.quantize(col(vecCol), scale).as("nw")), s"$dir/wvecs")
   }
+
+  /** Per-list integer centroid of the quantized coordinates:
+    * half-away-from-zero integer mean per dim ([[Pq.intRoundDiv]]),
+    * reassembled as one array per list — exact, order-independent,
+    * replayable. */
+  private def integerCentroids(w: DataFrame): DataFrame =
+    w.select(col("list_id"), posexplode(col("w")).as(Seq("dim", "x")))
+      .groupBy("list_id", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("list_id"), col("dim"), Pq.intRoundDiv.as("cm"))
+      .groupBy("list_id")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("dc"))
+      .select(col("list_id"),
+        transform(col("dc"), s => s.getField("cm")).as("c"))
+
+  /** (id, list_id, rv): exact integer residual vectors w − c(list). */
+  private def residuals(w: DataFrame, icent: DataFrame): DataFrame =
+    w.join(broadcast(icent), "list_id")
+      .select(col("id"), col("list_id"),
+        zip_with(col("w"), col("c"), (a, b) => a - b).as("rv"))
 
   /** Append a batch of vectors WITHOUT retraining (FAISS's
     * add-after-train contract, composed: coarse-assign against the
@@ -97,8 +147,18 @@ object Ivfpq {
       .filter(col("r") === 1).select("id", "v", "list_id")
       .localCheckpoint() // EAGER: feeds the codes write AND the sidecar write
     val cb = graft.sources.VersionedTable.readLatest(spark, s"$dir/cb")
-    val codes = Pq.encode(assigned.select("id", "v"), cb, "id", "v", dsub, scale)
-      .join(assigned.select("id", "list_id"), "id")
+    // residual index (icent present): encode x − c(list) against the
+    // frozen codebook, same contract as the raw path
+    val codes =
+      (if (graft.sources.VersionedTable.latestVersion(s"$dir/icent").isEmpty)
+        Pq.encode(assigned.select("id", "v"), cb, "id", "v", dsub, scale)
+      else {
+        val icent = graft.sources.VersionedTable.readLatest(spark, s"$dir/icent")
+        val wq = assigned.select(col("id"), col("list_id"),
+          Pq.quantize(col("v"), scale).as("w"))
+        Pq.encode(residuals(wq, icent).select("id", "rv"), cb,
+          "id", "rv", dsub, 1L)
+      }).join(assigned.select("id", "list_id"), "id")
     val prior: Seq[Long] = graft.sources.VersionedTable.latestVersion(manifestDir)
       .map(_ => graft.sources.VersionedTable.readLatest(spark, manifestDir)
         .collect().map(_.getLong(0)).toSeq)
@@ -197,11 +257,36 @@ object Ivfpq {
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.get(0))
     val cb = graft.sources.VersionedTable.readLatest(spark, s"$dir/cb")
-    val qd = Pq.subDistances(queries, cb, idCol, vecCol, dsub, scale)
-      .select(col("id").as("q_id"), col("sub"), col("code"), col("d2"))
     // per-(query, probed-list) distance tables: |q|·nProbe·m·|cb|
-    // rows, broadcast-by-contract
-    val qdp = qd.join(probes.select("q_id", "list_id"), "q_id")
+    // rows, broadcast-by-contract. Raw indexes share one table per
+    // query across its probed lists; residual indexes genuinely need
+    // one per (query, list) — the residual q − c(list) differs per
+    // list, the known nProbe× table cost of by_residual
+    val qdp =
+      if (graft.sources.VersionedTable.latestVersion(s"$dir/icent").isEmpty) {
+        val qd = Pq.subDistances(queries, cb, idCol, vecCol, dsub, scale)
+          .select(col("id").as("q_id"), col("sub"), col("code"), col("d2"))
+        qd.join(probes.select("q_id", "list_id"), "q_id")
+      } else {
+        val icent = graft.sources.VersionedTable.readLatest(spark, s"$dir/icent")
+        val qw = queries.select(col(idCol).as("id"),
+          Pq.quantize(col(vecCol), scale).as("w"))
+        val qr = probes.select(col("q_id").as("id"), col("list_id"))
+          .join(qw, "id")
+          .join(broadcast(icent), "list_id")
+          .select(col("id").as("q_id"), col("list_id"),
+            zip_with(col("w"), col("c"), (a, b) => a - b).as("rv"))
+        qr.select(col("q_id"), col("list_id"),
+            posexplode(transform(
+              sequence(lit(0), (size(col("rv")) / dsub).cast("int") - 1),
+              s => slice(col("rv"), s * dsub + 1, lit(dsub))))
+              .as(Seq("sub", "sv")))
+          .join(broadcast(Pq.cbSubVectors(cb)), "sub")
+          .select(col("q_id"), col("list_id"), col("sub"), col("code"),
+            aggregate(zip_with(col("sv"), col("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("d2"))
+      }
     val codes = liveCodes(spark, dir)
       .filter(col("list_id").isin(probedIds: _*))
     val adc = codes
@@ -225,16 +310,19 @@ object Ivfpq {
   def ensureIndex(corpus: DataFrame, listKey: String, idCol: String,
       vecCol: String, dataDir: String, nCodes: Int = 32, iters: Int = 1,
       dsub: Int = 8, scale: Long = 10000L,
-      centroidScale: Long = 1000000L): String = synchronized {
+      centroidScale: Long = 1000000L,
+      byResidual: Boolean = false): String = synchronized {
     val f = new java.io.File(s"$dataDir/embeddings.parquet")
     val live = ":ivfpq:v1"
     val key = graft.operators.Retrieval.corpusFingerprintKey(f) +
-      s":$listKey:$nCodes:$iters:$dsub:$scale:$centroidScale" + live
+      s":$listKey:$nCodes:$iters:$dsub:$scale:$centroidScale:$byResidual" + live
     val dir = graft.sources.FingerprintCache.prepare("graft_ivfpq", key, live)
-    if (Seq("centroids", "cb", "codes", "wvecs").exists(t =>
+    val tables = Seq("centroids", "cb", "codes", "wvecs") ++
+      (if (byResidual) Seq("icent") else Seq.empty)
+    if (tables.exists(t =>
         graft.sources.VersionedTable.latestVersion(s"$dir/$t").isEmpty))
       buildIndex(corpus, listKey, idCol, vecCol, dir,
-        nCodes, iters, dsub, scale, centroidScale)
+        nCodes, iters, dsub, scale, centroidScale, byResidual)
     dir
   }
 }

@@ -48,7 +48,7 @@ object Pq {
     * in pure integer arithmetic: positive integer division floors
     * identically in Spark (`DIV`) and DuckDB (`//`), so rounding
     * abs+sign never consults a float. */
-  private def intRoundDiv: Column =
+  private[similarity] def intRoundDiv: Column =
     when(col("s") >= 0, expr("(2*s + n) DIV (2*n)"))
       .otherwise(-expr("(2*(-s) + n) DIV (2*n)"))
 
@@ -104,7 +104,7 @@ object Pq {
   /** The exploded (code, dim, sub, cm) codebook reassembled as one
     * sub-vector array per (sub, code) — 256 rows at the default
     * knobs, always broadcast. */
-  private def cbSubVectors(cb: DataFrame): DataFrame =
+  private[similarity] def cbSubVectors(cb: DataFrame): DataFrame =
     cb.groupBy("sub", "code")
       .agg(array_sort(collect_list(struct(col("dim"), col("cm")))).as("dc"))
       .select(col("sub"), col("code"),

@@ -231,4 +231,51 @@ class CorpusSpec extends AnyFunSuite {
     packed.unpersist()
     ()
   }
+
+  test("packBinsFFD: contract holds and fill beats arrival-order next-fit") {
+    val budget = 600L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+    val bins = Corpus.packBinsFFD(docs, col("doc_id"), col("n_chars"),
+      budget, nShards = 4).cache()
+    // every doc exactly once
+    assert(bins.count() == docs.count())
+    assert(bins.select("doc_id").distinct().count() == docs.count())
+    // no bin overfilled, except a singleton holding one oversize doc
+    val over = bins.groupBy("pack_shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n"))
+      .filter(col("fill") > budget && col("n") > 1).count()
+    assert(over == 0, "multi-doc bin over budget")
+    // dense bin ids per shard
+    bins.groupBy("pack_shard")
+      .agg(min("bin_id").as("mn"), max("bin_id").as("mx"),
+        countDistinct("bin_id").as("d")).collect()
+      .foreach { r =>
+        assert(r.getLong(1) == 0L && r.getLong(3) == r.getLong(2) + 1,
+          s"bin ids not dense: $r")
+      }
+    // FFD's reason to exist: fewer bins (= less padding waste) than
+    // placing items in arrival order and closing a bin when the next
+    // item doesn't fit (next-fit), computed per shard sequentially
+    val items = bins.select("pack_shard", "doc_id", "n_tokens").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val nextFitBins = items.groupBy(_._1).map { case (_, rows) =>
+      var n = 0; var room = 0L
+      rows.sortBy(_._2).foreach { case (_, _, t) =>
+        if (t <= room) room -= t
+        else { n += 1; room = math.max(0L, budget - t) }
+      }
+      n
+    }.sum
+    val ffdBins = bins.select("pack_shard", "bin_id").distinct().count()
+    assert(ffdBins <= nextFitBins,
+      s"FFD used $ffdBins bins vs next-fit's $nextFitBins")
+    // determinism across physical partitionings
+    val again = Corpus.packBinsFFD(docs.repartition(7), col("doc_id"),
+      col("n_chars"), budget, nShards = 4)
+    assert(bins.exceptAll(again).isEmpty && again.exceptAll(bins).isEmpty,
+      "packing depends on physical partitioning")
+    bins.unpersist()
+    ()
+  }
 }

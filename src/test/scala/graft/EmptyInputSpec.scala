@@ -66,6 +66,19 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("IVF×PQ search with an empty query set returns no rows") {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val idx = graft.similarity.Ivfpq.ensureIndex(
+      e.filter(col("id") >= 10), "label", "id", "v", sf)
+    val out = graft.similarity.Ivfpq.searchIndex(spark, idx,
+      e.filter(lit(false)).select("id", "v"), "id", "v",
+      k = 5, nProbe = 2, rerank = 80)
+    assert(out.count() == 0)
+  }
+
   test("MMR of an empty candidate frame is empty") {
     val cands = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),

@@ -101,6 +101,41 @@ class IvfpqSpec extends AnyFunSuite {
     }
   }
 
+  test("residual codes beat raw codes on strict-ADC recall") {
+    // isolate CODE fidelity: probe every list (no coarse misses) and
+    // skip the exact refine (which hides ADC error whenever the
+    // shortlist covers the candidates — at this SF rerank=80 does).
+    // by_residual exists because residual codebooks spend their
+    // entropy on within-list structure; this is that claim, measured
+    val corpus = embs.filter(col("id") >= 10)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val nLists = corpus.select("label").distinct().count().toInt
+    def recallOf(byResidual: Boolean): Double = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ivfpq_f$byResidual").toString
+      Ivfpq.buildIndex(corpus, "label", "id", "v", dir,
+        byResidual = byResidual)
+      val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+          k = 5, nProbe = nLists, rerank = 0)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val w = embs.select(col("id"), Pq.quantize(col("v"), 10000L).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      val (qs, cs) = (w.filter(_._1 < 10), w.filter(_._1 >= 10))
+      val recalls = qs.map { case (q, qw) =>
+        val exact = cs.map { case (n, nw) =>
+          n -> qw.zip(nw).map { case (a, b) => (a - b) * (a - b) }.sum }
+          .sortBy { case (n, d) => (d, n) }.take(5).map(_._1).toSet
+        got(q).intersect(exact).size / 5.0
+      }
+      recalls.sum / recalls.size
+    }
+    val raw = recallOf(byResidual = false)
+    val res = recallOf(byResidual = true)
+    assert(res >= raw,
+      f"residual strict-ADC recall $res%.2f below raw $raw%.2f")
+  }
+
   test("recall@5 vs exact integer-L2 clears the floor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_t3").toString
     val corpus = embs.filter(col("id") >= 10)

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "s11_ivfpq",       // s4's broadcast-centroid probe assignment
                        // feeds the coarse stage (the ADC joins are
                        // all equi-joins)
+    "s12_ivfpq_residual", // same coarse probe assignment
     "x19_mlt")         // the 1-row derived-df-cap frame broadcast
                        // over the df table (a constant equi-key
                        // would be constant-folded away)
@@ -85,6 +86,7 @@ class PlanAuditSpec extends AnyFunSuite {
                          // codebook/encode/ADC stages stay keyed
     "s11_ivfpq",         // same injected bloom filters on the
                          // shortlist refine joins; probe/ADC keyed
+    "s12_ivfpq_residual",// same refine-join bloom filters
     "x22_pivot_facet")   // parent top-k window over the
                          // O(|parent values|) aggregate (the p10
                          // shape); doc rows shuffle once, keyed by
@@ -122,6 +124,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "x8_seg_search" -> Seq("PartitionFilters: [", "tok_bucket"),
     // IVF×PQ probe: only the probed lists' code partitions scanned
     "s11_ivfpq" -> Seq("PartitionFilters: [", "list_id"),
+    "s12_ivfpq_residual" -> Seq("PartitionFilters: [", "list_id"),
     // selective filter+project must reach the parquet scan (a
     // non-empty pushdown always leads with the IsNotNull guards)
     "q5_filter_project" -> Seq("PushedFilters: [IsNotNull"))

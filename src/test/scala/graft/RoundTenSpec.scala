@@ -226,6 +226,20 @@ class RoundTenSpec extends AnyFunSuite {
       e.filter(col("id") >= 10), "id", "v", sf), ":pq:v1")
   }
 
+  test("graft_ivfpq cache sweeps orphans, keeps the live build") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), col("label"),
+        functions.Vectors.toDouble(col("embedding")).as("v"))
+    assertSwept("graft_ivfpq", () => similarity.Ivfpq.ensureIndex(
+      e.filter(col("id") >= 10), "label", "id", "v", sf), ":ivfpq:v1")
+  }
+
+  test("graft_authority cache sweeps orphans, keeps the live build") {
+    assertSwept("graft_authority", () => operators.Graph
+      .ensureSourceAuthority(Tables.documents(spark, sf), sf), ":auth:v1")
+  }
+
   test("compileXslt: the fixture .xsl compiles to the hand-built t3 " +
       "tree and produces identical output") {
     import graft.operators.Transform._

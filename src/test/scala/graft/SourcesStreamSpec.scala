@@ -32,6 +32,34 @@ class SourcesStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming gap extraction reproduces the batch gap histogram") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val gaps = graft.streaming.GapStream.runOnce(spark, dir.toString, "gap_test")
+    // bucket the streamed gaps with the SAME thresholds and compare
+    // to the batch e13 histogram — identical rows means the stateful
+    // extraction lost/duplicated no gap
+    val bucket = when(col("gap_s") < 60, "a_under_1m")
+      .when(col("gap_s") < 300, "b_1m_5m")
+      .when(col("gap_s") < 900, "c_5m_15m")
+      .when(col("gap_s") < 1800, "d_15m_30m")
+      .when(col("gap_s") < 3600, "e_30m_1h")
+      .when(col("gap_s") < 21600, "f_1h_6h")
+      .otherwise("g_over_6h")
+    val streamed = gaps.select(bucket.as("gap_bucket"), col("gap_s"))
+      .groupBy("gap_bucket")
+      .agg(count(lit(1)).as("n_gaps"), min("gap_s").as("min_gap_s"),
+        max("gap_s").as("max_gap_s"))
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("e13_gap_histogram")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream histogram diverged: ${streamed diff batch} / ${batch diff streamed}")
+    assert(streamed.nonEmpty)
+  }
+
   test("batched sink lays out status/file_idx partitions the scanner prunes") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val batched = Harvest.batchAssign(
