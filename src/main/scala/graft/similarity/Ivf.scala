@@ -200,11 +200,35 @@ object Ivf {
 
   /** Fold appended segments into the base assignment table: one new
     * lists version containing base ∪ segments, and an empty manifest.
-    * Superseded segment trees stay on disk for manifest rollback. */
+    * Superseded segment trees stay on disk for manifest rollback.
+    *
+    * The fold is made IDEMPOTENT by tagging the new lists version
+    * with the folded segment-id set (seg ids strictly increase, so
+    * the set names this fold uniquely): a crash between the lists
+    * swap and the manifest flip would otherwise serve base ∪
+    * segments as DUPLICATES forever — and a retrying compact would
+    * re-fold the duplicated base and compound them. With the tag,
+    * the retry (the next maintain() call — the manifest still
+    * exceeds the bound) finds the committed fold, finishes the
+    * pointer swap if it was lost, and just empties the manifest;
+    * the duplicate-serving window closes at recovery instead of
+    * never. */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
-    val merged = liveLists(spark, dir)
-    val lv = graft.sources.VersionedTable.writePartitioned(
-      merged.select("id", "v", "list_id"), s"$dir/lists", "list_id")
+    val segs = graft.sources.VersionedTable
+      .readLatest(spark, s"$dir/segmanifest")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val tag = "compact:" + segs.mkString(",")
+    val listsDir = s"$dir/lists"
+    val lv = graft.sources.VersionedTable.taggedVersion(listsDir, tag) match {
+      case Some(v) =>
+        if (graft.sources.VersionedTable.latestVersion(listsDir).forall(_ < v))
+          graft.sources.VersionedTable.swapTo(listsDir, v)
+        v
+      case None =>
+        graft.sources.VersionedTable.writePartitioned(
+          liveLists(spark, dir).select("id", "v", "list_id"),
+          listsDir, "list_id", Some(tag))
+    }
     import spark.implicits._
     graft.sources.VersionedTable.write(
       Seq.empty[Long].toDF("seg_id"), s"$dir/segmanifest")

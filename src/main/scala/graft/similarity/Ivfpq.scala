@@ -201,13 +201,37 @@ object Ivfpq {
   /** Fold appended code/sidecar segments into the base versioned
     * tables: one new codes version (base ∪ segments, re-partitioned
     * by list) + one new wvecs version, then an empty manifest.
-    * Superseded segment trees stay on disk for manifest rollback. */
+    * Superseded segment trees stay on disk for manifest rollback.
+    *
+    * Both fold writes are TAGGED with the folded segment-id set (the
+    * [[Ivf.compactSegments]] idempotence protocol, needed twice here
+    * because this index has two base tables): a crash anywhere
+    * between the first fold write and the manifest flip re-enters on
+    * the next maintain() call, finds whichever folds already
+    * committed (finishing lost pointer swaps), performs only the
+    * missing ones, and empties the manifest — the transient
+    * duplicate-serving window closes at recovery instead of
+    * compounding on every retry. */
   def compactSegments(spark: SparkSession, dir: String): Long = {
-    val cv = graft.sources.VersionedTable.writePartitioned(
-      liveCodes(spark, dir).select("id", "sub", "code", "list_id"),
-      s"$dir/codes", "list_id")
-    graft.sources.VersionedTable.write(
-      liveWvecs(spark, dir).select("n_id", "nw"), s"$dir/wvecs")
+    val segs = graft.sources.VersionedTable
+      .readLatest(spark, s"$dir/segmanifest")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val tag = "compact:" + segs.mkString(",")
+    def foldOnce(tableDir: String, fold: => Long): Long =
+      graft.sources.VersionedTable.taggedVersion(tableDir, tag) match {
+        case Some(v) =>
+          if (graft.sources.VersionedTable.latestVersion(tableDir).forall(_ < v))
+            graft.sources.VersionedTable.swapTo(tableDir, v)
+          v
+        case None => fold
+      }
+    val cv = foldOnce(s"$dir/codes",
+      graft.sources.VersionedTable.writePartitioned(
+        liveCodes(spark, dir).select("id", "sub", "code", "list_id"),
+        s"$dir/codes", "list_id", Some(tag)))
+    foldOnce(s"$dir/wvecs",
+      graft.sources.VersionedTable.write(
+        liveWvecs(spark, dir).select("n_id", "nw"), s"$dir/wvecs", Some(tag)))
     import spark.implicits._
     graft.sources.VersionedTable.write(
       Seq.empty[Long].toDF("seg_id"), s"$dir/segmanifest")

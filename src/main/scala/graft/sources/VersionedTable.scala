@@ -61,10 +61,16 @@ object VersionedTable {
 
   /** Like [[write]], but the version is laid out partitioned by
     * `partCol` — readers filtering on it prune whole directories
-    * (the IVF index's probed-lists-only scan relies on this). */
-  def writePartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    * (the IVF index's probed-lists-only scan relies on this). `tag`
+    * follows [[write]]'s contract: landed after the parquet
+    * completes and before the pointer swap, so a tagged version is
+    * committed data even when the swap was lost. */
+  def writePartitioned(df: DataFrame, dir: String, partCol: String,
+      tag: Option[String] = None): Long = {
     val next = listVersions(dir).lastOption.getOrElse(0L) + 1
     df.write.mode("errorifexists").partitionBy(partCol).parquet(s"$dir/v=$next")
+    tag.foreach { t =>
+      Files.writeString(Paths.get(dir, s"v=$next", "_TAG"), t); () }
     swapTo(dir, next)
     next
   }

@@ -162,6 +162,37 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(VersionedTable.readLatest(spark, s"$dir/segmanifest").count() == 2)
   }
 
+  test("interrupted compaction cannot double vectors (tagged fold)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfcc").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    Ivf.buildIndex(base, "label", "v", dir)
+    (0 until 2).foreach { i =>
+      Ivf.appendToIndex(spark, dir, embs
+        .filter(col("id") >= 10 && col("id") % 4 === 0 && col("id") % 2 === i)
+        .select("id", "v"))
+    }
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val want = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val preManifest = VersionedTable.latestVersion(s"$dir/segmanifest").get
+    Ivf.compactSegments(spark, dir)
+    val foldedLists = VersionedTable.latestVersion(s"$dir/lists").get
+    // simulate the crash window: lists folded + swapped, but the
+    // manifest flip was lost — the stale manifest re-lists the
+    // folded segments (the state that previously compounded
+    // duplicates on every retry)
+    VersionedTable.swapTo(s"$dir/segmanifest", preManifest)
+    Ivf.compactSegments(spark, dir) // the recovery retry
+    assert(VersionedTable.latestVersion(s"$dir/lists").contains(foldedLists),
+      "retry must reuse the tagged fold, not fold the duplicated base again")
+    val lists = VersionedTable.readLatest(spark, s"$dir/lists")
+    assert(lists.groupBy("id").count().filter(col("count") > 1).count() == 0,
+      "compacted base contains duplicate vectors")
+    val got = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "recovered index diverged from pre-compact serving")
+  }
+
   test("rebuild publishes a new version; rollback serves the old one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val data = embs.filter(col("id") >= 10)

@@ -75,6 +75,37 @@ class IvfpqStreamSpec extends AnyFunSuite {
     assert(dup == 0, "no code row may be appended twice")
   }
 
+  test("interrupted compaction cannot double codes (tagged two-table fold)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cc").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    Ivfpq.buildIndex(base, "label", "id", "v", dir)
+    (0 until 2).foreach { i =>
+      Ivfpq.appendToIndex(spark, dir, embs
+        .filter(col("id") >= 10 && col("id") % 4 === 0 && col("id") % 2 === i)
+        .select("id", "v"))
+    }
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val want = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80).collect().map(_.toSeq).toSet
+    val preManifest = VersionedTable.latestVersion(s"$dir/segmanifest").get
+    Ivfpq.compactSegments(spark, dir)
+    val foldedCodes = VersionedTable.latestVersion(s"$dir/codes").get
+    val foldedW = VersionedTable.latestVersion(s"$dir/wvecs").get
+    // crash window: both folds committed, manifest flip lost
+    VersionedTable.swapTo(s"$dir/segmanifest", preManifest)
+    Ivfpq.compactSegments(spark, dir) // recovery retry
+    assert(VersionedTable.latestVersion(s"$dir/codes").contains(foldedCodes)
+        && VersionedTable.latestVersion(s"$dir/wvecs").contains(foldedW),
+      "retry must reuse both tagged folds")
+    val codes = VersionedTable.readLatest(spark, s"$dir/codes")
+    assert(codes.groupBy("id", "sub").count()
+        .filter(col("count") > 1).count() == 0,
+      "compacted code table contains duplicates")
+    val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80).collect().map(_.toSeq).toSet
+    assert(got == want, "recovered index diverged from pre-compact serving")
+  }
+
   test("compaction cadence is invisible to probes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_c").toString
     val plain = java.nio.file.Files.createTempDirectory("graft_ivfpq_p").toString
