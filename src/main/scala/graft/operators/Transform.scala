@@ -61,12 +61,21 @@ object Transform {
   final case class XNode(name: String, children: Seq[XRule]) extends XRule
   final case class XWhen(test: String, inner: XRule) extends XRule
 
+  /** `xsl:choose`: first matching `xsl:when` branch wins (exactly
+    * CASE WHEN's first-match semantics), optional `xsl:otherwise`;
+    * no match and no otherwise → NULL → to_json drops the field,
+    * which is choose emitting nothing. All branches carry the SAME
+    * field name (the containing literal element's). */
+  final case class XChoose(branches: Seq[(String, XRule)],
+      otherwise: Option[XRule]) extends XRule
+
   private def ruleName(r: XRule): String = r match {
     case XLeaf(n, _) => n
     case XAll(n, _) => n
     case XZip(n, _) => n
     case XNode(n, _) => n
     case XWhen(_, inner) => ruleName(inner)
+    case XChoose(bs, _) => ruleName(bs.head._2)
   }
 
   private def ruleExpr(xml: Column, r: XRule): Column = r match {
@@ -85,6 +94,13 @@ object Transform {
       // no otherwise(...) → NULL when the test fails; to_json then
       // omits the field, mirroring xsl:if emitting nothing
       when(xpath_boolean(xml, lit(t)), ruleExpr(xml, inner))
+    case XChoose(branches, ow) =>
+      val chained = branches.tail.foldLeft(
+        when(xpath_boolean(xml, lit(branches.head._1)),
+          ruleExpr(xml, branches.head._2))) { case (c, (t, r)) =>
+        c.when(xpath_boolean(xml, lit(t)), ruleExpr(xml, r))
+      }
+      ow.fold(chained)(r => chained.otherwise(ruleExpr(xml, r)))
   }
 
   private def compileRule(xml: Column, r: XRule): Column =
@@ -145,12 +161,17 @@ object Transform {
     *      emitted only when the tested node exists (the CASE WHEN
     *      guard; to_json's null-dropping is the element-absent
     *      output).
+    *    - literal element holding one `xsl:choose` whose `xsl:when`
+    *      branches (existence tests) each hold one `xsl:value-of`,
+    *      plus at most one `xsl:otherwise` → [[XChoose]]: a chained
+    *      CASE WHEN with first-match-wins semantics; no match and no
+    *      otherwise emits nothing (the null-dropped field).
     *
     * Anything outside the subset (apply-templates, call-template,
-    * xsl:choose, nested for-each, non-path xsl:if tests) throws — a
-    * compiler that silently mis-runs a stylesheet is worse than one
-    * that refuses it. Parsing is JDK DOM; no execution engine is
-    * involved. */
+    * nested for-each, non-path tests, literal text in when branches)
+    * throws — a compiler that silently mis-runs a stylesheet is
+    * worse than one that refuses it. Parsing is JDK DOM; no
+    * execution engine is involved. */
   def compileXslt(xslt: String): Seq[XRule] = {
     import org.w3c.dom.Element
     val XslNs = "http://www.w3.org/1999/XSL/Transform"
@@ -205,6 +226,25 @@ object Transform {
           }
           XWhen(testPath(base, xif.getAttribute("test")),
             XLeaf(name(e), valuePath(base, vo.getAttribute("select"))))
+        case Seq(ch) if isXsl(ch, "choose") =>
+          def voOf(x: Element, what: String): Element = elems(x) match {
+            case Seq(v) if isXsl(v, "value-of") => v
+            case _ => throw new IllegalArgumentException(
+              s"$what inside <${name(e)}> must hold exactly one value-of")
+          }
+          val kids = elems(ch)
+          val whens = kids.filter(isXsl(_, "when"))
+          val others = kids.filter(isXsl(_, "otherwise"))
+          require(whens.nonEmpty
+              && kids.size == whens.size + others.size && others.size <= 1,
+            s"xsl:choose inside <${name(e)}> must hold xsl:when branches " +
+              "and at most one xsl:otherwise")
+          XChoose(
+            whens.map(wn => testPath(base, wn.getAttribute("test")) ->
+              XLeaf(name(e),
+                valuePath(base, voOf(wn, "xsl:when").getAttribute("select")))),
+            others.headOption.map(o => XLeaf(name(e),
+              valuePath(base, voOf(o, "xsl:otherwise").getAttribute("select")))))
         case Seq(fe) if isXsl(fe, "for-each")
             && elems(fe).forall(isXsl(_, "value-of")) =>
           val sel = fe.getAttribute("select")

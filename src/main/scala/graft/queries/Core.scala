@@ -203,6 +203,28 @@ object Core {
   /** q12: frame windows — per customer, running total and 3-order
     * moving average over order history (rowsBetween frames; one
     * shuffle on the key shared by both windows). */
+  /** q15: RANGE-framed time window — trailing-30-day spend per
+    * customer, the time-windowed aggregation ROWS frames cannot
+    * express (a RANGE frame admits every order whose DAY falls in
+    * the trailing interval, including all same-day peers of the
+    * current row — frame membership is by VALUE distance, so no
+    * tie-break is needed and none exists). Ordering key is the exact
+    * integer day ordinal and the sum is exact integer cents: an
+    * all-integer output with zero rounding surface. Per-customer
+    * window — bounded per key, the e13 scale posture. */
+  def q15RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      .withColumn("day",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w)
+          .as("trail30_cents"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def q12MovingWindow(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -236,6 +258,7 @@ object Core {
     "q14_grouping_sets" -> (q14GroupingSets _),
     "q13_setops" -> (q13SetOps _),
     "q12_moving_window" -> (q12MovingWindow _),
+    "q15_range_window" -> (q15RangeWindow _),
     "q11_cube" -> (q11Cube _),
     "q1_agg" -> (q1Agg _),
     "q2_join" -> (q2Join _),
@@ -285,6 +308,18 @@ object Core {
            / (count(*) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0) AS moving_avg
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q15_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS trail30_cents,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_in_window
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q11_cube" ->
       """SELECT o_orderpriority, o_orderstatus,

@@ -215,6 +215,38 @@ object Xml {
       .orderBy("doc_id")
   }
 
+  private val t7Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |  <xsl:template match="/record">
+      |    <doc>
+      |      <pref>
+      |        <xsl:choose>
+      |          <xsl:when test="controlfield[@tag='001'][2]"><xsl:value-of select="controlfield[@tag='001'][2]"/></xsl:when>
+      |          <xsl:when test="controlfield[@tag='001']"><xsl:value-of select="controlfield[@tag='001']"/></xsl:when>
+      |          <xsl:otherwise><xsl:value-of select="datafield[@tag='041']/subfield[@code='a']"/></xsl:otherwise>
+      |        </xsl:choose>
+      |      </pref>
+      |      <src><xsl:value-of select="datafield[@tag='856']/subfield[@code='u']"/></src>
+      |    </doc>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t7: `xsl:choose` through the compiled path — a chained CASE
+    * WHEN with FIRST-MATCH-WINS semantics, and the fixture corpus
+    * exercises every branch at every SF: doc_id%7==5 records carry
+    * TWO 001 fields (first when: the positional [2] test → second
+    * id), most records one (second when → first id), doc_id%7==3
+    * none (otherwise → language). The oracle replays the same
+    * three-way CASE over its regexp extraction. */
+  def t7XsltChoose(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Transform.compileXslt(t7Stylesheet)
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        to_json(Transform.structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id")
+  }
+
   /** t5: crosswalk COMPILED from a stylesheet (the Saxon-replacing
     * path) — same map-only one-projection plan as t3, but the rule
     * tree is parsed from XSLT instead of hand-built. The oracle
@@ -236,6 +268,7 @@ object Xml {
     "t3_structural" -> (t3Structural _),
     "t5_xslt" -> (t5Xslt _),
     "t6_xslt_if" -> (t6XsltIf _),
+    "t7_xslt_choose" -> (t7XsltChoose _),
     "v9_schematron" -> (v9Schematron _),
   )
 
@@ -305,6 +338,15 @@ object Xml {
                 THEN concat('"id":"', ids[1], '","alt":"001",')
                 ELSE '' END,
            '"lang":"', lang, '"}') AS rec
+         FROM ex ORDER BY doc_id""",
+    "t7_xslt_choose" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, source, $idsSql AS ids FROM marc)
+         SELECT doc_id, concat('{"pref":"',
+           CASE WHEN len(ids) >= 2 THEN ids[2]
+                WHEN len(ids) >= 1 THEN ids[1]
+                ELSE lang END,
+           '","src":"', source, '"}') AS rec
          FROM ex ORDER BY doc_id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),

@@ -317,6 +317,44 @@ class RoundTenSpec extends AnyFunSuite {
       s"present guard must emit both: ${recs(1L)}")
   }
 
+  test("compileXslt maps xsl:choose to a first-match-wins XChoose") {
+    import graft.operators.Transform._
+    import org.apache.spark.sql.functions.{col, to_json}
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    val rules = compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/record"><o>
+          <pref><xsl:choose>
+            <xsl:when test="controlfield[@tag='001'][2]"><xsl:value-of select="controlfield[@tag='001'][2]"/></xsl:when>
+            <xsl:when test="controlfield[@tag='001']"><xsl:value-of select="controlfield[@tag='001']"/></xsl:when>
+            <xsl:otherwise><xsl:value-of select="datafield[@tag='041']/subfield[@code='a']"/></xsl:otherwise>
+          </xsl:choose></pref>
+          </o></xsl:template></xsl:stylesheet>""")
+    assert(rules == Seq(XChoose(Seq(
+        "/record/controlfield[@tag='001'][2]" ->
+          XLeaf("pref", "/record/controlfield[@tag='001'][2]/text()"),
+        "/record/controlfield[@tag='001']" ->
+          XLeaf("pref", "/record/controlfield[@tag='001']/text()")),
+      Some(XLeaf("pref",
+        "/record/datafield[@tag='041']/subfield[@code='a']/text()")))),
+      s"compiled tree diverges:\n$rules")
+    // all three branches live in the fixture corpus: %7==5 has two
+    // 001s (first when → the SECOND id), %7==1 one (second when),
+    // %7==3 none (otherwise → lang)
+    val recs = queries.Xml.marcXml(Tables.documents(spark, sf))
+      .filter(col("doc_id").isin(5, 1, 3))
+      .select(col("doc_id"),
+        to_json(structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(recs(5L) == """{"pref":"6"}""", s"two-001 branch: ${recs(5L)}")
+    assert(recs(1L) == """{"pref":"1"}""", s"one-001 branch: ${recs(1L)}")
+    assert(recs(3L).startsWith("""{"pref":""""), s"otherwise: ${recs(3L)}")
+    // a when branch holding literal text (no value-of) is refused
+    intercept[IllegalArgumentException](compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/r"><o>
+          <a><xsl:choose><xsl:when test="x">literal</xsl:when>
+          </xsl:choose></a></o></xsl:template></xsl:stylesheet>"""))
+  }
+
   test("compileXslt refuses constructs outside the subset") {
     import graft.operators.Transform.compileXslt
     val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
