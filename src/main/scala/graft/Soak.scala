@@ -346,19 +346,36 @@ object Soak {
     val resDir = java.nio.file.Files.createTempDirectory("graft_ann_res").toString
     similarity.Ivfpq.buildIndex(annC, "label", "id", "v", resDir,
       byResidual = true)
+    // the probe sweep (2/4/8) shows the operating knob directly: at
+    // this corpus the coarse ceiling binds, and more probes buy
+    // recall linearly in scan share — the tradeoff the chart exists
+    // to expose (code fidelity only separates once probes stop
+    // binding, cf. pq_flat)
     val annMatrix = Seq(
       "brute" -> annCell(
         similarity.Knn.bruteForce(annQ, annC.select("id", "v"), 5)),
-      "lsh_multiprobe" -> annCell(similarity.Knn.lshBucketed(
+      "lsh_8p_3probe" -> annCell(similarity.Knn.lshBucketed(
         annQ, annC.select("id", "v"), 5, nPlanes = 8, dim = 64, nProbes = 3)),
+      "lsh_6p_3probe" -> annCell(similarity.Knn.lshBucketed(
+        annQ, annC.select("id", "v"), 5, nPlanes = 6, dim = 64, nProbes = 3)),
       "ivf_2probe" -> annCell(
         similarity.Ivf.searchIndex(spark, ivfDir, annQ, 5, nProbe = 2)),
+      "ivf_4probe" -> annCell(
+        similarity.Ivf.searchIndex(spark, ivfDir, annQ, 5, nProbe = 4)),
+      "ivf_8probe" -> annCell(
+        similarity.Ivf.searchIndex(spark, ivfDir, annQ, 5, nProbe = 8)),
       "pq_flat_r80" -> annCell(similarity.Pq.searchIndex(
         spark, pqDir, annQ, "id", "v", 5, rerank = 80)),
       "ivfpq_2probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
         spark, ipqDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)),
+      "ivfpq_4probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, ipqDir, annQ, "id", "v", 5, nProbe = 4, rerank = 80)),
+      "ivfpq_8probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, ipqDir, annQ, "id", "v", 5, nProbe = 8, rerank = 80)),
       "ivfpq_residual_2probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
-        spark, resDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)))
+        spark, resDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)),
+      "ivfpq_residual_8probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, resDir, annQ, "id", "v", 5, nProbe = 8, rerank = 80)))
     val annJson = annMatrix.map { case (m, (rec, t)) =>
       s""""$m":{"recall":${BigDecimal(rec).setScale(3,
         BigDecimal.RoundingMode.HALF_UP)},"probe_s":${BigDecimal(t)

@@ -49,6 +49,10 @@ object Events {
         60L -> "a_under_1m", 300L -> "b_1m_5m", 900L -> "c_5m_15m",
         1800L -> "d_15m_30m", 3600L -> "e_30m_1h", 21600L -> "f_1h_6h"),
       overflowLabel: String = "g_over_6h"): DataFrame = {
+    require(boundaries.map(_._1) == boundaries.map(_._1).sorted
+        && boundaries.map(_._1).distinct.size == boundaries.size,
+      "gap boundaries must be strictly ascending — an unsorted chain " +
+        "would bucket silently wrong (first matching WHEN wins)")
     val order = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
     val prevUs = lag(unix_micros(tsCol), 1).over(order)
     // integer microsecond math end to end (`DIV`, never a float

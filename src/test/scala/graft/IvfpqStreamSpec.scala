@@ -75,6 +75,50 @@ class IvfpqStreamSpec extends AnyFunSuite {
     assert(dup == 0, "no code row may be appended twice")
   }
 
+  test("residual index appends encode against the frozen icent + codebook") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ra").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    val delta = embs.filter(col("id") >= 10 && col("id") % 4 === 0)
+      .select("id", "v")
+    Ivfpq.buildIndex(base, "label", "id", "v", dir, byResidual = true)
+    Ivfpq.appendToIndex(spark, dir, delta)
+    // replay the residual encode sequentially: assigned list's integer
+    // centroid subtracted, then nearest codebook entry per subspace
+    import graft.sources.VersionedTable
+    val cents = VersionedTable.readLatest(spark, s"$dir/centroids")
+    val assigned = graft.similarity.Ivf.probeLists(delta, cents, nProbe = 1)
+      .select("q_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val icent = VersionedTable.readLatest(spark, s"$dir/icent").collect()
+      .map(r => r.get(0) -> r.getSeq[Long](1)).toMap
+    val cm = VersionedTable.readLatest(spark, s"$dir/cb").collect()
+      .map(r => (r.getAs[Number]("code").intValue(),
+        r.getAs[Number]("dim").intValue()) -> r.getAs[Number]("cm").longValue())
+      .toMap
+    val codesOf = cm.keys.map(_._1).toSeq.distinct.sorted
+    val got = spark.read.parquet(s"$dir/segments").collect()
+      .map(r => (r.getAs[Number]("id").longValue(),
+        r.getAs[Number]("sub").intValue()) ->
+        (r.getAs[Number]("code").intValue(), r.getAs[Any]("list_id")))
+      .toMap
+    val w = delta.select(col("id"), Pq.quantize(col("v"), 10000L).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.nonEmpty)
+    w.foreach { case (id, wv) =>
+      val list = assigned(id)
+      val rv = wv.zip(icent(list)).map { case (a, b) => a - b }
+      (0 until 8).foreach { sub =>
+        val best = codesOf.map { c =>
+          val d2 = (sub * 8 until (sub + 1) * 8)
+            .map { d => val x = rv(d) - cm((c, d)); x * x }.sum
+          (d2, c)
+        }.min._2
+        assert(got((id, sub)) == ((best, list)),
+          s"vector $id sub $sub: got ${got((id, sub))}, replay ($best, $list)")
+      }
+    }
+  }
+
   test("interrupted compaction cannot double codes (tagged two-table fold)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cc").toString
     val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)

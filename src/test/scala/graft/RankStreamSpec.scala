@@ -125,6 +125,42 @@ class RankStreamSpec extends AnyFunSuite {
       "compaction must be invisible to the served ranks")
   }
 
+  test("boosted retrieval serves from the stream-maintained authority") {
+    // closes the x21 loop: the boost signal can be maintained by
+    // RankStream instead of rebuilt per dataset change — after the
+    // corpus streams in, searchIndexBoosted fed by servingRanks must
+    // equal the batch x21 query (whose authority is the one-shot
+    // graft_authority build over the same corpus)
+    val full = Tables.documents(spark, sf)
+    val docs = full.select(col("source"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("graft_rboost")
+    val state = java.nio.file.Files.createTempDirectory("graft_rbooststate")
+      .resolve("rank").toString
+    val t0 = System.currentTimeMillis() - 600000
+    Seq(docs.filter(crc32(col("text")) % 2 === 0),
+        docs.filter(crc32(col("text")) % 2 === 1))
+      .zipWithIndex.foreach { case (p, i) =>
+        stage(p, src, s"b$i", t0 + i * 60000) }
+    val stream = spark.readStream.schema(docSchema).format("parquet")
+      .option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = RankStream.maintainRank(stream, state)
+    q.processAllAvailable(); q.stop()
+
+    val idx = graft.operators.Retrieval.ensureIndex(
+      full.filter(col("doc_id") >= 5), "doc_id", "text", sf)
+    val boosts = full.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("n_id"), col("source"))
+      .join(RankStream.servingRanks(spark, state)
+        .select(col("source"), col("rank_i3").as("bw")), "source")
+      .select("n_id", "bw")
+    val got = graft.operators.Retrieval.searchIndexBoosted(spark, idx,
+      full.filter(col("doc_id") < 5), "doc_id", "text", k = 5, boosts)
+    val want = SparkEntry.queries("x21_boosted_search")(spark, sf)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-authority boosting diverged from the batch x21 query")
+    assert(got.count() > 0)
+  }
+
   test("interrupted fold (duplicate prior rows) cannot double edge weights") {
     val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
     val b0 = docs.filter(crc32(col("text")) % 2 === 0)
