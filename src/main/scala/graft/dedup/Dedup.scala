@@ -84,6 +84,32 @@ object Dedup {
   private val hashedShinglesUdf = udf((text: String) =>
     shingleStrings(text).map(h32jvm(0, _)).distinct.sorted)
 
+  private val positionalHashedShinglesUdf = udf((text: String) => {
+    // document-order, NON-distinct: position i is the shingle
+    // starting at token i — the span-audit form, where distinctness
+    // defers to the consuming aggregation
+    val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
+    val tks = wsPattern.split(norm)
+    val n = math.max(tks.length - 2, 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sb = new StringBuilder(tks(i))
+      if (i + 1 < tks.length) sb.append(' ').append(tks(i + 1))
+      if (i + 2 < tks.length) sb.append(' ').append(tks(i + 2))
+      out(i) = h32jvm(0, sb.toString)
+      i += 1
+    }
+    out
+  })
+
+  /** Hashed shingles in DOCUMENT ORDER with one entry per start
+    * token (posexplode yields the 0-based token position of each
+    * shingle) — same normalization/hash as [[hashedShingles]], so
+    * the two forms join. */
+  def positionalHashedShingles(text: Column): Column =
+    positionalHashedShinglesUdf(text)
+
   /** Column forms. */
   def shingles(text: Column): Column = shinglesUdf(text)
 
@@ -377,6 +403,31 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minSharedShingles).as("contaminated"))
+  }
+
+  /** Span-level contamination AUDIT — [[decontaminate]]'s verdict
+    * upgraded to provenance: for every (corpus doc, benchmark doc)
+    * pair sharing ≥ `minSharedShingles` DISTINCT shingles, which
+    * eval item leaked and WHERE — the token-position span
+    * [first_pos, last_pos] of the matching shingles in the corpus
+    * document (the evidence a removal/redaction pass acts on; a
+    * boolean verdict can only drop the whole doc). Same scale shape
+    * as d7: the benchmark shingle table broadcasts (eval sets are
+    * small by contract — now keyed by bench doc), the corpus
+    * explodes once WITH positions, and the pair aggregation is
+    * keyed on (doc, bench). */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      minSharedShingles: Int): DataFrame = {
+    val bench = benchmark.select(col("doc_id").as("bench_id"),
+      explode(hashedShingles(col("text"))).as("s"))
+    val cex = corpus.select(col("doc_id"),
+      posexplode(positionalHashedShingles(col("text"))).as(Seq("pos", "s")))
+    cex.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bench_id")
+      .agg(countDistinct("s").as("n_shared"),
+        min("pos").cast("long").as("first_pos"),
+        max("pos").cast("long").as("last_pos"))
+      .filter(col("n_shared") >= minSharedShingles)
   }
 
   /** Bloom-prefiltered decontamination: same output contract as

@@ -77,6 +77,21 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d23: span-level contamination audit — d7's verdict upgraded to
+    * provenance: WHICH eval item leaked into which document and
+    * WHERE (the token-position span of the matching shingles), the
+    * evidence a redaction pass acts on where a boolean can only drop
+    * the doc. Same broadcast/explode scale shape as d7 with
+    * positions carried. */
+  def d23ContamSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationSpans(
+        corpus = docs.filter(col("doc_id") >= 10),
+        benchmark = docs.filter(col("doc_id") < 10),
+        minSharedShingles = 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** d9: Bloom-prefiltered decontamination — the map-side-thinned
     * twin of d7 (exact same output contract by the no-false-negative
     * argument in Dedup.decontaminateBloom; run here at threshold 2
@@ -656,6 +671,7 @@ object DedupSim {
     "d5_embed_cosine" -> (d5EmbedCosine _),
     "d6_editdist" -> (d6EditDist _),
     "d7_decontaminate" -> (d7Decontaminate _),
+    "d23_contam_spans" -> (d23ContamSpans _),
     "d8_cluster" -> (d8Cluster _),
     "d9_bloom" -> (d9Bloom _),
     "d10_dupspans" -> (d10DupSpans _),
@@ -1187,6 +1203,39 @@ object DedupSim {
          FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
          LEFT JOIN hits h USING (doc_id)
          ORDER BY doc_id""",
+    // d23: d7's shingle chain with POSITIONS on the corpus side
+    // (0-based shingle start token = i - 1 over the same range) and
+    // the benchmark side keyed by eval doc, aggregated per pair
+    "d23_contam_spans" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS tks
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
+             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+           FROM toks),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(sh,
+             s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
+           FROM sh0),
+         bsh AS (SELECT doc_id AS bench_id, unnest(sh) AS s
+           FROM shh WHERE doc_id < 10),
+         cex AS (SELECT doc_id, i - 1 AS pos,
+             CAST(concat('0x', substr(md5(concat('0:',
+               concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))), 1, 8)) AS BIGINT) AS s
+           FROM (SELECT doc_id, tks,
+               unnest(range(1, greatest(len(tks) - 2, 1) + 1)) AS i
+             FROM toks WHERE doc_id >= 10)),
+         pairs AS (SELECT c.doc_id, b.bench_id,
+             CAST(count(DISTINCT c.s) AS BIGINT) AS n_shared,
+             CAST(min(c.pos) AS BIGINT) AS first_pos,
+             CAST(max(c.pos) AS BIGINT) AS last_pos
+           FROM cex c JOIN bsh b USING (s)
+           GROUP BY 1, 2)
+         SELECT doc_id, bench_id, n_shared, first_pos, last_pos
+         FROM pairs WHERE n_shared >= 3
+         ORDER BY doc_id, bench_id""",
     // d4: the FULL SimHash pipeline re-derived in SQL — splitmix64 in
     // overflow-checked UBIGINT arithmetic (mulmod via 32-bit split:
     // hi/lo partial products, outer mod folds them back), per-bit
