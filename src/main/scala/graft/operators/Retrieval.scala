@@ -230,7 +230,9 @@ object Retrieval {
     * equi-join against the candidate frame (bounded by |q|·matching
     * docs), so Catalyst/AQE picks broadcast vs shuffle from the
     * actual sizes — no hint. Docs missing from `boosts` get weight
-    * `defaultBw`. */
+    * `defaultBw`; `boosts` must carry AT MOST ONE row per n_id (a
+    * duplicate weight would duplicate its candidate rows through the
+    * join) — derive it from a keyed table, or pre-reduce. */
   def searchIndexBoosted(spark: SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, textCol: String, k: Int,
       boosts: DataFrame, defaultBw: Long = 1L,
