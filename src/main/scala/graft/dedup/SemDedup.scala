@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * needs no connected components — one within-cluster pair join and
   * one distinct on the dropped side — and is deterministic: the
   * minimum id of every dup group always survives; chained groups keep
-  * exactly their id-minima.
+  * exactly their id-minima. Note the variant semantics: b is dropped
+  * if ANY lower-id neighbor is within tau, even one that was itself
+  * dropped — a deterministic, oracle-replayable reading of SemDeDup's
+  * sequential greedy, slightly MORE aggressive than a
+  * survivors-only pass (which would keep b when its only close
+  * lower-id neighbor had already been removed).
   *
   * Determinism across engines: centroids come from
   * [[graft.similarity.Ivf.centroidsQuantized]] (exact integer sums →

@@ -714,7 +714,7 @@ object DedupSim {
        sh AS (
          SELECT doc_id, lang, n_chars,
            list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
          FROM toks),
        shh AS (
          SELECT doc_id, lang, n_chars,
@@ -1189,7 +1189,7 @@ object DedupSim {
            FROM documents),
          sh0 AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
            FROM toks),
          shh AS (
            SELECT doc_id, list_distinct(list_transform(sh,
@@ -1213,7 +1213,7 @@ object DedupSim {
            FROM documents),
          sh0 AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
            FROM toks),
          shh AS (
            SELECT doc_id, list_distinct(list_transform(sh,
@@ -1223,7 +1223,7 @@ object DedupSim {
            FROM shh WHERE doc_id < 10),
          cex AS (SELECT doc_id, i - 1 AS pos,
              CAST(concat('0x', substr(md5(concat('0:',
-               concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))), 1, 8)) AS BIGINT) AS s
+               array_to_string(tks[i:i+2], ' '))), 1, 8)) AS BIGINT) AS s
            FROM (SELECT doc_id, tks,
                unnest(range(1, greatest(len(tks) - 2, 1) + 1)) AS i
              FROM toks WHERE doc_id >= 10)),
@@ -1565,7 +1565,7 @@ object DedupSim {
            FROM documents),
          sh0 AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
            FROM toks),
          shh AS (
            SELECT doc_id, list_distinct(list_transform(sh,

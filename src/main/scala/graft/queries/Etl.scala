@@ -661,7 +661,7 @@ object Etl {
            SELECT doc_id,
              list_distinct(list_transform(
                list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-                 i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2])),
+                 i -> array_to_string(tks[i:i+2], ' ')),
                s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT))) AS sh
            FROM toks),
          posts AS (SELECT doc_id, unnest(sh) AS h FROM sh),

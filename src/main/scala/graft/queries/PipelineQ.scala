@@ -270,7 +270,7 @@ object PipelineQ {
            FROM documents),
          sh0 AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
            FROM toks),
          shh AS (
            SELECT doc_id, list_distinct(list_transform(sh,

@@ -513,7 +513,7 @@ object TextEvents {
            FROM documents),
          sh0 AS (
            SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))) AS sh
+             i -> array_to_string(tks[i:i+2], ' '))) AS sh
            FROM toks),
          shh AS (
            SELECT doc_id, list_distinct(list_transform(sh,
@@ -644,7 +644,7 @@ object TextEvents {
              CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) AS BIGINT) AS n_shingles,
              CAST(len(list_distinct(list_transform(
                list_transform(range(1, greatest(len(tks) - 2, 1) + 1),
-                 i -> concat(tks[i], ' ', tks[i+1], ' ', tks[i+2])),
+                 i -> array_to_string(tks[i:i+2], ' ')),
                s -> CAST(concat('0x', substr(md5(concat('0:', s)), 1, 8)) AS BIGINT)))) AS BIGINT) AS n_distinct
            FROM (
              SELECT doc_id, text,
@@ -837,7 +837,7 @@ object TextEvents {
            md5(norm) AS fp_md5,
            list_aggregate(list_transform(
              range(1, greatest(len(tks) - 2, 1) + 1),
-             i -> md5(concat(tks[i], ' ', tks[i+1], ' ', tks[i+2]))), 'min') AS fp_shingle_min
+             i -> md5(array_to_string(tks[i:i+2], ' '))), 'min') AS fp_shingle_min
          FROM (
            SELECT doc_id,
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,

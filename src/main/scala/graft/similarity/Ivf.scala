@@ -235,16 +235,40 @@ object Ivf {
     lv
   }
 
-  /** Base assignments ∪ manifest-listed segments. */
+  /** Segment ids already folded into `tableDir`'s SERVING version,
+    * parsed from its `compact:` tag. Live readers subtract these from
+    * the manifest, which closes two windows in the compaction
+    * protocol: (a) between a committed fold swap and the
+    * manifest-empty write — a window that exists on EVERY normal
+    * compaction — a concurrent probe would otherwise read base ∪
+    * still-listed segments and serve every folded row twice; (b) an
+    * out-of-band append landing between a crashed fold and its
+    * retry changes the manifest (and so the retry's fold tag), and
+    * the retry would otherwise union the already-folded segments
+    * again as duplicates. With the subtraction, live reads are
+    * exactly base ∪ unfolded segments at every point of the
+    * protocol, concurrent or replayed. */
+  private[similarity] def foldedSegIds(tableDir: String): Set[Long] =
+    graft.sources.VersionedTable.servingTag(tableDir) match {
+      case Some(t) if t.startsWith("compact:") =>
+        t.stripPrefix("compact:").split(",")
+          .iterator.filter(_.nonEmpty).map(_.toLong).toSet
+      case _ => Set.empty
+    }
+
+  /** Base assignments ∪ manifest-listed segments not already folded
+    * into the serving base version (see [[foldedSegIds]]). */
   private def liveLists(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val base = graft.sources.VersionedTable.readLatest(spark, s"$dir/lists")
     graft.sources.VersionedTable.latestVersion(s"$dir/segmanifest") match {
       case None => base
       case Some(_) =>
+        val folded = foldedSegIds(s"$dir/lists")
         val segs = graft.sources.VersionedTable
           .readLatest(spark, s"$dir/segmanifest")
           .collect().map(_.getLong(0)).toSeq
+          .filterNot(folded)
         if (segs.isEmpty) base
         else base.unionByName(
           spark.read.parquet(s"$dir/segments")
@@ -254,23 +278,38 @@ object Ivf {
   }
 
   /** Search a persisted index: probe selection reads only the (tiny)
-    * centroid table; the distinct probed list ids — at most
-    * nProbe × |queries| values, driver-safe by construction — become
-    * a static `list_id IN (...)` partition filter, so the file scan
+    * centroid table; the DISTINCT probed list ids — bounded by the
+    * number of lists (= centroid rows), NOT by the query-batch size,
+    * so the collect is driver-safe at any batch size — become a
+    * static `list_id IN (...)` partition filter, so the file scan
     * PRUNES to the probed directories before reading a byte (the
     * whole point of building the index partitioned) — on the base
     * AND on any appended segment trees, which share the per-list
     * layout. The probe frame is eagerly checkpointed: it is consumed
-    * by two executions (the id collect and the scoring join). */
+    * by two executions (the id collect and the scoring join).
+    *
+    * `maxInFilterLists` is the join-route fallback for corpus-sized
+    * query batches: once a batch probes more distinct lists than
+    * this, the static IN expression stops paying (a thousands-long
+    * predicate bloats the plan, and near-total list coverage means
+    * the scan prunes almost nothing) — the filter is dropped and the
+    * inner join on list_id restricts rows instead, a plain
+    * distributed plan with no driver-sized expression. Results are
+    * identical on either route (spec-proven); the probed-list count
+    * alone picks the plan. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int,
+      maxInFilterLists: Int = 1000): DataFrame = {
     val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
     val lists = liveLists(spark, dir)
     val probes = probeLists(queries, cents, nProbe).localCheckpoint()
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.get(0))
-    val scored = probes.join(
-        lists.filter(col("list_id").isin(probedIds: _*)), "list_id")
+    val pruned =
+      if (probedIds.length <= maxInFilterLists)
+        lists.filter(col("list_id").isin(probedIds: _*))
+      else lists
+    val scored = probes.join(pruned, "list_id")
       .select(col("q_id"), col("id").as("n_id"),
         Vectors.cosine4(col("q_v"), col("v")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)

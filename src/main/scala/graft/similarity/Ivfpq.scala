@@ -209,9 +209,12 @@ object Ivfpq {
     * between the first fold write and the manifest flip re-enters on
     * the next maintain() call, finds whichever folds already
     * committed (finishing lost pointer swaps), performs only the
-    * missing ones, and empties the manifest — the transient
-    * duplicate-serving window closes at recovery instead of
-    * compounding on every retry. */
+    * missing ones, and empties the manifest. Live readers subtract
+    * the serving version's folded ids from the manifest
+    * ([[Ivf.foldedSegIds]]), so there is NO duplicate-serving window
+    * at all — a probe racing the swap-to-manifest-flip gap, or a
+    * retry whose manifest gained an out-of-band append since the
+    * crashed fold, both read exactly base ∪ unfolded segments. */
   def compactSegments(spark: SparkSession, dir: String): Long = {
     val segs = graft.sources.VersionedTable
       .readLatest(spark, s"$dir/segmanifest")
@@ -248,7 +251,7 @@ object Ivfpq {
 
   private def liveCodes(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.sources.VersionedTable.readLatest(spark, s"$dir/codes")
-    val segs = liveSegs(spark, dir)
+    val segs = liveSegs(spark, dir).filterNot(Ivf.foldedSegIds(s"$dir/codes"))
     if (segs.isEmpty) base
     else base.unionByName(spark.read.parquet(s"$dir/segments")
       .filter(col("seg").isin(segs: _*))
@@ -257,7 +260,7 @@ object Ivfpq {
 
   private def liveWvecs(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.sources.VersionedTable.readLatest(spark, s"$dir/wvecs")
-    val segs = liveSegs(spark, dir)
+    val segs = liveSegs(spark, dir).filterNot(Ivf.foldedSegIds(s"$dir/wvecs"))
     if (segs.isEmpty) base
     else base.unionByName(spark.read.parquet(s"$dir/wsegments")
       .filter(col("seg").isin(segs: _*))
@@ -270,10 +273,16 @@ object Ivfpq {
     * which share the per-list layout), exact refine of the
     * top-`rerank` shortlist against the stored sidecar. The probe
     * frame is EAGERLY checkpointed — it feeds two executions (the
-    * probed-id collect and the ADC join). */
+    * probed-id collect and the ADC join). The probed-id collect is
+    * DISTINCT list ids — bounded by the list count, not the query
+    * batch — and `maxInFilterLists` is the join-route fallback for
+    * corpus-sized batches (the [[Ivf.searchIndex]] contract): past
+    * the threshold the static IN filter is dropped and the inner ADC
+    * join on (list_id, sub, code) restricts rows instead. */
   def searchIndex(spark: SparkSession, dir: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
-      rerank: Int = 0, dsub: Int = 8, scale: Long = 10000L): DataFrame = {
+      rerank: Int = 0, dsub: Int = 8, scale: Long = 10000L,
+      maxInFilterLists: Int = 1000): DataFrame = {
     val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
     val probes = Ivf.probeLists(
       queries.select(col(idCol).as("id"), col(vecCol).as("v")),
@@ -311,8 +320,10 @@ object Ivfpq {
               (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
               .as("d2"))
       }
-    val codes = liveCodes(spark, dir)
-      .filter(col("list_id").isin(probedIds: _*))
+    val codes =
+      if (probedIds.length <= maxInFilterLists)
+        liveCodes(spark, dir).filter(col("list_id").isin(probedIds: _*))
+      else liveCodes(spark, dir)
     val adc = codes
       .select(col("id").as("n_id"), col("sub"), col("code"), col("list_id"))
       .join(broadcast(qdp), Seq("list_id", "sub", "code"))

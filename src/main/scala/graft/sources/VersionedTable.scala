@@ -59,6 +59,16 @@ object VersionedTable {
       Files.exists(p) && Files.readString(p).trim == tag
     }.maxOption
 
+  /** Tag carried by the SERVING version, if any — what lets a live
+    * reader know which inputs the version it is about to read
+    * already folded in (the compaction-window dedup in
+    * [[graft.similarity.Ivf.foldedSegIds]]). */
+  def servingTag(dir: String): Option[String] =
+    latestVersion(dir).flatMap { v =>
+      val p = Paths.get(dir, s"v=$v", "_TAG")
+      if (Files.exists(p)) Some(Files.readString(p).trim) else None
+    }
+
   /** Like [[write]], but the version is laid out partitioned by
     * `partCol` — readers filtering on it prune whole directories
     * (the IVF index's probed-lists-only scan relies on this). `tag`

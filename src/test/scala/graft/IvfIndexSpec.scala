@@ -193,6 +193,65 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == want, "recovered index diverged from pre-compact serving")
   }
 
+  test("join-route fallback (no IN filter) returns identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfjr").toString
+    Ivf.buildIndex(embs.filter(col("id") >= 10), "label", "v", dir)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val inRoute = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val joinRoute = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2,
+      maxInFilterLists = 0).collect().map(_.toSeq).toSet
+    assert(joinRoute == inRoute, "join-route plan diverged from the IN-filter plan")
+  }
+
+  test("compaction window serves no duplicates: folded base + stale manifest reads clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfwin").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    Ivf.buildIndex(base, "label", "v", dir)
+    (0 until 2).foreach { i =>
+      Ivf.appendToIndex(spark, dir, embs
+        .filter(col("id") >= 10 && col("id") % 4 === 0 && col("id") % 2 === i)
+        .select("id", "v"))
+    }
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val want = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val preManifest = VersionedTable.latestVersion(s"$dir/segmanifest").get
+    Ivf.compactSegments(spark, dir)
+    // the window that exists on EVERY compaction: lists folded and
+    // swapped, manifest flip not yet visible — a concurrent probe
+    // must read base ∪ unfolded only, not the folded rows twice
+    VersionedTable.swapTo(s"$dir/segmanifest", preManifest)
+    val got = Ivf.searchIndex(spark, dir, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "probe inside the compaction window diverged")
+  }
+
+  test("out-of-band append between crashed fold and retry folds only the remainder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfoob").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    Ivf.buildIndex(base, "label", "v", dir)
+    (0 until 2).foreach { i =>
+      Ivf.appendToIndex(spark, dir, embs
+        .filter(col("id") >= 10 && col("id") % 4 === 0 && col("id") % 2 === i)
+        .select("id", "v"))
+    }
+    val preManifest = VersionedTable.latestVersion(s"$dir/segmanifest").get
+    Ivf.compactSegments(spark, dir)
+    VersionedTable.swapTo(s"$dir/segmanifest", preManifest) // lost flip
+    // an out-of-band append lands before the recovery retry: the
+    // manifest (and so the retry's fold tag) now differs from the
+    // committed fold's
+    val extra = embs.filter(col("id") < 10).select("id", "v")
+    Ivf.appendToIndex(spark, dir, extra)
+    Ivf.compactSegments(spark, dir)
+    val lists = VersionedTable.readLatest(spark, s"$dir/lists")
+    assert(lists.groupBy("id").count().filter(col("count") > 1).count() == 0,
+      "retry folded already-folded segments again")
+    assert(lists.count() == embs.count(),
+      "retry lost either the folded base or the out-of-band append")
+  }
+
   test("rebuild publishes a new version; rollback serves the old one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val data = embs.filter(col("id") >= 10)

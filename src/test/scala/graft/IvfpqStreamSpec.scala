@@ -150,6 +150,40 @@ class IvfpqStreamSpec extends AnyFunSuite {
     assert(got == want, "recovered index diverged from pre-compact serving")
   }
 
+  test("join-route fallback (no IN filter) returns identical ADC results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_jr").toString
+    Ivfpq.buildIndex(embs.filter(col("id") >= 10), "label", "id", "v", dir)
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val inRoute = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80).collect().map(_.toSeq).toSet
+    val joinRoute = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80, maxInFilterLists = 0)
+      .collect().map(_.toSeq).toSet
+    assert(joinRoute == inRoute, "join-route plan diverged from the IN-filter plan")
+  }
+
+  test("compaction window serves no duplicate codes: folded base + stale manifest reads clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_win").toString
+    val base = embs.filter(col("id") >= 10 && col("id") % 4 =!= 0)
+    Ivfpq.buildIndex(base, "label", "id", "v", dir)
+    (0 until 2).foreach { i =>
+      Ivfpq.appendToIndex(spark, dir, embs
+        .filter(col("id") >= 10 && col("id") % 4 === 0 && col("id") % 2 === i)
+        .select("id", "v"))
+    }
+    val queries = embs.filter(col("id") < 10).select("id", "v")
+    val want = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80).collect().map(_.toSeq).toSet
+    val preManifest = VersionedTable.latestVersion(s"$dir/segmanifest").get
+    Ivfpq.compactSegments(spark, dir)
+    // the window on EVERY compaction: both folds swapped, manifest
+    // flip not yet visible — ADC partial sums must not double
+    VersionedTable.swapTo(s"$dir/segmanifest", preManifest)
+    val got = Ivfpq.searchIndex(spark, dir, queries, "id", "v",
+      k = 5, nProbe = 2, rerank = 80).collect().map(_.toSeq).toSet
+    assert(got == want, "probe inside the compaction window diverged")
+  }
+
   test("compaction cadence is invisible to probes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_c").toString
     val plain = java.nio.file.Files.createTempDirectory("graft_ivfpq_p").toString

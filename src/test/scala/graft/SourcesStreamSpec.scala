@@ -60,6 +60,54 @@ class SourcesStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("gap state TTL evicts idle users: the post-eviction event re-seeds, no gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gapttl").toString
+    def stage(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val scratch =
+        java.nio.file.Files.createTempDirectory("graft_gapttl_s").toString + "/out"
+      rows.toDF("event_id", "ts_us", "user_id")
+        .select(col("event_id"),
+          timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
+          col("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(dir, s"$name.parquet"))
+    }
+    val t0 = 1000000000L
+    stage("b1", Seq((1L, t0, 1L), (2L, t0 + 10000000L, 1L)))
+    val q = graft.streaming.GapStream
+      .gaps(graft.streaming.EventsStream.readEvents(spark, dir), stateTtlMs = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_ttl_test").start()
+    // processAllAvailable never latches under ProcessingTimeTimeout
+    // (shouldRunAnotherBatch is always true, so the engine constructs
+    // timeout batches continuously) — poll the sink instead
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime + 60L * 1000000000L
+      while (spark.table("gap_ttl_test").count() < n
+          && System.nanoTime < deadline) Thread.sleep(100)
+      assert(spark.table("gap_ttl_test").count() >= n, s"sink never reached $n rows")
+    }
+    awaitRows(1)        // batch 1: user 1 emits gap 10 s
+    Thread.sleep(3000)  // idle past the 100 ms TTL: the continuous
+                        // timeout batches evict user 1's state
+    // user 1 re-seeds (no gap if evicted); user 2's in-batch pair
+    // emits gap 7 s — the marker that proves the batch processed
+    stage("b2", Seq((4L, t0 + 20000000L, 1L),
+      (5L, t0 + 30000000L, 2L), (6L, t0 + 37000000L, 2L)))
+    awaitRows(2)
+    q.stop()
+    val got = spark.table("gap_ttl_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without eviction this would also contain (1, 10) again
+    // (20 s − 10 s); with the TTL only the pre-idle gap survives
+    assert(got == Set((1L, 10L), (2L, 7L)), s"got $got")
+  }
+
   test("batched sink lays out status/file_idx partitions the scanner prunes") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val batched = Harvest.batchAssign(
