@@ -68,6 +68,32 @@ object Graph {
     * other build-if-absent family), and query-time boosting reads
     * the tiny rank table. Returns the cache dir; read with
     * `VersionedTable.readLatest(spark, s"$dir/rank")`. */
+  /** Authority-rank resolution with a STREAM-MAINTAINED preference —
+    * the x21 boost signal's front door. When a
+    * [[graft.streaming.RankStream]] maintainer owns the signal (its
+    * state dir has published rank versions), serve its CURRENT ranks:
+    * the incrementally-maintained signal needs no rebuild when the
+    * corpus changes — appends flow through `maintainRank` and the next
+    * probe reads the updated table. The batch build-if-absent
+    * [[ensureSourceAuthority]] artifact is the fallback for corpora no
+    * maintainer owns (`docs`/`dataDir` are only touched on that
+    * path). Both routes produce the identical (source, wdeg, rank_i3)
+    * schema; RankStreamSpec proves stream-served boosting equals the
+    * batch x21 query and that appends update it with ZERO graph
+    * rebuild. */
+  def authorityRanks(spark: org.apache.spark.sql.SparkSession,
+      docs: => DataFrame, dataDir: String,
+      streamStateDir: Option[String] = None): DataFrame = {
+    val owned = streamStateDir.filter(d => graft.sources.VersionedTable
+      .latestVersion(graft.streaming.RankStream.ranksDir(d)).nonEmpty)
+    owned match {
+      case Some(d) => graft.streaming.RankStream.servingRanks(spark, d)
+      case None =>
+        val dir = ensureSourceAuthority(docs, dataDir)
+        graft.sources.VersionedTable.readLatest(spark, s"$dir/rank")
+    }
+  }
+
   def ensureSourceAuthority(docs: DataFrame, dataDir: String,
       width: Int = 20, stride: Int = 20, iters: Int = 3): String =
     synchronized {

@@ -76,6 +76,7 @@ object Transform {
     case XNode(n, _) => n
     case XWhen(_, inner) => ruleName(inner)
     case XChoose(bs, _) => ruleName(bs.head._2)
+    case XDispatch(n, _, _) => n
   }
 
   private def ruleExpr(xml: Column, r: XRule): Column = r match {
@@ -101,6 +102,7 @@ object Transform {
         c.when(xpath_boolean(xml, lit(t)), ruleExpr(xml, r))
       }
       ow.fold(chained)(r => chained.otherwise(ruleExpr(xml, r)))
+    case d: XDispatch => dispatchExpr(xml, d)
   }
 
   private def compileRule(xml: Column, r: XRule): Column =
@@ -125,6 +127,71 @@ object Transform {
     val rules = compileXslt(xslt)
     df => df.select(carry.map(col) :+
       to_json(structuralCrosswalk(col(xmlCol), rules)).as(outCol): _*)
+  }
+
+  /** Per-node dispatch rule — the compiled form of an
+    * `xsl:apply-templates` FIELD TEMPLATE (round-11 widening toward
+    * the reference's real stylesheets, tests/fixtures/
+    * xsl-sample-simple.xsl:22-45 and temple.xsl): one output element
+    * name, the xpath selecting every matched node's text, and an
+    * ordered first-match-wins case list applied to EACH matched node
+    * (`(guard atoms, emitted value)`; a node matching no case emits
+    * nothing). Compiles to
+    * `filter(transform(xpath(...), node-CASE), notNull)` — per-node
+    * emission in document order, exactly apply-templates' output
+    * model, as one light-probe HOF chain (the measured-fastest shape
+    * for per-element membership/regex work, see CLAUDE.md). An empty
+    * result array becomes NULL so `to_json` omits the field — the
+    * template-emitted-nothing output. */
+  final case class XDispatch(name: String, nodesPath: String,
+      cases: Seq[(Seq[XAtom], XVal)]) extends XRule
+
+  /** Guard atoms over ONE matched node's text: `xsl:if`/`xsl:when`
+    * tests in the widened subset. */
+  sealed trait XAtom
+  /** `normalize-space(.) != ''` — the blank-node drop guard. */
+  case object ANonEmpty extends XAtom
+  /** `matches(., re)` — XPath's UNANCHORED contains-a-match
+    * semantics; flags are pre-baked as an inline `(?i)` group. */
+  final case class AMatches(re: String) extends XAtom
+  final case class ANot(atom: XAtom) extends XAtom
+
+  /** What a matched case emits for the node. */
+  sealed trait XVal
+  /** `xsl:value-of select="."` — the node's raw text. */
+  case object VText extends XVal
+  /** `xsl:value-of select="normalize-space(.)"`. */
+  case object VNormText extends XVal
+  /** Literal text content (`<dcterms:type>Text</dcterms:type>`). */
+  final case class VConst(s: String) extends XVal
+
+  /** XPath `normalize-space`: collapse whitespace runs, trim. (Not
+    * [[normalizeText]] — no lowercasing.) */
+  def normalizeSpace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  private def atomCond(x: Column, a: XAtom): Column = a match {
+    case ANonEmpty => length(trim(x)) > 0
+    case AMatches(re) => x.rlike(re)
+    case ANot(inner) => !atomCond(x, inner)
+  }
+
+  private def caseValue(x: Column, v: XVal): Column = v match {
+    case VText => x
+    case VNormText => normalizeSpace(x)
+    case VConst(s) => lit(s)
+  }
+
+  private def dispatchExpr(xml: Column, d: XDispatch): Column = {
+    def cond(x: Column, atoms: Seq[XAtom]): Column =
+      atoms.map(atomCond(x, _)).reduceOption(_ && _).getOrElse(lit(true))
+    val mapped = transform(xpath(xml, lit(d.nodesPath)), x =>
+      d.cases.tail.foldLeft(
+        when(cond(x, d.cases.head._1), caseValue(x, d.cases.head._2))) {
+        case (c, (atoms, v)) => c.when(cond(x, atoms), caseValue(x, v))
+      })
+    val kept = filter(mapped, _.isNotNull)
+    when(size(kept) > 0, kept)
   }
 
   /** XSLT-subset → [[XRule]] compiler: the in-scope answer to the
@@ -307,5 +374,265 @@ object Transform {
           other.map(name).mkString(","))
     }
     elems(wrapper).map(compileTop(_, ctx))
+  }
+
+  /** A MULTI-TEMPLATE stylesheet compiled to the engine's terms: the
+    * row-keep predicate (base-template match + drop-template
+    * exclusions, evaluated with `xpath_boolean`) and the
+    * [[XDispatch]] rule list [[structuralCrosswalk]] turns into one
+    * codegen'd projection. */
+  final case class XsltSheet(contextPath: String,
+      exclusionPaths: Seq[String], rules: Seq[XRule]) {
+    /** True for rows the stylesheet emits output for: the context
+      * node matches (with its predicates) and no drop template
+      * intercepts the record. */
+    def keep(xml: Column): Column =
+      exclusionPaths.foldLeft(xpath_boolean(xml, lit(contextPath))) {
+        (c, ex) => c && !xpath_boolean(xml, lit(ex))
+      }
+    /** The compiled crosswalk output as one nested struct Column. */
+    def output(xml: Column): Column = structuralCrosswalk(xml, rules)
+  }
+
+  /** Rewrite prefixed QName steps for Spark's NAMESPACE-UNAWARE xpath
+    * parse (Hive-derived `UDFXPathUtil` parses without namespace
+    * awareness, so `dc:title` is a literal node name and a prefixed
+    * XPath step would fail prefix resolution): `p:local` →
+    * `*[substring-after(name(),':')='local']`, `@p:local` →
+    * `@*[substring-after(name(),':')='local']`. Matching is by LOCAL
+    * name under any prefix — the right approximation for OAI feeds
+    * where the same namespace arrives under per-record prefixes
+    * (`ns0:`/`ns1:`… in tests/fixtures/xsl-sample.xml vs `oai:` in
+    * the stylesheet); an unprefixed step is left untouched and only
+    * matches unprefixed nodes. String literals must not contain `:`
+    * (refused) — the rewrite is token-level. */
+  private[graft] def rewriteQNames(path: String): String = {
+    val lits = "'[^']*'".r.findAllIn(path).toSeq
+    require(!lits.exists(_.contains(":")),
+      s"colon inside a string literal of '$path' — out of subset " +
+        "(the QName rewrite is token-level)")
+    val qname = "(@?)([A-Za-z_][A-Za-z0-9_.-]*):([A-Za-z_][A-Za-z0-9_.-]*)".r
+    qname.replaceAllIn(path, m => {
+      val star = if (m.group(1) == "@") "@*" else "*"
+      java.util.regex.Matcher.quoteReplacement(
+        s"$star[substring-after(name(),':')='${m.group(3)}']")
+    })
+  }
+
+  /** Multi-template XSLT → [[XsltSheet]]: the round-11 widening that
+    * compiles the shapes the reference's REAL stylesheets use
+    * (tests/fixtures/xsl-sample-simple.xsl; temple.xsl's core
+    * constructs), where [[compileXslt]] handles only the
+    * single-template pull shape. In subset:
+    *
+    *  - **drop templates** (empty body): `match="text() | @*"` is
+    *    the suppress-default-text rule — a no-op here because the
+    *    struct model only ever emits what templates produce; an
+    *    absolute pattern ending in slash-star (the deleted-record
+    *    filter `//oai:record[oai:header[@status='deleted']]` + the
+    *    children step) compiles to a row-level EXCLUSION: the record
+    *    emits nothing when the pattern's parent matches (rows are one
+    *    record each, so intercepting a record's children kills
+    *    exactly that row).
+    *  - **one base template** with an absolute match (predicates
+    *    allowed — `//oai_dc:dc[not(dc:relation[string()=
+    *    'pdcp_noharvest'])]` is the row filter) whose body is one
+    *    literal result element holding exactly one bare
+    *    `xsl:apply-templates` — the output wrapper (the JSON object
+    *    is the wrapper; its namespace attributes don't survive the
+    *    JSON wire form).
+    *  - **field templates** matching one relative QName step
+    *    (`dc:title`), applied to EVERY matching child of the context
+    *    node in document order ([[XDispatch]] arrays). Bodies:
+    *    literal elements or `xsl:element name="lit"` holding one
+    *    `xsl:value-of` (`.` / `normalize-space(.)`) or literal text;
+    *    `xsl:if` guards (`normalize-space(.)!=''`); `xsl:choose`
+    *    whose `xsl:when` tests are `matches(., re[, flags])` with
+    *    first-match-wins compiled as accumulated negations so a
+    *    later-named output (the `xsl:otherwise` → `dcterms:format`
+    *    fallback) can live in its own dispatch without stealing
+    *    earlier branches' nodes.
+    *
+    * Output field order is TEMPLATE DECLARATION order (a struct's
+    * field order is fixed), not document order across different
+    * templates — identical whenever each record lists its fields in
+    * the stylesheet's order, the OAI-DC case. Values come from the
+    * matched node's direct text; a text-less node is treated as
+    * absent (the blank-guarded shapes in scope drop it anyway).
+    * `xsl:call-template`, `xsl:variable`, `xsl:with-param`, nested
+    * apply-templates and computational tests stay REFUSED — a
+    * compiler that silently mis-runs a stylesheet is worse than one
+    * that refuses it. */
+  def compileXsltSheet(xslt: String): XsltSheet = {
+    import org.w3c.dom.Element
+    val XslNs = "http://www.w3.org/1999/XSL/Transform"
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+      new java.io.StringReader(xslt)))
+    def elems(n: org.w3c.dom.Node): Seq[Element] = {
+      val nl = n.getChildNodes
+      (0 until nl.getLength).map(nl.item).collect { case e: Element => e }
+    }
+    def isXsl(e: Element, local: String): Boolean =
+      XslNs == e.getNamespaceURI && e.getLocalName == local
+    def name(e: Element): String =
+      Option(e.getLocalName).getOrElse(e.getTagName)
+    // the output name KEEPS its prefix (dcterms:title) — it is a
+    // JSON field name, not an xpath step
+    def outName(e: Element): String = e.getTagName
+
+    val templates = elems(doc.getDocumentElement).filter(isXsl(_, "template"))
+    require(templates.nonEmpty, "stylesheet has no xsl:template")
+    val (drops, bodied) = templates.partition(t => elems(t).isEmpty
+      && t.getTextContent.trim.isEmpty)
+
+    val exclusions = drops.flatMap { d =>
+      val m = d.getAttribute("match").trim
+      val isSuppress = m.split("\\|").map(_.trim).nonEmpty &&
+        m.split("\\|").map(_.trim).forall(s => s == "text()" || s == "@*")
+      if (isSuppress) None // default-text suppression: implied by the model
+      else {
+        require(m.startsWith("/") && m.endsWith("/*"),
+          s"drop template match '$m' out of subset (only 'text() | @*' " +
+            "and absolute patterns ending /* compile)")
+        Some(rewriteQNames(m.stripSuffix("/*")))
+      }
+    }
+
+    def isBase(t: Element): Boolean = elems(t) match {
+      case Seq(w) if w.getNamespaceURI != XslNs =>
+        elems(w) match {
+          case Seq(at) if isXsl(at, "apply-templates")
+              && at.getAttribute("select").isEmpty => true
+          case _ => false
+        }
+      case _ => false
+    }
+    val (bases, fields) = bodied.partition(isBase)
+    require(bases.size == 1,
+      s"need exactly one apply-templates base template, found ${bases.size}")
+    val ctxRaw = bases.head.getAttribute("match").trim
+    require(ctxRaw.startsWith("/"),
+      s"base template match must be absolute, got '$ctxRaw'")
+    val ctx = rewriteQNames(ctxRaw)
+
+    // --- per-node tests ---------------------------------------------
+    def parseTest(test: String): XAtom = {
+      // whitespace tolerated OUTSIDE the quoted regex only — stripping
+      // it globally would corrupt a pattern containing literal spaces
+      val normRe = """normalize-space\(\s*\.\s*\)\s*!=\s*''""".r
+      val matchesRe =
+        """matches\(\s*\.\s*,\s*'([^']*)'\s*(?:,\s*'([^']*)')?\s*\)""".r
+      test.trim match {
+        case normRe() => ANonEmpty
+        case matchesRe(re, flags) =>
+          val f = Option(flags).getOrElse("")
+          require(f.forall("ims".contains(_)),
+            s"unsupported matches() flags '$f'")
+          AMatches(if (f.isEmpty) re else s"(?$f)$re")
+        case _ => throw new IllegalArgumentException(
+          s"unsupported test '$test' (subset: normalize-space(.)!='' " +
+            "and matches(., 're'[, 'flags']))")
+      }
+    }
+    def parseValueOf(vo: Element): XVal = {
+      val sel = vo.getAttribute("select").replaceAll("\\s+", "")
+      sel match {
+        case "." => VText
+        case "normalize-space(.)" => VNormText
+        case other => throw new IllegalArgumentException(
+          s"unsupported value-of select '$other' in a field template " +
+            "(subset: '.' and 'normalize-space(.)')")
+      }
+    }
+    // one EMITTING construct → (output name, value)
+    def parseEmit(e: Element): (String, XVal) =
+      if (isXsl(e, "element")) {
+        val n = e.getAttribute("name")
+        require(n.nonEmpty && !n.contains("{"),
+          s"xsl:element name must be literal, got '$n'")
+        elems(e) match {
+          case Seq(vo) if isXsl(vo, "value-of") => n -> parseValueOf(vo)
+          case _ => throw new IllegalArgumentException(
+            s"xsl:element '$n' must hold exactly one value-of")
+        }
+      } else {
+        require(e.getNamespaceURI != XslNs,
+          s"unsupported xsl:${name(e)} as an emitting construct")
+        elems(e) match {
+          case Seq(vo) if isXsl(vo, "value-of") => outName(e) -> parseValueOf(vo)
+          case Seq() => outName(e) -> VConst(e.getTextContent)
+          case _ => throw new IllegalArgumentException(
+            s"literal element <${outName(e)}> must hold one value-of " +
+              "or only text")
+        }
+      }
+    // template body → ordered (name, guard atoms, value) emissions
+    def perNode(e: Element, atoms: Seq[XAtom]): Seq[(String, Seq[XAtom], XVal)] =
+      if (isXsl(e, "if")) {
+        val guard = parseTest(e.getAttribute("test"))
+        elems(e) match {
+          case Seq(inner) => perNode(inner, atoms :+ guard)
+          case other => throw new IllegalArgumentException(
+            "xsl:if in a field template must hold one construct, got " +
+              other.map(name).mkString(","))
+        }
+      } else if (isXsl(e, "choose")) {
+        val kids = elems(e)
+        val whens = kids.filter(isXsl(_, "when"))
+        val others = kids.filter(isXsl(_, "otherwise"))
+        require(whens.nonEmpty
+            && kids.size == whens.size + others.size && others.size <= 1,
+          "xsl:choose must hold xsl:when branches and at most one otherwise")
+        def only(x: Element, what: String): Element = elems(x) match {
+          case Seq(one) => one
+          case _ => throw new IllegalArgumentException(
+            s"$what must hold exactly one emitting construct")
+        }
+        val tests = whens.map(wn => parseTest(wn.getAttribute("test")))
+        val branches = whens.zipWithIndex.map { case (wn, i) =>
+          val (n, v) = parseEmit(only(wn, "xsl:when"))
+          (n, atoms ++ tests.take(i).map(ANot(_)) :+ tests(i), v)
+        }
+        val fallback = others.map { o =>
+          val (n, v) = parseEmit(only(o, "xsl:otherwise"))
+          (n, atoms ++ tests.map(ANot(_)), v)
+        }
+        branches ++ fallback
+      } else {
+        val (n, v) = parseEmit(e)
+        Seq((n, atoms, v))
+      }
+
+    val rules = fields.flatMap { t =>
+      val m = t.getAttribute("match").trim
+      require(m.nonEmpty && !m.startsWith("/") && !m.contains("/")
+          && !m.contains("["),
+        s"field template match must be one relative QName step, got '$m'")
+      val nodesPath = s"$ctx/${rewriteQNames(m)}/text()"
+      val emissions = elems(t).flatMap(perNode(_, Nil))
+      require(emissions.nonEmpty, s"field template '$m' emits nothing")
+      // group by output name, first-appearance order, cases in order
+      emissions.map(_._1).distinct.map { n =>
+        XDispatch(n, nodesPath,
+          emissions.collect { case (`n`, atoms, v) => (atoms, v) })
+      }
+    }
+    val dup = rules.map(ruleName).diff(rules.map(ruleName).distinct)
+    require(dup.isEmpty,
+      s"output name(s) ${dup.distinct.mkString(",")} emitted by more than " +
+        "one field template — out of subset")
+    XsltSheet(ctx, exclusions, rules)
+  }
+
+  /** The multi-template stylesheet as a whole-frame transform — the
+    * apply-templates twin of [[xsltTransform]]: keep-filter plus one
+    * codegen'd projection (carried columns + JSON output). */
+  def xsltSheetTransform(xslt: String, xmlCol: String, carry: Seq[String],
+      outCol: String = "rec"): DataFrame => DataFrame = {
+    val sheet = compileXsltSheet(xslt)
+    df => df.filter(sheet.keep(col(xmlCol)))
+      .select(carry.map(col) :+ to_json(sheet.output(col(xmlCol))).as(outCol): _*)
   }
 }

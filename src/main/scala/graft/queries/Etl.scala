@@ -308,9 +308,11 @@ object Etl {
     // like the index itself — Solr's ExternalFileField is an offline
     // artifact): the probe reads the tiny rank table, never re-runs
     // the overlap-graph pass
-    val authDir = graft.operators.Graph.ensureSourceAuthority(docs, dir)
-    val authority = graft.sources.VersionedTable
-      .readLatest(spark, s"$authDir/rank")
+    // resolved through the front door: no stream maintainer owns the
+    // bench corpus, so this is the batch build-if-absent artifact —
+    // a RankStream-owned corpus would serve incrementally instead
+    val authority = graft.operators.Graph
+      .authorityRanks(spark, docs, dir, streamStateDir = None)
     val boosts = docs.filter(col("doc_id") >= 5)
       .select(col("doc_id").as("n_id"), col("source"))
       .join(authority.select(col("source"), col("rank_i3").as("bw")), "source")

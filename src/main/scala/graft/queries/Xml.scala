@@ -261,6 +261,98 @@ object Xml {
       .orderBy("doc_id")
   }
 
+  /** The t8 stylesheet — the reference's REAL stylesheet shape
+    * (tests/fixtures/xsl-sample-simple.xsl:22-45): drop templates
+    * (`text() | @*` + the deleted-record filter), a predicated base
+    * template whose body is a wrapper with `xsl:apply-templates`,
+    * and per-field templates using `xsl:element`, `xsl:if
+    * normalize-space` guards and an `xsl:choose` over `matches()`
+    * regex tests whose otherwise emits a DIFFERENT element
+    * (`dcterms:format`). Compiled by
+    * [[graft.operators.Transform.compileXsltSheet]]. */
+  private val t8Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="2.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+      |    xmlns:dcterms="http://purl.org/dc/terms/"
+      |    xmlns:oai="http://www.openarchives.org/OAI/2.0/"
+      |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+      |  <xsl:output method="xml" encoding="UTF-8"/>
+      |  <xsl:template match="text() | @*"/>
+      |  <xsl:template match="//oai:record[oai:header[@status='deleted']]/*"/>
+      |  <xsl:template match="//oai_dc:dc[not(dc:relation[string()= 'pdcp_noharvest'])]">
+      |    <oai_dc:dc>
+      |      <xsl:apply-templates/>
+      |    </oai_dc:dc>
+      |  </xsl:template>
+      |  <xsl:template match="dc:title">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <xsl:element name="dcterms:title">
+      |        <xsl:value-of select="normalize-space(.)"/>
+      |      </xsl:element>
+      |    </xsl:if>
+      |  </xsl:template>
+      |  <xsl:template match="dc:type">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <xsl:choose>
+      |        <xsl:when test="matches(., '(^text.*$)', 'i')"><dcterms:type>Text</dcterms:type></xsl:when>
+      |        <xsl:when test="matches(., '(^image.*$)', 'i')"><dcterms:type>Image</dcterms:type></xsl:when>
+      |        <xsl:when test="matches(., '^(movingimage.*$|moving\simage.*$)', 'i')"><dcterms:type>Moving Image</dcterms:type></xsl:when>
+      |        <xsl:when test="matches(., '^(sound.*$)', 'i')"><dcterms:type>Sound</dcterms:type></xsl:when>
+      |        <xsl:otherwise><dcterms:format><xsl:value-of select="."/></dcterms:format></xsl:otherwise>
+      |      </xsl:choose>
+      |    </xsl:if>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** documents → a synthesized OAI-DC record exercising every t8
+    * branch at every SF: %13 → deleted header (drop-template row
+    * kill), %17 → pdcp_noharvest relation (base-match predicate row
+    * kill), %11 → whitespace-only title (normalize-space guard), %5
+    * → a SECOND title (per-node array emission), %6 cycles the type
+    * text through every choose branch incl. the leading-space value
+    * that falls to the otherwise (matches() runs on RAW text) and an
+    * empty value that emits nothing. */
+  private def oaiXml: Column = {
+    val id = col("doc_id")
+    val status = when(id % 13 === 0, lit("deleted")).otherwise(lit("active"))
+    val title1 = when(id % 11 === 0, lit("   "))
+      .otherwise(concat(lit("The  "), col("source"), lit(" record ")))
+    val title2 = when(id % 5 === 0,
+      concat(lit("<dc:title>Vol. "), (id % 9).cast("string"),
+        lit("  of  "), col("source"), lit("</dc:title>"))).otherwise(lit(""))
+    val typeTxt = when(id % 6 === 0, lit("Text"))
+      .when(id % 6 === 1, lit("image/jpeg"))
+      .when(id % 6 === 2, lit("Sound recording"))
+      .when(id % 6 === 3, lit("moving image"))
+      .when(id % 6 === 4, lit(" Text with leading space"))
+      .otherwise(lit(""))
+    val relation = when(id % 17 === 0,
+      lit("<dc:relation>pdcp_noharvest</dc:relation>")).otherwise(lit(""))
+    concat(
+      lit("<oai:record><oai:header status=\""), status,
+      lit("\"><oai:identifier>rec"), id.cast("string"),
+      lit("</oai:identifier></oai:header><oai:metadata><oai_dc:dc><dc:title>"),
+      title1, lit("</dc:title>"), title2,
+      lit("<dc:type>"), typeTxt, lit("</dc:type>"), relation,
+      lit("</oai_dc:dc></oai:metadata></oai:record>"))
+  }
+
+  /** t8: multi-template `xsl:apply-templates` dispatch through the
+    * compiled path — drop-template row kills, base-match predicate
+    * filtering, per-node array emission, xsl:element naming, and the
+    * choose-over-matches() crosswalk, all as ONE keep-filter plus one
+    * codegen'd projection. The oracle rebuilds the JSON from the base
+    * columns (titles/types are pure functions of doc_id/source), so
+    * the engine's xpath extraction is independently checked. */
+  def t8ApplyTemplates(spark: SparkSession, dir: String): DataFrame = {
+    val withXml = Tables.documents(spark, dir)
+      .select(col("doc_id"), oaiXml.as("xml"))
+    Transform.xsltSheetTransform(t8Stylesheet, "xml", Seq("doc_id"))(withXml)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
@@ -269,6 +361,7 @@ object Xml {
     "t5_xslt" -> (t5Xslt _),
     "t6_xslt_if" -> (t6XsltIf _),
     "t7_xslt_choose" -> (t7XsltChoose _),
+    "t8_apply_templates" -> (t8ApplyTemplates _),
     "v9_schematron" -> (v9Schematron _),
   )
 
@@ -348,6 +441,35 @@ object Xml {
                 ELSE lang END,
            '","src":"', source, '"}') AS rec
          FROM ex ORDER BY doc_id""",
+    // t8: the oracle rebuilds the JSON from the BASE columns (every
+    // title/type is a pure function of doc_id/source), so the
+    // engine's xpath extraction + dispatch compilation is checked
+    // independently; keep filter = the two row-kill branches
+    "t8_apply_templates" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'The '||source||' record' END AS t1n,
+             CASE WHEN doc_id % 5 = 0 THEN 'Vol. '||CAST(doc_id % 9 AS VARCHAR)||' of '||source END AS t2n,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'Text' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'Sound recording' WHEN 3 THEN 'moving image'
+               WHEN 4 THEN ' Text with leading space' ELSE '' END AS ty
+           FROM documents
+           WHERE doc_id % 13 != 0 AND doc_id % 17 != 0),
+         parts AS (
+           SELECT doc_id, ty,
+             list_filter([t1n, t2n], x -> x IS NOT NULL AND x != '') AS tl
+           FROM base)
+         SELECT doc_id, '{' || concat_ws(',',
+           CASE WHEN len(tl) = 0 THEN NULL
+                ELSE '"dcterms:title":["' || array_to_string(tl, '","') || '"]' END,
+           CASE WHEN ty = '' THEN NULL
+                WHEN regexp_matches(ty, '(^text.*$)', 'i') THEN '"dcterms:type":["Text"]'
+                WHEN regexp_matches(ty, '(^image.*$)', 'i') THEN '"dcterms:type":["Image"]'
+                WHEN regexp_matches(ty, '^(movingimage.*$|moving\simage.*$)', 'i') THEN '"dcterms:type":["Moving Image"]'
+                WHEN regexp_matches(ty, '^(sound.*$)', 'i') THEN '"dcterms:type":["Sound"]'
+                ELSE '"dcterms:format":["' || ty || '"]' END) || '}' AS rec
+         FROM parts ORDER BY doc_id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),
          ex AS (SELECT doc_id, lang, len($idsSql) AS n1 FROM marc),

@@ -161,6 +161,44 @@ class RankStreamSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("appends update the stream-served authority with no graph rebuild") {
+    // the r11 front door: Graph.authorityRanks prefers a RankStream-
+    // owned state dir; after an APPEND flows through maintainRank the
+    // served boost signal moves to the full-corpus ranks without the
+    // batch artifact ever being (re)built — proven by handing the
+    // batch path a poisoned docs frame that throws if evaluated
+    val full = Tables.documents(spark, sf)
+    val docs = full.select(col("source"), col("text"))
+    val src = java.nio.file.Files.createTempDirectory("graft_rappend")
+    val state = java.nio.file.Files.createTempDirectory("graft_rappstate")
+      .resolve("rank").toString
+    val t0 = System.currentTimeMillis() - 600000
+    stage(docs.filter(crc32(col("text")) % 2 === 0), src, "b0", t0)
+
+    def poisoned: DataFrame = docs.filter(
+      raise_error(lit("authorityRanks fell back to a batch rebuild"))
+        .cast("boolean"))
+    def serve(): DataFrame = graft.operators.Graph.authorityRanks(
+      spark, poisoned, sf, Some(state))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src.toString)
+      val q = RankStream.maintainRank(stream, state)
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    val before = serve().collect().toSet
+
+    stage(docs.filter(crc32(col("text")) % 2 === 1), src, "b1", t0 + 60000)
+    drain()
+    val after = serve()
+    val want = batchRanks(docs)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "post-append stream authority diverged from the full-corpus ranks")
+    assert(after.collect().toSet != before,
+      "the append did not move the served signal")
+  }
+
   test("interrupted fold (duplicate prior rows) cannot double edge weights") {
     val docs = Tables.documents(spark, sf).select(col("source"), col("text"))
     val b0 = docs.filter(crc32(col("text")) % 2 === 0)
