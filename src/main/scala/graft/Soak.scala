@@ -325,8 +325,33 @@ object Soak {
     // order and ONE truth set serves the cosine families (brute/LSH/
     // IVF) and the integer-L2 PQ families alike. Indexes are built
     // untimed; the timed number is the serving-path probe.
-    val annQ = emb.filter(col("id") < 10).select("id", "v")
-    val annC = emb.filter(col("id") >= 10)
+    // r11: the probe-matrix corpus is REPLICATED with deterministic
+    // small perturbations (the dedup-soak trick) and re-normalized,
+    // so the recall chart separates CODE FIDELITY from probe count
+    // instead of pinning at the 500-vector coarse ceiling: ~10k
+    // vectors over the same coarse cells give every cell real
+    // population, and the perturbed near-copies of each true
+    // neighbor make within-cell RANKING precision (raw vs residual
+    // ADC) decide recall once probes stop binding. Replicas of the
+    // query ids are HELD OUT of the corpus — otherwise each query's
+    // top-k would be its own near-copies, all in its own cell, and
+    // one probe would trivially saturate the chart.
+    val annRep = 20
+    val annNorm = (0 until annRep).map { i =>
+      emb.select((col("id") + lit(i * 1000000L)).as("id"), col("label"),
+        transform(sequence(lit(0), lit(63)), j =>
+          try_element_at(col("v"), j + 1)
+            + lit(0.004 * i) * try_element_at(col("v"),
+              pmod(j + lit(i), lit(64)) + 1)).as("v"))
+    }.reduce(_ unionByName _)
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d),
+        (a, x) => a + x * x)))
+      .select(col("id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+      .cache()
+    val annQ = annNorm.filter(col("id") < 10).select("id", "v")
+    val annC = annNorm.filter(pmod(col("id"), lit(1000000L)) >= 10)
+    val nAnnC = annC.count()
     val annTruth = similarity.Knn.bruteForce(annQ, annC.select("id", "v"), 5)
       .select("q_id", "n_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -399,7 +424,7 @@ object Soak {
       }
     }
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -77,6 +77,7 @@ object Transform {
     case XWhen(_, inner) => ruleName(inner)
     case XChoose(bs, _) => ruleName(bs.head._2)
     case XDispatch(n, _, _) => n
+    case XConcat(n, _) => n
   }
 
   private def ruleExpr(xml: Column, r: XRule): Column = r match {
@@ -103,6 +104,7 @@ object Transform {
       }
       ow.fold(chained)(r => chained.otherwise(ruleExpr(xml, r)))
     case d: XDispatch => dispatchExpr(xml, d)
+    case c: XConcat => concatExpr(xml, c)
   }
 
   private def compileRule(xml: Column, r: XRule): Column =
@@ -154,6 +156,13 @@ object Transform {
   /** `matches(., re)` — XPath's UNANCHORED contains-a-match
     * semantics; flags are pre-baked as an inline `(?i)` group. */
   final case class AMatches(re: String) extends XAtom
+  /** `starts-with(., 'prefix')` — the rights-URI routing test the
+    * reference's temple.xsl:237 uses. */
+  final case class AStartsWith(prefix: String) extends XAtom
+  /** An `or`-disjunction of atomic tests (temple.xsl:237 chains three
+    * starts-with). One atom, so first-match-wins negation stays a
+    * single [[ANot]]. */
+  final case class AAnyOf(atoms: Seq[XAtom]) extends XAtom
   final case class ANot(atom: XAtom) extends XAtom
 
   /** What a matched case emits for the node. */
@@ -164,6 +173,16 @@ object Transform {
   case object VNormText extends XVal
   /** Literal text content (`<dcterms:type>Text</dcterms:type>`). */
   final case class VConst(s: String) extends XVal
+  /** A recursive delimiter-split emission (the `xsl:call-template`
+    * str-split idiom of temple.xsl:324-348): the node's text splits
+    * into one emitted element per segment — the FIRST split uses the
+    * call site's delimiter, subsequent splits the named template's
+    * own recursive literal (they differ in temple's type/lang
+    * templates: `';'` vs `'; '`), intermediate segments emitted RAW
+    * (`substring-before`) and only the final segment
+    * `normalize-space`'d, empty segments included — exactly the
+    * recursion's emission trace. */
+  final case class VSplit(first: String, rest: String) extends XVal
 
   /** XPath `normalize-space`: collapse whitespace runs, trim. (Not
     * [[normalizeText]] — no lowercasing.) */
@@ -173,6 +192,8 @@ object Transform {
   private def atomCond(x: Column, a: XAtom): Column = a match {
     case ANonEmpty => length(trim(x)) > 0
     case AMatches(re) => x.rlike(re)
+    case AStartsWith(p) => x.startsWith(p)
+    case AAnyOf(atoms) => atoms.map(atomCond(x, _)).reduce(_ || _)
     case ANot(inner) => !atomCond(x, inner)
   }
 
@@ -180,17 +201,59 @@ object Transform {
     case VText => x
     case VNormText => normalizeSpace(x)
     case VConst(s) => lit(s)
+    case v: VSplit => throw new IllegalStateException(
+      s"VSplit must be a dispatch's sole case, got mixed cases ($v)")
+  }
+
+  /** The [[VSplit]] emission trace for one node's text. */
+  private def splitEmissions(x: Column, d1: String, d2: String): Column = {
+    val before = substring_index(x, d1, 1)
+    val after = x.substr(length(before) + lit(d1.length + 1), lit(1 << 30))
+    val restParts = split(after, java.util.regex.Pattern.quote(d2))
+    val restEmitted = transform(restParts, (seg, i) =>
+      when(i === size(restParts) - 1, normalizeSpace(seg)).otherwise(seg))
+    when(x.contains(d1), concat(array(before), restEmitted))
+      .otherwise(array(normalizeSpace(x)))
+  }
+
+  private def condOf(x: Column, atoms: Seq[XAtom]): Column =
+    atoms.map(atomCond(x, _)).reduceOption(_ && _).getOrElse(lit(true))
+
+  private def keptArray(xml: Column, d: XDispatch): Column = {
+    val nodes = xpath(xml, lit(d.nodesPath))
+    d.cases match {
+      // a split call is the sole emission for its output: the guard
+      // selects nodes, every segment of a selected node is emitted
+      case Seq((atoms, VSplit(d1, d2))) =>
+        flatten(transform(filter(nodes, x => condOf(x, atoms)),
+          x => splitEmissions(x, d1, d2)))
+      case cases =>
+        require(!cases.exists(_._2.isInstanceOf[VSplit]),
+          "VSplit must be a dispatch's sole case")
+        val mapped = transform(nodes, x =>
+          cases.tail.foldLeft(
+            when(condOf(x, cases.head._1), caseValue(x, cases.head._2))) {
+            case (c, (atoms, v)) => c.when(condOf(x, atoms), caseValue(x, v))
+          })
+        filter(mapped, _.isNotNull)
+    }
   }
 
   private def dispatchExpr(xml: Column, d: XDispatch): Column = {
-    def cond(x: Column, atoms: Seq[XAtom]): Column =
-      atoms.map(atomCond(x, _)).reduceOption(_ && _).getOrElse(lit(true))
-    val mapped = transform(xpath(xml, lit(d.nodesPath)), x =>
-      d.cases.tail.foldLeft(
-        when(cond(x, d.cases.head._1), caseValue(x, d.cases.head._2))) {
-        case (c, (atoms, v)) => c.when(cond(x, atoms), caseValue(x, v))
-      })
-    val kept = filter(mapped, _.isNotNull)
+    val kept = keptArray(xml, d)
+    when(size(kept) > 0, kept)
+  }
+
+  /** Several field templates emitting the SAME output element
+    * (temple.xsl maps both `dc:coverage` and `dcterms:spatial` to
+    * `dcterms:spatial`) — legal XSLT; the struct model merges their
+    * emissions into one array field, template-declaration order
+    * between the parts (the documented field-order caveat, one level
+    * down). */
+  final case class XConcat(name: String, parts: Seq[XDispatch]) extends XRule
+
+  private def concatExpr(xml: Column, c: XConcat): Column = {
+    val kept = c.parts.map(keptArray(xml, _)).reduce(concat(_, _))
     when(size(kept) > 0, kept)
   }
 
@@ -463,13 +526,37 @@ object Transform {
     * apply-templates and computational tests stay REFUSED — a
     * compiler that silently mis-runs a stylesheet is worse than one
     * that refuses it. */
-  def compileXsltSheet(xslt: String): XsltSheet = {
+  def compileXsltSheet(xslt: String,
+      includes: Map[String, String] = Map.empty): XsltSheet =
+    compileSheet(xslt, includes, externalContext = None)
+
+  /** MODULE compilation — the reference's shared-template layout
+    * (tests/fixtures/temple.xsl: field + named templates only, no
+    * base template; the collection-level stylesheet that includes it
+    * supplies the context). The caller provides the base match the
+    * including stylesheet would: `contextMatch` plays the base
+    * template's role; everything else compiles as in
+    * [[compileXsltSheet]]. */
+  def compileXsltModule(xslt: String, contextMatch: String,
+      includes: Map[String, String] = Map.empty): XsltSheet =
+    compileSheet(xslt, includes, externalContext = Some(contextMatch))
+
+  /** A recognized recursive delimiter-split named template
+    * (see [[VSplit]]): output element, its two parameter names, and
+    * the delimiter literal its self-recursion passes. */
+  private final case class Splitter(outName: String, strParam: String,
+      delimParam: String, recDelim: String)
+
+  private def compileSheet(xslt: String, includes: Map[String, String],
+      externalContext: Option[String]): XsltSheet = {
     import org.w3c.dom.Element
     val XslNs = "http://www.w3.org/1999/XSL/Transform"
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(true)
-    val doc = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
-      new java.io.StringReader(xslt)))
+    def parse(src: String): org.w3c.dom.Document = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true)
+      dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+        new java.io.StringReader(src)))
+    }
     def elems(n: org.w3c.dom.Node): Seq[Element] = {
       val nl = n.getChildNodes
       (0 until nl.getLength).map(nl.item).collect { case e: Element => e }
@@ -482,7 +569,26 @@ object Transform {
     // JSON field name, not an xpath step
     def outName(e: Element): String = e.getTagName
 
-    val templates = elems(doc.getDocumentElement).filter(isXsl(_, "template"))
+    // ---- template pool: main + caller-supplied includes -----------
+    // xsl:include/xsl:import hrefs must resolve from `includes` — a
+    // zero-egress engine cannot fetch temple.xsl's remote lookup.xsl
+    // (temple.xsl:26); the caller hands the included sources and the
+    // pool compiles as one stylesheet. Pool order: main first, then
+    // includes in map order; on duplicate match patterns the LAST
+    // declaration wins (XSLT 1.0's recoverable-error resolution).
+    val docs = parse(xslt) +: includes.values.toSeq.map(parse)
+    docs.foreach { d =>
+      elems(d.getDocumentElement)
+        .filter(e => isXsl(e, "include") || isXsl(e, "import"))
+        .foreach { e =>
+          val href = e.getAttribute("href")
+          require(includes.contains(href),
+            s"xsl:include '$href' unresolved — remote includes do not " +
+              "fetch in a zero-egress engine; pass its source in `includes`")
+        }
+    }
+    val templates = docs.flatMap(d =>
+      elems(d.getDocumentElement).filter(isXsl(_, "template")))
     require(templates.nonEmpty, "stylesheet has no xsl:template")
     val (drops, bodied) = templates.partition(t => elems(t).isEmpty
       && t.getTextContent.trim.isEmpty)
@@ -500,6 +606,85 @@ object Transform {
       }
     }
 
+    // ---- named templates: recognize the recursive-splitter idiom --
+    val (named, matched) = bodied.partition(
+      t => t.getAttribute("match").trim.isEmpty)
+    named.foreach(t => require(t.getAttribute("name").nonEmpty,
+      "template with neither match nor name"))
+    // the str-split idiom (temple.xsl:324-348): two params, one
+    // choose — when contains(p1,p2): emit substring-before + recurse
+    // on substring-after with a literal delimiter; otherwise: emit
+    // normalize-space(p1). Same output element in both branches.
+    def recognizeSplitter(t: Element): Option[Splitter] = {
+      import java.util.regex.Pattern.quote
+      val kids = elems(t)
+      val params = kids.filter(isXsl(_, "param")).map(_.getAttribute("name"))
+      val body = kids.filterNot(isXsl(_, "param"))
+      if (params.size != 2 || body.size != 1 || !isXsl(body.head, "choose"))
+        return None
+      val Seq(p1, p2) = params
+      val ch = elems(body.head)
+      val whens = ch.filter(isXsl(_, "when"))
+      val others = ch.filter(isXsl(_, "otherwise"))
+      if (whens.size != 1 || others.size != 1 || ch.size != 2) return None
+      val contRe = ("""contains\(\s*\$""" + quote(p1) + """\s*,\s*\$""" +
+        quote(p2) + """\s*\)""").r
+      if (!contRe.matches(whens.head.getAttribute("test").trim)) return None
+      val wk = elems(whens.head)
+      val vars = wk.filter(isXsl(_, "variable"))
+        .map(v => v.getAttribute("name") ->
+          v.getAttribute("select").replaceAll("\\s+", "")).toMap
+      val emits = wk.filterNot(e => isXsl(e, "variable")
+        || isXsl(e, "call-template"))
+      val recs = wk.filter(isXsl(_, "call-template"))
+      if (emits.size != 1 || recs.size != 1) return None
+      val emitEl = emits.head
+      if (emitEl.getNamespaceURI == XslNs) return None
+      val subBefore = s"substring-before($$$p1,$$$p2)"
+      val subAfter = s"substring-after($$$p1,$$$p2)"
+      val voOk = elems(emitEl) match {
+        case Seq(vo) if isXsl(vo, "value-of") =>
+          vo.getAttribute("select").replaceAll("\\s+", "") == subBefore
+        case _ => false
+      }
+      if (!voOk) return None
+      val rec = recs.head
+      if (rec.getAttribute("name") != t.getAttribute("name")) return None
+      val wps = elems(rec).map { wp =>
+        if (!isXsl(wp, "with-param")) return None
+        wp.getAttribute("name") -> wp.getAttribute("select")
+      }.toMap
+      val strSel = wps.getOrElse(p1, "").replaceAll("\\s+", "")
+      val strOk = strSel == subAfter ||
+        (strSel.startsWith("$")
+          && vars.get(strSel.drop(1)).contains(subAfter))
+      if (!strOk) return None
+      val litRe = "\\s*'(.*)'\\s*".r
+      val recDelim = wps.getOrElse(p2, "") match {
+        case litRe(d) => d
+        case _ => return None
+      }
+      val otherOk = elems(others.head) match {
+        case Seq(oe) if oe.getNamespaceURI != XslNs
+            && oe.getTagName == emitEl.getTagName =>
+          elems(oe) match {
+            case Seq(vo) if isXsl(vo, "value-of") =>
+              vo.getAttribute("select").replaceAll("\\s+", "") ==
+                s"normalize-space($$$p1)"
+            case _ => false
+          }
+        case _ => false
+      }
+      if (!otherOk) return None
+      Some(Splitter(outName(emitEl), p1, p2, recDelim))
+    }
+    // unrecognized named templates are accepted but UNCALLABLE — an
+    // uncalled template runs nothing, so accepting it is sound; a
+    // call site referencing one refuses below
+    val splitters: Map[String, Splitter] = named.flatMap(t =>
+      recognizeSplitter(t).map(t.getAttribute("name") -> _)).toMap
+
+    // ---- base template / external context -------------------------
     def isBase(t: Element): Boolean = elems(t) match {
       case Seq(w) if w.getNamespaceURI != XslNs =>
         elems(w) match {
@@ -509,32 +694,51 @@ object Transform {
         }
       case _ => false
     }
-    val (bases, fields) = bodied.partition(isBase)
-    require(bases.size == 1,
-      s"need exactly one apply-templates base template, found ${bases.size}")
-    val ctxRaw = bases.head.getAttribute("match").trim
+    val (bases, fields0) = matched.partition(isBase)
+    val ctxRaw = externalContext match {
+      case Some(c) =>
+        require(bases.isEmpty,
+          "module compile, but the stylesheet carries its own base " +
+            "template — compile it with compileXsltSheet instead")
+        c.trim
+      case None =>
+        require(bases.size == 1,
+          s"need exactly one apply-templates base template, found ${bases.size}")
+        bases.head.getAttribute("match").trim
+    }
     require(ctxRaw.startsWith("/"),
       s"base template match must be absolute, got '$ctxRaw'")
     val ctx = rewriteQNames(ctxRaw)
 
-    // --- per-node tests ---------------------------------------------
-    def parseTest(test: String): XAtom = {
-      // whitespace tolerated OUTSIDE the quoted regex only — stripping
-      // it globally would corrupt a pattern containing literal spaces
+    // ---- per-node tests -------------------------------------------
+    def parseAtomic(t: String): XAtom = {
       val normRe = """normalize-space\(\s*\.\s*\)\s*!=\s*''""".r
       val matchesRe =
         """matches\(\s*\.\s*,\s*'([^']*)'\s*(?:,\s*'([^']*)')?\s*\)""".r
-      test.trim match {
+      val startsRe = """starts-with\(\s*\.\s*,\s*'([^']*)'\s*\)""".r
+      t match {
         case normRe() => ANonEmpty
         case matchesRe(re, flags) =>
           val f = Option(flags).getOrElse("")
           require(f.forall("ims".contains(_)),
             s"unsupported matches() flags '$f'")
           AMatches(if (f.isEmpty) re else s"(?$f)$re")
+        case startsRe(p) => AStartsWith(p)
         case _ => throw new IllegalArgumentException(
-          s"unsupported test '$test' (subset: normalize-space(.)!='' " +
-            "and matches(., 're'[, 'flags']))")
+          s"unsupported test '$t' (subset: normalize-space(.)!='', " +
+            "matches(., 're'[, 'flags']), starts-with(., 'p'), " +
+            "or-disjunctions thereof)")
       }
+    }
+    def parseTest(test: String): XAtom = {
+      // whitespace tolerated OUTSIDE quoted literals only; the 'or'
+      // split is token-level, so a literal containing ' or ' refuses
+      val parts = test.trim.split("""\s+or\s+""").map(_.trim).toSeq
+      parts.foreach(p => require(p.count(_ == '\'') % 2 == 0,
+        s"cannot split test '$test' on 'or' — a quoted literal " +
+          "contains ' or ' (out of subset)"))
+      if (parts.size == 1) parseAtomic(parts.head)
+      else AAnyOf(parts.map(parseAtomic))
     }
     def parseValueOf(vo: Element): XVal = {
       val sel = vo.getAttribute("select").replaceAll("\\s+", "")
@@ -568,7 +772,9 @@ object Transform {
               "or only text")
         }
       }
-    // template body → ordered (name, guard atoms, value) emissions
+    // template body → ordered (name, guard atoms, value) emissions;
+    // choose branches RECURSE (an xsl:if inside xsl:when — the
+    // temple.xsl:234 rights shape — is the same walk one level down)
     def perNode(e: Element, atoms: Seq[XAtom]): Seq[(String, Seq[XAtom], XVal)] =
       if (isXsl(e, "if")) {
         val guard = parseTest(e.getAttribute("test"))
@@ -585,26 +791,50 @@ object Transform {
         require(whens.nonEmpty
             && kids.size == whens.size + others.size && others.size <= 1,
           "xsl:choose must hold xsl:when branches and at most one otherwise")
-        def only(x: Element, what: String): Element = elems(x) match {
-          case Seq(one) => one
-          case _ => throw new IllegalArgumentException(
-            s"$what must hold exactly one emitting construct")
-        }
         val tests = whens.map(wn => parseTest(wn.getAttribute("test")))
-        val branches = whens.zipWithIndex.map { case (wn, i) =>
-          val (n, v) = parseEmit(only(wn, "xsl:when"))
-          (n, atoms ++ tests.take(i).map(ANot(_)) :+ tests(i), v)
+        def branch(x: Element, extra: Seq[XAtom],
+            what: String): Seq[(String, Seq[XAtom], XVal)] =
+          elems(x) match {
+            case Seq(one) => perNode(one, atoms ++ extra)
+            case other => throw new IllegalArgumentException(
+              s"$what must hold exactly one construct, got ${other.size}")
+          }
+        whens.zipWithIndex.flatMap { case (wn, i) =>
+          branch(wn, tests.take(i).map(ANot(_)) :+ tests(i), "xsl:when")
+        } ++ others.flatMap(o =>
+          branch(o, tests.map(ANot(_)), "xsl:otherwise"))
+      } else if (isXsl(e, "call-template")) {
+        val nm = e.getAttribute("name")
+        val sp = splitters.getOrElse(nm, throw new IllegalArgumentException(
+          s"xsl:call-template '$nm' is not a recognized delimiter-split " +
+            "template — out of subset"))
+        val wps = elems(e).map { wp =>
+          require(isXsl(wp, "with-param"),
+            s"call-template '$nm' may hold only xsl:with-param children")
+          wp.getAttribute("name") -> wp.getAttribute("select")
+        }.toMap
+        require(wps.get(sp.strParam).map(_.trim).contains("."),
+          s"call-template '$nm' must pass the context node ('.') as " +
+            s"'${sp.strParam}'")
+        val litRe = "\\s*'(.*)'\\s*".r
+        val d1 = wps.get(sp.delimParam) match {
+          case Some(litRe(d)) => d
+          case other => throw new IllegalArgumentException(
+            s"call-template '$nm' delimiter must be a string literal, " +
+              s"got $other")
         }
-        val fallback = others.map { o =>
-          val (n, v) = parseEmit(only(o, "xsl:otherwise"))
-          (n, atoms ++ tests.map(ANot(_)), v)
-        }
-        branches ++ fallback
+        Seq((sp.outName, atoms, VSplit(d1, sp.recDelim)))
       } else {
         val (n, v) = parseEmit(e)
         Seq((n, atoms, v))
       }
 
+    // ---- field templates: last declaration wins per match ---------
+    val lastIdx = fields0.zipWithIndex
+      .groupBy(_._1.getAttribute("match").trim)
+      .map { case (_, v) => v.last._2 }.toSet
+    val fields = fields0.zipWithIndex
+      .collect { case (t, i) if lastIdx(i) => t }
     val rules = fields.flatMap { t =>
       val m = t.getAttribute("match").trim
       require(m.nonEmpty && !m.startsWith("/") && !m.contains("/")
@@ -619,12 +849,17 @@ object Transform {
           emissions.collect { case (`n`, atoms, v) => (atoms, v) })
       }
     }
-    val dup = rules.map(ruleName).diff(rules.map(ruleName).distinct)
-    require(dup.isEmpty,
-      s"output name(s) ${dup.distinct.mkString(",")} emitted by more than " +
-        "one field template — out of subset")
-    XsltSheet(ctx, exclusions, rules)
+    // several templates emitting one output name merge into one
+    // array field (dc:coverage + dcterms:spatial → dcterms:spatial)
+    val merged = rules.map(ruleName).distinct.map { n =>
+      rules.collect { case d: XDispatch if d.name == n => d } match {
+        case Seq(one) => one
+        case many => XConcat(n, many)
+      }
+    }
+    XsltSheet(ctx, exclusions, merged)
   }
+
 
   /** The multi-template stylesheet as a whole-frame transform — the
     * apply-templates twin of [[xsltTransform]]: keep-filter plus one

@@ -353,6 +353,115 @@ object Xml {
       .orderBy("doc_id")
   }
 
+  /** The t9 stylesheet — a temple.xsl-shaped shared-template MODULE
+    * (tests/fixtures/temple.xsl:309-403: named recursive
+    * delimiter-split templates, starts-with rights routing, no base
+    * template — the including collection stylesheet supplies the
+    * context), compiled by
+    * [[graft.operators.Transform.compileXsltModule]]. */
+  private val t9Module =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="2.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+      |    xmlns:dcterms="http://purl.org/dc/terms/"
+      |    xmlns:edm="http://www.europeana.eu/schemas/edm/">
+      |  <xsl:template match="dc:title">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <xsl:element name="dcterms:title">
+      |        <xsl:value-of select="normalize-space(.)"/>
+      |      </xsl:element>
+      |    </xsl:if>
+      |  </xsl:template>
+      |  <xsl:template match="dc:subject">
+      |    <xsl:call-template name="subj_template">
+      |      <xsl:with-param name="stringz" select="."/>
+      |      <xsl:with-param name="delimiter" select="';'"/>
+      |    </xsl:call-template>
+      |  </xsl:template>
+      |  <xsl:template match="dc:rights">
+      |    <xsl:choose>
+      |      <xsl:when test="starts-with(., 'http://rightsstatements.org/vocab/') or starts-with(., 'http://creativecommons.org/') or starts-with(., 'https://creativecommons.org/')">
+      |        <xsl:if test="normalize-space(.)!=''">
+      |          <xsl:element name="edm:rights">
+      |            <xsl:value-of select="normalize-space(.)"/>
+      |          </xsl:element>
+      |        </xsl:if>
+      |      </xsl:when>
+      |      <xsl:otherwise>
+      |        <xsl:if test="normalize-space(.)!=''">
+      |          <xsl:element name="dcterms:rights">
+      |            <xsl:value-of select="normalize-space(.)"/>
+      |          </xsl:element>
+      |        </xsl:if>
+      |      </xsl:otherwise>
+      |    </xsl:choose>
+      |  </xsl:template>
+      |  <xsl:template name="subj_template">
+      |    <xsl:param name="stringz"/>
+      |    <xsl:param name="delimiter"/>
+      |    <xsl:choose>
+      |      <xsl:when test="contains($stringz, $delimiter)">
+      |        <xsl:variable name="newstem" select="substring-after($stringz, $delimiter)"/>
+      |        <dcterms:subject>
+      |          <xsl:value-of select="substring-before($stringz, $delimiter)"/>
+      |        </dcterms:subject>
+      |        <xsl:call-template name="subj_template">
+      |          <xsl:with-param name="stringz" select="$newstem"/>
+      |          <xsl:with-param name="delimiter" select="';'"/>
+      |        </xsl:call-template>
+      |      </xsl:when>
+      |      <xsl:otherwise>
+      |        <dcterms:subject>
+      |          <xsl:value-of select="normalize-space($stringz)"/>
+      |        </dcterms:subject>
+      |      </xsl:otherwise>
+      |    </xsl:choose>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** documents → an OAI-DC record for t9: %4 cycles the subject
+    * through multi-valued (raw-intermediate/normalized-last
+    * splitting, incl. an empty middle segment), single-valued,
+    * absent, and plain shapes; %3 cycles rights through the
+    * rightsstatements URI, a creativecommons URI, and free text. */
+  private def t9Xml: Column = {
+    val id = col("doc_id")
+    val subject = when(id % 4 === 0,
+        concat(lit("<dc:subject>Art ;; History;  Local  "), col("lang"),
+          lit(" </dc:subject>")))
+      .when(id % 4 === 1, lit("<dc:subject>Single Subject</dc:subject>"))
+      .when(id % 4 === 2, lit(""))
+      .otherwise(concat(lit("<dc:subject>a;b;"), col("lang"),
+        lit("</dc:subject>")))
+    val rights = when(id % 3 === 0,
+        lit("<dc:rights>http://rightsstatements.org/vocab/InC/1.0/</dc:rights>"))
+      .when(id % 3 === 1,
+        lit("<dc:rights>https://creativecommons.org/publicdomain/zero/1.0/</dc:rights>"))
+      .otherwise(lit("<dc:rights>All rights reserved.</dc:rights>"))
+    concat(lit("<rec><oai_dc:dc><dc:title>The  "), col("source"),
+      lit(" record </dc:title>"), subject, rights,
+      lit("</oai_dc:dc></rec>"))
+  }
+
+  /** t9: the shared-template MODULE through the compiled path — the
+    * caller-supplied context plays the including stylesheet's base
+    * template (temple.xsl's deployment shape), the dc:subject
+    * call-template compiles to the recursive delimiter-split
+    * emission trace (intermediate segments RAW, last
+    * normalize-space'd, empty segments kept), and dc:rights routes
+    * URI vs text via the starts-with or-disjunction with the
+    * nonempty guard nested inside each branch. The oracle replays
+    * the split trace with list slicing and the routing with CASE. */
+  def t9XsltModule(spark: SparkSession, dir: String): DataFrame = {
+    val sheet = Transform.compileXsltModule(t9Module, "//oai_dc:dc")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t9Xml.as("xml"))
+      .filter(sheet.keep(col("xml")))
+      .select(col("doc_id"), to_json(sheet.output(col("xml"))).as("rec"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
@@ -362,6 +471,7 @@ object Xml {
     "t6_xslt_if" -> (t6XsltIf _),
     "t7_xslt_choose" -> (t7XsltChoose _),
     "t8_apply_templates" -> (t8ApplyTemplates _),
+    "t9_xslt_module" -> (t9XsltModule _),
     "v9_schematron" -> (v9Schematron _),
   )
 
@@ -470,6 +580,40 @@ object Xml {
                 WHEN regexp_matches(ty, '^(sound.*$)', 'i') THEN '"dcterms:type":["Sound"]'
                 ELSE '"dcterms:format":["' || ty || '"]' END) || '}' AS rec
          FROM parts ORDER BY doc_id""",
+    // t9: the oracle replays the recursive-split emission trace with
+    // list slicing (intermediate segments RAW, last normalized,
+    // empties kept) and the starts-with routing with LIKE prefixes
+    "t9_xslt_module" ->
+      """WITH base AS (
+           SELECT doc_id, source, lang,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'Art ;; History;  Local  '||lang||' '
+               WHEN 1 THEN 'Single Subject'
+               WHEN 2 THEN NULL
+               ELSE 'a;b;'||lang END AS subj,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 'http://rightsstatements.org/vocab/InC/1.0/'
+               WHEN 1 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+               ELSE 'All rights reserved.' END AS rts
+           FROM documents),
+         emitted AS (
+           SELECT doc_id, source, rts,
+             CASE WHEN subj IS NULL THEN NULL
+               ELSE list_concat(
+                 (str_split(subj, ';'))[1:len(str_split(subj, ';'))-1],
+                 [trim(regexp_replace(str_split(subj, ';')[-1], '\s+', ' ', 'g'))])
+               END AS segs
+           FROM base)
+         SELECT doc_id, '{' || concat_ws(',',
+             '"dcterms:title":["The '||source||' record"]',
+             CASE WHEN segs IS NULL THEN NULL
+                  ELSE '"dcterms:subject":["' || array_to_string(segs, '","') || '"]' END,
+             CASE WHEN rts LIKE 'http://rightsstatements.org/vocab/%'
+                       OR rts LIKE 'http://creativecommons.org/%'
+                       OR rts LIKE 'https://creativecommons.org/%'
+                  THEN '"edm:rights":["' || rts || '"]'
+                  ELSE '"dcterms:rights":["' || rts || '"]' END) || '}' AS rec
+         FROM emitted ORDER BY doc_id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),
          ex AS (SELECT doc_id, lang, len($idsSql) AS n1 FROM marc),

@@ -135,6 +135,89 @@ class XsltSheetSpec extends AnyFunSuite {
       """{"dcterms:title":["a b","c"],"f":[" text leading-space goes to otherwise"]}""")
   }
 
+  test("temple.xsl (the reference's shared-template module) compiles fully and runs") {
+    // the r10 verdict's top remaining gap: the reference's REAL
+    // 403-line stylesheet. Its live templates are all in subset now:
+    // 15 if+element+normalize-space fields, the dc:type matches()
+    // choose, dc:subject -> recursive delimiter-split call-template,
+    // dc:rights -> starts-with OR-disjunction routing with xsl:if
+    // INSIDE the branches, plus a remote xsl:include that must
+    // resolve from caller-supplied local sources (zero-egress).
+    val lookupHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/remediations/lookup.xsl"
+    val stub = """<xsl:stylesheet version="2.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform"/>"""
+    // unresolved include refuses…
+    intercept[IllegalArgumentException](
+      Transform.compileXsltModule(resource("temple.xsl"), "//oai_dc:dc"))
+    // …a caller-supplied source compiles
+    val sheet = Transform.compileXsltModule(resource("temple.xsl"),
+      "//oai_dc:dc[not(dc:relation[string()= 'pdcp_noharvest'])]",
+      includes = Map(lookupHref -> stub))
+    // dc:coverage and dcterms:spatial both emit dcterms:spatial —
+    // legal XSLT, merged into one array field
+    assert(sheet.rules.exists {
+      case XConcat("dcterms:spatial", ps) => ps.size == 2
+      case _ => false
+    })
+    val dispatches = sheet.rules.flatMap {
+      case d: XDispatch => Seq(d)
+      case XConcat(_, ps) => ps
+      case _ => Seq()
+    }
+    // dc:subject compiled to the recursive splitter (first split by
+    // the call's ';', recursion's own literal also ';')
+    val subj = dispatches.find(_.name == "dcterms:subject").get
+    assert(subj.cases == Seq((Seq(), VSplit(";", ";"))))
+    // dc:rights routed by the 3-way starts-with disjunction, the
+    // nonempty guard nested INSIDE each branch
+    val edm = dispatches.find(_.name == "edm:rights").get
+    assert(edm.cases.head._1.exists {
+      case AAnyOf(as) => as.size == 3 && as.forall(_.isInstanceOf[AStartsWith])
+      case _ => false
+    } && edm.cases.head._1.contains(ANonEmpty))
+    val rightsTxt = dispatches.find(_.name == "dcterms:rights").get
+    assert(rightsTxt.cases.head._1.exists(_.isInstanceOf[ANot]))
+    // dc:type kept its 7-branch matches() choose + format fallback
+    assert(dispatches.find(_.name == "dcterms:type").get.cases.size == 7)
+    assert(dispatches.exists(_.name == "dcterms:format"))
+    // the full live-template inventory came through
+    assert(dispatches.map(_.name).toSet == Set(
+      "dcterms:title", "dcterms:alternative", "dcterms:type",
+      "dcterms:format", "dcterms:creator", "dcterms:publisher",
+      "dcterms:description", "dcterms:spatial", "dcterms:temporal",
+      "dcterms:extent", "dcterms:date", "dcterms:subject",
+      "dcterms:language", "dcterms:isPartOf", "dcterms:isReplacedBy",
+      "dcterms:replaces", "edm:rights", "dcterms:rights",
+      "dcterms:rightsholder"))
+
+    // end-to-end over an OAI-DC record: the splitter's emission trace
+    // (intermediate segments RAW, last normalize-space'd, empties
+    // kept) and the rights URI/text routing
+    import spark.implicits._
+    val xml = "<rec><oai_dc:dc>" +
+      "<dc:title> Temple  yearbook </dc:title>" +
+      "<dc:subject>Art; History;  Local  News </dc:subject>" +
+      "<dc:rights>http://rightsstatements.org/vocab/InC/1.0/</dc:rights>" +
+      "<dc:rights>All rights reserved.</dc:rights>" +
+      "<dc:type>Physical Object</dc:type>" +
+      "</oai_dc:dc></rec>"
+    val outJson = Seq(xml).toDF("xml")
+      .filter(sheet.keep(col("xml")))
+      .select(to_json(sheet.output(col("xml"))).as("rec"))
+      .collect().head.getString(0)
+    assert(outJson.contains(
+      """"dcterms:title":["Temple yearbook"]"""))
+    assert(outJson.contains(
+      """"dcterms:subject":["Art"," History","Local News"]"""))
+    assert(outJson.contains(
+      """"dcterms:type":["Physical Object"]"""))
+    assert(outJson.contains(
+      """"edm:rights":["http://rightsstatements.org/vocab/InC/1.0/"]"""))
+    assert(outJson.contains(
+      """"dcterms:rights":["All rights reserved."]"""))
+  }
+
   test("out-of-subset constructs are refused, not mis-run") {
     def sheetWith(body: String): String =
       s"""<?xml version="1.0"?>
