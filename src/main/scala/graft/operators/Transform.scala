@@ -78,6 +78,7 @@ object Transform {
     case XChoose(bs, _) => ruleName(bs.head._2)
     case XDispatch(n, _, _) => n
     case XConcat(n, _) => n
+    case XStamp(n, _) => n
   }
 
   private def ruleExpr(xml: Column, r: XRule): Column = r match {
@@ -105,6 +106,7 @@ object Transform {
       ow.fold(chained)(r => chained.otherwise(ruleExpr(xml, r)))
     case d: XDispatch => dispatchExpr(xml, d)
     case c: XConcat => concatExpr(xml, c)
+    case XStamp(_, v) => array(lit(v))
   }
 
   private def compileRule(xml: Column, r: XRule): Column =
@@ -251,6 +253,12 @@ object Transform {
     * between the parts (the documented field-order caveat, one level
     * down). */
   final case class XConcat(name: String, parts: Seq[XDispatch]) extends XRule
+
+  /** An unconditional per-record constant emission: the base
+    * template's `xsl:call-template` of a constant named template
+    * (xsl-sample-complex.xsl:49 calls temple.xsl's `hub` to stamp
+    * `<edm:provider>PA Digital</edm:provider>` on every record). */
+  final case class XStamp(name: String, value: String) extends XRule
 
   private def concatExpr(xml: Column, c: XConcat): Column = {
     val kept = c.parts.map(keptArray(xml, _)).reduce(concat(_, _))
@@ -569,26 +577,29 @@ object Transform {
     // JSON field name, not an xpath step
     def outName(e: Element): String = e.getTagName
 
-    // ---- template pool: main + caller-supplied includes -----------
+    // ---- template pool: includes EXPANDED AT THEIR POSITION -------
     // xsl:include/xsl:import hrefs must resolve from `includes` — a
     // zero-egress engine cannot fetch temple.xsl's remote lookup.xsl
     // (temple.xsl:26); the caller hands the included sources and the
-    // pool compiles as one stylesheet. Pool order: main first, then
-    // includes in map order; on duplicate match patterns the LAST
-    // declaration wins (XSLT 1.0's recoverable-error resolution).
-    val docs = parse(xslt) +: includes.values.toSeq.map(parse)
-    docs.foreach { d =>
-      elems(d.getDocumentElement)
-        .filter(e => isXsl(e, "include") || isXsl(e, "import"))
-        .foreach { e =>
+    // pool compiles as one stylesheet. Expansion is recursive and
+    // positional (include = textual inclusion at the include point),
+    // so on duplicate match patterns the LAST declaration in expanded
+    // document order wins (XSLT 1.0's recoverable-error resolution):
+    // xsl-sample-complex.xsl includes temple.xsl ABOVE its own
+    // templates, so its own dc:title/dc:type override temple's.
+    def poolTemplates(src: String, seen: Set[String]): Seq[Element] =
+      elems(parse(src).getDocumentElement).flatMap {
+        case e if isXsl(e, "include") || isXsl(e, "import") =>
           val href = e.getAttribute("href")
           require(includes.contains(href),
             s"xsl:include '$href' unresolved — remote includes do not " +
               "fetch in a zero-egress engine; pass its source in `includes`")
-        }
-    }
-    val templates = docs.flatMap(d =>
-      elems(d.getDocumentElement).filter(isXsl(_, "template")))
+          require(!seen(href), s"circular xsl:include of '$href'")
+          poolTemplates(includes(href), seen + href)
+        case e if isXsl(e, "template") => Seq(e)
+        case _ => Seq() // xsl:output etc.
+      }
+    val templates = poolTemplates(xslt, Set.empty)
     require(templates.nonEmpty, "stylesheet has no xsl:template")
     val (drops, bodied) = templates.partition(t => elems(t).isEmpty
       && t.getTextContent.trim.isEmpty)
@@ -683,28 +694,63 @@ object Transform {
     // call site referencing one refuses below
     val splitters: Map[String, Splitter] = named.flatMap(t =>
       recognizeSplitter(t).map(t.getAttribute("name") -> _)).toMap
+    // constant named templates (temple.xsl's `hub`): body = one
+    // literal/xsl:element holding plain text or a select-less
+    // value-of with text content
+    def recognizeConst(t: Element): Option[(String, String)] =
+      elems(t) match {
+        case Seq(e) =>
+          val n =
+            if (isXsl(e, "element")) Some(e.getAttribute("name"))
+            else if (e.getNamespaceURI != XslNs) Some(outName(e))
+            else None
+          n.flatMap { nm =>
+            elems(e) match {
+              case Seq(vo) if isXsl(vo, "value-of")
+                  && vo.getAttribute("select").isEmpty =>
+                Some(nm -> vo.getTextContent)
+              case Seq() => Some(nm -> e.getTextContent)
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    val constEmitters: Map[String, (String, String)] = named.flatMap(t =>
+      recognizeConst(t).map(t.getAttribute("name") -> _)).toMap
 
     // ---- base template / external context -------------------------
-    def isBase(t: Element): Boolean = elems(t) match {
+    // base body = one literal wrapper holding exactly one bare
+    // apply-templates plus optional call-templates of CONSTANT named
+    // templates (xsl-sample-complex.xsl:46-49's hub stamp)
+    def baseCalls(t: Element): Option[Seq[String]] = elems(t) match {
       case Seq(w) if w.getNamespaceURI != XslNs =>
-        elems(w) match {
-          case Seq(at) if isXsl(at, "apply-templates")
-              && at.getAttribute("select").isEmpty => true
-          case _ => false
-        }
-      case _ => false
+        val kids = elems(w)
+        val ats = kids.filter(e => isXsl(e, "apply-templates")
+          && e.getAttribute("select").isEmpty)
+        val cts = kids.filter(isXsl(_, "call-template"))
+        if (ats.size == 1 && kids.size == ats.size + cts.size)
+          Some(cts.map(_.getAttribute("name")))
+        else None
+      case _ => None
     }
-    val (bases, fields0) = matched.partition(isBase)
-    val ctxRaw = externalContext match {
+    val (bases, fields0) = matched.partition(t => baseCalls(t).isDefined)
+    val (ctxRaw, stampNames) = externalContext match {
       case Some(c) =>
         require(bases.isEmpty,
           "module compile, but the stylesheet carries its own base " +
             "template — compile it with compileXsltSheet instead")
-        c.trim
+        (c.trim, Seq.empty[String])
       case None =>
         require(bases.size == 1,
           s"need exactly one apply-templates base template, found ${bases.size}")
-        bases.head.getAttribute("match").trim
+        (bases.head.getAttribute("match").trim, baseCalls(bases.head).get)
+    }
+    val stamps = stampNames.map { nm =>
+      val (n, v) = constEmitters.getOrElse(nm,
+        throw new IllegalArgumentException(
+          s"base-template xsl:call-template '$nm' is not a constant " +
+            "named template — out of subset"))
+      XStamp(n, v)
     }
     require(ctxRaw.startsWith("/"),
       s"base template match must be absolute, got '$ctxRaw'")
@@ -850,11 +896,18 @@ object Transform {
       }
     }
     // several templates emitting one output name merge into one
-    // array field (dc:coverage + dcterms:spatial → dcterms:spatial)
-    val merged = rules.map(ruleName).distinct.map { n =>
-      rules.collect { case d: XDispatch if d.name == n => d } match {
+    // array field (dc:coverage + dcterms:spatial → dcterms:spatial);
+    // base-body stamps follow the dispatches (call-template comes
+    // after apply-templates in the wrapper)
+    val allRules: Seq[XRule] = rules ++ stamps
+    val merged = allRules.map(ruleName).distinct.map { n =>
+      allRules.filter(r => ruleName(r) == n) match {
         case Seq(one) => one
-        case many => XConcat(n, many)
+        case many if many.forall(_.isInstanceOf[XDispatch]) =>
+          XConcat(n, many.map(_.asInstanceOf[XDispatch]))
+        case _ => throw new IllegalArgumentException(
+          s"output '$n' emitted by both a stamp and a field template " +
+            "— out of subset")
       }
     }
     XsltSheet(ctx, exclusions, merged)

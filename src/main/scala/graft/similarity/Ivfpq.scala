@@ -30,6 +30,20 @@ import org.apache.spark.sql.expressions.Window
   * ([[Pq]] codebooks/ADC/refine; [[Ivf.centroidsQuantized]] coarse
   * means), so the full train→encode→probe→ADC→refine trajectory
   * replays bit-identically in the DuckDB oracle (s11_ivfpq).
+  *
+  * Serving defaults (chosen from the r11 soak operating chart on a
+  * 39.8k replica-dense corpus — `graft.Soak`'s ann_matrix): probe
+  * count binds first (IVF recall@5 0.34→0.94 across 2→8 probes), so
+  * serve at nProbe ≈ 8 for ~8–32 lists probed-share equivalents;
+  * past that, on a NEAR-DUP-DENSE corpus the rerank cut — not code
+  * fidelity — binds, because duplicate families quantize to
+  * identical codes and ADC cannot order within a family: size
+  * `rerank` ≥ k × the expected duplicate-family size (8probe recall
+  * moved 0.34/0.22 at rerank=80 to 0.44/0.48 raw/residual at 400,
+  * residual pulling ahead only once shortlists hold whole
+  * families). Better still, dedup (SemDedup d11/d20) BEFORE
+  * indexing — the pipeline's own posture — which collapses families
+  * and returns the rerank knob to its k×small default.
   */
 object Ivfpq {
 

@@ -180,6 +180,70 @@ class EtlStreamSpec extends AnyFunSuite {
     assert(qr == Set(1L), s"unexpected quarantine: $qr")
   }
 
+  test("the transform seam runs a MULTI-TEMPLATE apply-templates stylesheet " +
+      "(keep-filter remediation + per-node dispatch through the streaming DAG)") {
+    // the r11 widened compiler driving the streaming ETL end-to-end:
+    // the stylesheet's base-match PREDICATE (the remediation filter)
+    // silently drops records — they reach neither index nor
+    // quarantine, exactly the reference's remediation posture —
+    // while per-node dispatch normalizes the survivors' fields
+    val sheet =
+      """<?xml version="1.0"?>
+        |<xsl:stylesheet version="2.0"
+        |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        |    xmlns:dcterms="http://purl.org/dc/terms/">
+        |  <xsl:template match="text() | @*"/>
+        |  <xsl:template match="//dc[not(relation[string()= 'pdcp_noharvest'])]">
+        |    <out><xsl:apply-templates/></out>
+        |  </xsl:template>
+        |  <xsl:template match="title">
+        |    <xsl:if test="normalize-space(.)!=''">
+        |      <xsl:element name="dcterms:title">
+        |        <xsl:value-of select="normalize-space(.)"/>
+        |      </xsl:element>
+        |    </xsl:if>
+        |  </xsl:template>
+        |  <xsl:template match="lang">
+        |    <l><xsl:value-of select="."/></l>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    def xml(title: String, lang: String, remediated: Boolean) =
+      "<rec><dc><title>" + title + "</title><lang>" + lang + "</lang>" +
+        (if (remediated) "<relation>pdcp_noharvest</relation>" else "") +
+        "</dc></rec>"
+    val b0 = Seq(
+      (0L, "active", xml(" A  title ", "en", false)),
+      (1L, "active", xml("Gone", "en", true)),      // remediated → dropped
+      (2L, "active", xml("Bad lang", "xx", false))  // invalid → quarantine
+    ).toDF("doc_id", "status", "xml")
+    val xf = Transform.xsltSheetTransform(sheet, "xml", carry = Seq("doc_id"))
+    val rules = Seq(Validate.Rule("known_lang",
+      get_json_object(col("rec"), "$.l[0]")
+        .isInCollection(Seq("en", "de", "fr", "es", "zh")),
+      "unknown language"))
+    val src = java.nio.file.Files.createTempDirectory("graft_esheet")
+    val state = java.nio.file.Files.createTempDirectory("graft_esheetstate")
+      .resolve("etl").toString
+    stage(b0, src, "b0", System.currentTimeMillis() - 600000)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("status", StringType), StructField("xml", StringType))))
+      .format("parquet").option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = EtlStream.maintainEtl(stream, state, "doc_id", "status",
+      deletedValue = "deleted", contentCols = Seq("xml"),
+      transform = xf, rules = rules)
+    q.processAllAvailable(); q.stop()
+
+    val got = EtlStream.servingIndex(spark, state)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == Set(0L), s"unexpected index ids: ${got.keySet}")
+    assert(got(0L) == """{"dcterms:title":["A title"],"l":["en"]}""", got(0L))
+    val qr = EtlStream.quarantine(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(qr == Set(2L),
+      s"remediated rows must vanish, invalid rows quarantine: $qr")
+  }
+
   test("crash-window replay (marker lost after commits) changes nothing") {
     def rec(id: Long, st: String, tx: String, lg: String) = (id, st, tx, lg)
     val b0 = Seq(rec(0, "active", "one two", "en"),

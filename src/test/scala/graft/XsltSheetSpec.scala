@@ -218,6 +218,63 @@ class XsltSheetSpec extends AnyFunSuite {
       """"dcterms:rights":["All rights reserved."]"""))
   }
 
+  test("xsl-sample-complex.xsl (include temple.xsl + hub stamp) matches the reference outputs") {
+    // the reference's COLLECTION-LEVEL fixture: includes temple.xsl
+    // by remote href (resolved here from the vendored local source —
+    // the zero-egress contract), overrides its dc:title/dc:type by
+    // document-position last-wins (the include sits ABOVE the local
+    // templates), and stamps <edm:provider> via a base-body
+    // call-template of temple's constant `hub` template
+    val templeHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/temple.xsl"
+    val lookupHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/remediations/lookup.xsl"
+    val stub = """<xsl:stylesheet version="2.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform"/>"""
+    val sheet = compileXsltSheet(resource("xsl_sample_complex.xsl"),
+      includes = Map(templeHref -> resource("temple.xsl"),
+        lookupHref -> stub))
+    assert(sheet.rules.exists {
+      case XStamp("edm:provider", "PA Digital") => true
+      case _ => false
+    }, "the hub call-template must compile to the provider stamp")
+
+    import spark.implicits._
+    val rows = recordRows(resource("xsl_sample.xml"))
+    val df = rows.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("rec_id", "xml")
+    val out = df.filter(sheet.keep(col("xml")))
+      .select(col("rec_id"),
+        to_json(sheet.output(col("xml"))).as("rec"))
+      .orderBy("rec_id").collect()
+    assert(out.length == 3)
+    // content parity with xsl-sample-complex-output-record{1,2,3}.xml
+    // (field ORDER is template-declaration order in the struct model,
+    // the documented deviation from the reference's document-order
+    // output — values and field sets match exactly)
+    val titles = Seq(
+      "Beadle's monthly, January, 1866.",
+      "Beadle's monthly, v. 1, volume title, plates and index.",
+      "Beadle's monthly, February, 1866.")
+    out.zip(titles).foreach { case (row, t) =>
+      val rec = row.getString(1)
+      assert(rec.contains(s""""dcterms:title":["$t"]"""), rec)
+      assert(rec.contains(""""dcterms:language":["English"]"""))
+      assert(rec.contains(
+        """"dcterms:publisher":["New York : Beadle and Company"]"""))
+      assert(rec.contains(""""dcterms:date":["1866"]"""))
+      assert(rec.contains(
+        """"dcterms:subject":["Popular literature -- Specimens."]"""))
+      assert(rec.contains(
+        """"edm:rights":["https://creativecommons.org/publicdomain/zero/1.0/"]"""))
+      assert(rec.contains(""""dcterms:type":["Text"]"""))
+      assert(rec.contains(""""edm:provider":["PA Digital"]"""))
+      // the identifier has NO live template → suppressed, like the
+      // reference output
+      assert(!rec.contains("identifier"), rec)
+    }
+  }
+
   test("out-of-subset constructs are refused, not mis-run") {
     def sheetWith(body: String): String =
       s"""<?xml version="1.0"?>
