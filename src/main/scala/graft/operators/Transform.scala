@@ -530,10 +530,22 @@ object Transform {
     * the stylesheet's order, the OAI-DC case. Values come from the
     * matched node's direct text; a text-less node is treated as
     * absent (the blank-guarded shapes in scope drop it anyway).
-    * `xsl:call-template`, `xsl:variable`, `xsl:with-param`, nested
-    * apply-templates and computational tests stay REFUSED — a
-    * compiler that silently mis-runs a stylesheet is worse than one
-    * that refuses it. */
+    *
+    * Further widenings (all exercised by the reference's real
+    * fixtures, see XsltSheetSpec): `xsl:include`/`xsl:import`
+    * expanded recursively AT THEIR DOCUMENT POSITION from
+    * caller-supplied local sources (remote hrefs do not fetch in a
+    * zero-egress engine) with last-declaration-wins duplicate-match
+    * resolution; `starts-with(., 'p')` atoms and `or`-disjunction
+    * tests; `xsl:if` nested inside `xsl:choose` branches;
+    * `xsl:call-template` of the recognized recursive delimiter-split
+    * idiom ([[VSplit]]) in field templates and of CONSTANT named
+    * templates in the base body ([[XStamp]]); several templates
+    * emitting one output name merge into one array ([[XConcat]]).
+    * Everything else — `xsl:attribute`, `xsl:variable` outside the
+    * splitter idiom, computational tests, nested apply-templates —
+    * stays REFUSED: a compiler that silently mis-runs a stylesheet
+    * is worse than one that refuses it. */
   def compileXsltSheet(xslt: String,
       includes: Map[String, String] = Map.empty): XsltSheet =
     compileSheet(xslt, includes, externalContext = None)
