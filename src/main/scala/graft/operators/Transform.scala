@@ -453,7 +453,8 @@ object Transform {
     * [[XDispatch]] rule list [[structuralCrosswalk]] turns into one
     * codegen'd projection. */
   final case class XsltSheet(contextPath: String,
-      exclusionPaths: Seq[String], rules: Seq[XRule]) {
+      exclusionPaths: Seq[String], rules: Seq[XRule],
+      wrapperName: String = "record") {
     /** True for rows the stylesheet emits output for: the context
       * node matches (with its predicates) and no drop template
       * intercepts the record. */
@@ -463,6 +464,26 @@ object Transform {
       }
     /** The compiled crosswalk output as one nested struct Column. */
     def output(xml: Column): Column = structuralCrosswalk(xml, rules)
+    /** The reference's ACTUAL wire form — serialized XML records,
+      * what transform.py's Saxon run writes to the destination
+      * prefix: every emission as a repeated `<name>text</name>`
+      * element inside the base template's literal wrapper, entities
+      * re-escaped (xpath hands back unescaped text). Field order is
+      * template-declaration order (the documented struct-model
+      * deviation from document-order output); XsltSheetSpec asserts
+      * element-level parity with the reference's expected complex
+      * outputs. Same one-projection map-only plan as [[output]]. */
+    def outputXml(xml: Column): Column = {
+      def esc(x: Column): Column =
+        regexp_replace(regexp_replace(regexp_replace(x,
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val inner = rules.map { r =>
+        val n = ruleName(r)
+        coalesce(array_join(transform(ruleExpr(xml, r), x =>
+          concat(lit(s"<$n>"), esc(x), lit(s"</$n>"))), ""), lit(""))
+      }.reduceOption(concat(_, _)).getOrElse(lit(""))
+      concat(lit(s"<$wrapperName>"), inner, lit(s"</$wrapperName>"))
+    }
   }
 
   /** Rewrite prefixed QName steps for Spark's NAMESPACE-UNAWARE xpath
@@ -558,8 +579,10 @@ object Transform {
     * template's role; everything else compiles as in
     * [[compileXsltSheet]]. */
   def compileXsltModule(xslt: String, contextMatch: String,
-      includes: Map[String, String] = Map.empty): XsltSheet =
-    compileSheet(xslt, includes, externalContext = Some(contextMatch))
+      includes: Map[String, String] = Map.empty,
+      wrapperName: String = "record"): XsltSheet =
+    compileSheet(xslt, includes, externalContext = Some(contextMatch),
+      moduleWrapper = wrapperName)
 
   /** A recognized recursive delimiter-split named template
     * (see [[VSplit]]): output element, its two parameter names, and
@@ -568,7 +591,8 @@ object Transform {
       delimParam: String, recDelim: String)
 
   private def compileSheet(xslt: String, includes: Map[String, String],
-      externalContext: Option[String]): XsltSheet = {
+      externalContext: Option[String],
+      moduleWrapper: String = "record"): XsltSheet = {
     import org.w3c.dom.Element
     val XslNs = "http://www.w3.org/1999/XSL/Transform"
     def parse(src: String): org.w3c.dom.Document = {
@@ -922,7 +946,9 @@ object Transform {
             "— out of subset")
       }
     }
-    XsltSheet(ctx, exclusions, merged)
+    val wrapper = bases.headOption.map(b => elems(b).head.getTagName)
+      .getOrElse(moduleWrapper)
+    XsltSheet(ctx, exclusions, merged, wrapper)
   }
 
 

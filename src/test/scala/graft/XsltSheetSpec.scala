@@ -275,6 +275,117 @@ class XsltSheetSpec extends AnyFunSuite {
     }
   }
 
+  test("outputXml reproduces the reference's expected XML records element-for-element") {
+    // the reference's ACTUAL wire form is serialized XML (transform
+    // .py's Saxon output) — XsltSheet.outputXml emits it; compared
+    // here against the VENDORED expected outputs as (tag, text)
+    // multisets (field order is template-declaration order in the
+    // struct model, the one documented deviation)
+    val templeHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/temple.xsl"
+    val lookupHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/remediations/lookup.xsl"
+    val stub = """<xsl:stylesheet version="2.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform"/>"""
+    val sheet = compileXsltSheet(resource("xsl_sample_complex.xsl"),
+      includes = Map(templeHref -> resource("temple.xsl"),
+        lookupHref -> stub))
+    assert(sheet.wrapperName == "oai_dc:dc")
+
+    // element inventory of an XML string under a NAMESPACE-UNAWARE
+    // parse (tags keep their prefixes literally)
+    def elements(xmlStr: String): Seq[(String, String)] = {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(new org.xml.sax.InputSource(
+          new java.io.StringReader(xmlStr)))
+      val nl = doc.getDocumentElement.getChildNodes
+      (0 until nl.getLength).map(nl.item)
+        .collect { case e: org.w3c.dom.Element =>
+          e.getTagName -> e.getTextContent }
+        .sorted
+    }
+
+    import spark.implicits._
+    val rows = recordRows(resource("xsl_sample.xml"))
+    val got = rows.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("rec_id", "xml")
+      .filter(sheet.keep(col("xml")))
+      .select(col("rec_id"), sheet.outputXml(col("xml")).as("rec"))
+      .orderBy("rec_id").collect().map(_.getString(1))
+    assert(got.length == 3)
+    got.zipWithIndex.foreach { case (rec, i) =>
+      assert(rec.startsWith("<oai_dc:dc>") && rec.endsWith("</oai_dc:dc>"))
+      val want = elements(resource(s"xsl_sample_complex_out${i + 1}.xml"))
+      assert(elements(rec) == want,
+        s"record ${i + 1} elements diverged:\ngot  ${elements(rec)}\nwant $want")
+    }
+  }
+
+  test("the split emission trace equals the literal XSLT recursion on random inputs") {
+    // property test: compileXsltSheet's VSplit column expression vs a
+    // direct Scala transcription of the recursive named template —
+    // seeded RNG, delimiter set includes the multi-char '; ' and a
+    // case where the call delimiter differs from the recursion's own
+    import spark.implicits._
+    def normalizeSpace(s: String): String =
+      s.replaceAll("\\s+", " ").trim
+    // the temple.xsl recursion verbatim: emit substring-before RAW,
+    // recurse on substring-after with recDelim, otherwise emit
+    // normalize-space of the remainder
+    def reference(s: String, d: String, rec: String): Seq[String] =
+      if (s.contains(d))
+        s.substring(0, s.indexOf(d)) +:
+          reference(s.substring(s.indexOf(d) + d.length), rec, rec)
+      else Seq(normalizeSpace(s))
+    def sheetFor(call: String, rec: String): String =
+      s"""<?xml version="1.0"?>
+         |<xsl:stylesheet version="2.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+         |  <xsl:template match="//dc"><o><xsl:apply-templates/></o></xsl:template>
+         |  <xsl:template match="s">
+         |    <xsl:call-template name="split">
+         |      <xsl:with-param name="str" select="."/>
+         |      <xsl:with-param name="del" select="'$call'"/>
+         |    </xsl:call-template>
+         |  </xsl:template>
+         |  <xsl:template name="split">
+         |    <xsl:param name="str"/>
+         |    <xsl:param name="del"/>
+         |    <xsl:choose>
+         |      <xsl:when test="contains($$str, $$del)">
+         |        <xsl:variable name="rest" select="substring-after($$str, $$del)"/>
+         |        <seg><xsl:value-of select="substring-before($$str, $$del)"/></seg>
+         |        <xsl:call-template name="split">
+         |          <xsl:with-param name="str" select="$$rest"/>
+         |          <xsl:with-param name="del" select="'$rec'"/>
+         |        </xsl:call-template>
+         |      </xsl:when>
+         |      <xsl:otherwise>
+         |        <seg><xsl:value-of select="normalize-space($$str)"/></seg>
+         |      </xsl:otherwise>
+         |    </xsl:choose>
+         |  </xsl:template>
+         |</xsl:stylesheet>""".stripMargin
+    val rnd = new scala.util.Random(4242)
+    val tokens = Seq("a", "bb", " ", ";", "; ", ",", "-", "  ")
+    for ((call, rec) <- Seq((";", ";"), (";", "; "), (",", ";"))) {
+      val sheet = compileXsltSheet(sheetFor(call, rec))
+      val cases = (0 until 60).map { i =>
+        val n = rnd.nextInt(9)
+        (i.toLong, (0 until n).map(_ => tokens(rnd.nextInt(tokens.size))).mkString)
+      }.filter(_._2.trim.nonEmpty) // text-less nodes are absent by contract
+      val df = cases.toDF("id", "txt")
+        .select(col("id"), concat(lit("<dc><s>"), col("txt"), lit("</s></dc>")).as("xml"))
+      val got = df.select(col("id"), sheet.output(col("xml")).getField("seg").as("segs"))
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getSeq[String](1)).getOrElse(Seq.empty)).toMap
+      cases.foreach { case (id, txt) =>
+        val want = reference(txt, call, rec)
+        assert(got(id) == want,
+          s"call='$call' rec='$rec' txt='$txt': got ${got(id)}, want $want")
+      }
+    }
+  }
+
   test("out-of-subset constructs are refused, not mis-run") {
     def sheetWith(body: String): String =
       s"""<?xml version="1.0"?>
