@@ -113,6 +113,69 @@ object Validate {
       concat_ws("\n", findings).as("findings"))
   }
 
+  /** Compile a REAL Schematron `.sch` file into [[SchRule]]s — the
+    * front door the reference feeds (validate.py:22-35 fetches
+    * `padigital_reqd_fields.sch` and hands it to lxml.isoschematron;
+    * tests/fixtures/sch-sample.sch is its vendored stand-in). Every
+    * `<pattern>`/`<rule context>`/`<assert test>`/`<report test>`
+    * compiles WITHOUT parsing the test expression: Schematron tests
+    * and contexts ARE XPath 1.0, so an assert becomes the
+    * record-level existence probe `//context[not(test)]` (a failing
+    * context node exists) and a report `//context[test]`, evaluated
+    * by `xpath_boolean` — vacuous passes for absent contexts fall
+    * out of the existence form, exactly Schematron's
+    * fire-per-matched-node semantics collapsed to the record
+    * verdict. Prefixed QName steps go through the same
+    * LOCAL-NAME rewrite as the XSLT compiler (`<ns>` declarations
+    * are accepted and subsumed by it; two prefixes sharing a local
+    * name collapse — the documented approximation). Returns rules in
+    * declaration order with pattern ids carried, ready for
+    * [[schematronReport]] (phases: the fixture declares none —
+    * pass an empty phase list and Schematron's #ALL default
+    * applies). */
+  def compileSchematron(sch: String, xml: Column): Seq[SchRule] = {
+    import org.w3c.dom.Element
+    val SchNs = "http://purl.oclc.org/dsdl/schematron"
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(new org.xml.sax.InputSource(
+      new java.io.StringReader(sch)))
+    def elems(n: org.w3c.dom.Node): Seq[Element] = {
+      val nl = n.getChildNodes
+      (0 until nl.getLength).map(nl.item).collect { case e: Element => e }
+    }
+    def isSch(e: Element, local: String): Boolean =
+      SchNs == e.getNamespaceURI && e.getLocalName == local
+    require(doc.getDocumentElement.getNamespaceURI == SchNs,
+      "not a Schematron schema (wrong root namespace)")
+    elems(doc.getDocumentElement).filter(isSch(_, "pattern")).flatMap { p =>
+      val pid = Option(p.getAttribute("id")).filter(_.nonEmpty)
+        .getOrElse("default")
+      elems(p).filter(isSch(_, "rule")).flatMap { r =>
+        val ctx = r.getAttribute("context").trim
+        require(ctx.nonEmpty, s"rule without context in pattern $pid")
+        val abs = if (ctx.startsWith("/")) ctx else s"//$ctx"
+        elems(r).zipWithIndex
+          .filter { case (a, _) => isSch(a, "assert") || isSch(a, "report") }
+          .map { case (a, i) =>
+            val isReport = a.getLocalName == "report"
+            val test = a.getAttribute("test").trim
+            require(test.nonEmpty, s"${a.getLocalName} without test in $pid")
+            val id = Option(a.getAttribute("id")).filter(_.nonEmpty)
+              .getOrElse(s"$pid-$i")
+            val msg = a.getTextContent.trim.replaceAll("\\s+", " ")
+            val probe = graft.operators.Transform.rewriteQNames(
+              if (isReport) s"$abs[$test]" else s"$abs[not($test)]")
+            val fired = xpath_boolean(xml, lit(probe))
+            // SchRule's test column is the PASS condition for asserts
+            // and the FIRE condition for reports
+            SchRule(id, if (isReport) fired else !fired, msg,
+              isReport, pid)
+          }
+      }
+    }
+  }
+
   /** Column profile: the pre-validation survey step every ETL run
     * wants before writing rules — one scan, one row per profiled
     * column with null rate, distinct count, and bounds. At 100 TB
