@@ -75,4 +75,27 @@ object Records {
   def lookupEnrich(children: DataFrame, lookup: DataFrame,
       childKey: Column, lookupKey: Column): DataFrame =
     children.join(broadcast(lookup), childKey === lookupKey, "left")
+
+  /** Apply a looked-up `parent_xml` to the child record — the second
+    * half of `perform_xml_lookup_with_cache` (harvest.py:216-233):
+    * the lookup value is one-or-more serialized datafields joined by
+    * `||`, each appended to the child's record element in order.
+    * Appending every field in sequence is concatenation, so the
+    * separator simply drops out; the fields land before the record's
+    * closing tag. NULL/empty lookup (no parent) leaves the record
+    * untouched, as does a record that does not end with `closeTag`
+    * (a malformed row can't be half-rewritten). Map-only, composes
+    * with [[lookupEnrich]]'s broadcast join. */
+  def appendParentFields(xml: Column, parentXml: Column,
+      closeTag: String = "</record>"): Column = {
+    // regexp: Spark's rtrim strips SPACES only — a trailing newline
+    // (every real file has one) would defeat the closing-tag check
+    val trimmed = regexp_replace(xml, "\\s+$", "")
+    when(parentXml.isNull || parentXml === "" ||
+        !trimmed.endsWith(closeTag), xml)
+      .otherwise(concat(
+        trimmed.substr(lit(1), length(trimmed) - lit(closeTag.length)),
+        regexp_replace(parentXml, "\\|\\|", ""),
+        lit(closeTag)))
+  }
 }
