@@ -462,6 +462,56 @@ object Xml {
       .orderBy("doc_id")
   }
 
+  /** The v13 schema — a graft-authored `.sch` echoing the shapes of
+    * the reference's real sch-sample.sch (required-element asserts,
+    * content asserts on nested contexts, a report-polarity advisory),
+    * compiled by [[graft.operators.Validate.compileSchematron]] —
+    * the front door validate.py feeds lxml.isoschematron; the
+    * VENDORED real schema itself runs in SchematronFileSpec. */
+  private val v13Schema =
+    """<?xml version="1.0"?>
+      |<schema xmlns="http://purl.oclc.org/dsdl/schematron"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+      |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+      |  <ns prefix="dc" uri="http://purl.org/dc/elements/1.1/"/>
+      |  <ns prefix="oai_dc" uri="http://www.openarchives.org/OAI/2.0/oai_dc/"/>
+      |  <pattern id="required">
+      |    <rule context="oai_dc:dc">
+      |      <assert test="dc:title" id="R1" role="error">There must be a title</assert>
+      |      <assert test="dc:type" id="R2" role="error">There must be a type</assert>
+      |    </rule>
+      |  </pattern>
+      |  <pattern id="content">
+      |    <rule context="oai_dc:dc/dc:title">
+      |      <assert test="normalize-space(.)" id="T1" role="error">The title element must contain text</assert>
+      |    </rule>
+      |    <rule context="oai_dc:dc/dc:type">
+      |      <assert test="normalize-space(.)" id="T2" role="error">The type element must contain text</assert>
+      |    </rule>
+      |  </pattern>
+      |  <pattern id="advisory">
+      |    <rule context="oai_dc:dc">
+      |      <report test="dc:relation" id="A1" role="info">Record carries a relation</report>
+      |    </rule>
+      |  </pattern>
+      |</schema>""".stripMargin
+
+  /** v13: Schematron-FILE validation through the compiled path — the
+    * `.sch` front door run over the t8 OAI records as a PRE-FILTER
+    * report (no keep filter: validation sees every record). The
+    * existence-probe compilation makes vacuous passes (R1/R2: the
+    * elements always exist) and per-node content asserts (T1 fails
+    * on the %11 whitespace-only first title even when a %5 second
+    * title is fine; T2 on the %6==5 empty type) and report polarity
+    * (A1 fires on the %17 relation) all data-live at every SF. */
+  def v13SchFile(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Validate.compileSchematron(v13Schema, col("xml"))
+    Validate.schematronReport(
+        Tables.documents(spark, dir).select(col("doc_id"), oaiXml.as("xml")),
+        rules, phases = Seq.empty, phase = "#ALL", idCol = col("doc_id"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
@@ -473,6 +523,7 @@ object Xml {
     "t8_apply_templates" -> (t8ApplyTemplates _),
     "t9_xslt_module" -> (t9XsltModule _),
     "v9_schematron" -> (v9Schematron _),
+    "v13_sch_file" -> (v13SchFile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -614,6 +665,19 @@ object Xml {
                   THEN '"edm:rights":["' || rts || '"]'
                   ELSE '"dcterms:rights":["' || rts || '"]' END) || '}' AS rec
          FROM emitted ORDER BY doc_id""",
+    // v13: verdicts re-derived from the BASE columns (every assert
+    // outcome is a pure function of doc_id); findings follow rule
+    // declaration order (R1,R2 never fire; T1, T2, then A1)
+    "v13_sch_file" ->
+      """SELECT doc_id AS id,
+           (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) AS n_failed,
+           CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS n_reported,
+           concat_ws(chr(10),
+             CASE WHEN doc_id % 11 = 0 THEN 'The title element must contain text' END,
+             CASE WHEN doc_id % 6 = 5 THEN 'The type element must contain text' END,
+             CASE WHEN doc_id % 17 = 0 THEN 'Record carries a relation' END) AS findings
+         FROM documents ORDER BY id""",
     "v9_schematron" ->
       s"""WITH marc AS ($marcXmlSql),
          ex AS (SELECT doc_id, lang, len($idsSql) AS n1 FROM marc),
