@@ -961,4 +961,17 @@ object Transform {
     df => df.filter(sheet.keep(col(xmlCol)))
       .select(carry.map(col) :+ to_json(sheet.output(col(xmlCol))).as(outCol): _*)
   }
+
+  /** [[xsltSheetTransform]] emitting the reference's XML wire form
+    * ([[XsltSheet.outputXml]]) instead of JSON — the shape a
+    * downstream Schematron gate validates
+    * ([[graft.operators.Validate.compileSchematron]] over `outCol`),
+    * so the reference's whole transform→validate DAG runs from two
+    * compiled artifacts. */
+  def xsltSheetTransformXml(xslt: String, xmlCol: String, carry: Seq[String],
+      outCol: String = "rec"): DataFrame => DataFrame = {
+    val sheet = compileXsltSheet(xslt)
+    df => df.filter(sheet.keep(col(xmlCol)))
+      .select(carry.map(col) :+ sheet.outputXml(col(xmlCol)).as(outCol): _*)
+  }
 }

@@ -176,6 +176,15 @@ object Validate {
     }
   }
 
+  /** Assert-polarity Schematron rules as plain gate [[Rule]]s — what
+    * wires a compiled `.sch` into the filter/quarantine seams
+    * ([[graft.streaming.EtlStream.maintainEtl]]'s `rules`,
+    * [[validateFilter]]): each assert's pass condition gates the
+    * record; `<sch:report>` hits are advisory findings, not gates,
+    * and are dropped here (run [[schematronReport]] for them). */
+  def schAsRules(rules: Seq[SchRule]): Seq[Rule] =
+    rules.filterNot(_.isReport).map(r => Rule(r.name, r.test, r.message))
+
   /** Column profile: the pre-validation survey step every ETL run
     * wants before writing rules — one scan, one row per profiled
     * column with null rate, distinct count, and bounds. At 100 TB

@@ -244,6 +244,87 @@ class EtlStreamSpec extends AnyFunSuite {
       s"remediated rows must vanish, invalid rows quarantine: $qr")
   }
 
+  test("the whole reference DAG runs from two compiled artifacts: " +
+      ".xsl transform + .sch validation through the streaming lifecycle") {
+    // harvest → transform (a compiled apply-templates stylesheet,
+    // XML wire form out) → validate (a compiled Schematron schema
+    // gating on that XML) → index/quarantine: the reference's DAG
+    // with BOTH its file-shaped artifacts compiled, running
+    // incrementally. Routing semantics: deleted status → delete
+    // path; stylesheet remediation predicate → silently dropped
+    // (neither sink); Schematron assert failure → quarantine;
+    // clean → index.
+    val xsl =
+      """<?xml version="1.0"?>
+        |<xsl:stylesheet version="2.0"
+        |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        |    xmlns:dcterms="http://purl.org/dc/terms/"
+        |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+        |  <xsl:template match="text() | @*"/>
+        |  <xsl:template match="//dc[not(relation[string()= 'pdcp_noharvest'])]">
+        |    <oai_dc:dc><xsl:apply-templates/></oai_dc:dc>
+        |  </xsl:template>
+        |  <xsl:template match="title">
+        |    <xsl:if test="normalize-space(.)!=''">
+        |      <xsl:element name="dcterms:title">
+        |        <xsl:value-of select="normalize-space(.)"/>
+        |      </xsl:element>
+        |    </xsl:if>
+        |  </xsl:template>
+        |  <xsl:template match="type">
+        |    <dcterms:type><xsl:value-of select="normalize-space(.)"/></dcterms:type>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val sch =
+      """<?xml version="1.0"?>
+        |<schema xmlns="http://purl.oclc.org/dsdl/schematron"
+        |    xmlns:dcterms="http://purl.org/dc/terms/"
+        |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+        |  <pattern id="required">
+        |    <rule context="oai_dc:dc">
+        |      <assert test="dcterms:title" id="R1">There must be a title</assert>
+        |    </rule>
+        |  </pattern>
+        |</schema>""".stripMargin
+    def rec(title: String, typ: String, remediated: Boolean) =
+      "<rec><dc><title>" + title + "</title><type>" + typ + "</type>" +
+        (if (remediated) "<relation>pdcp_noharvest</relation>" else "") +
+        "</dc></rec>"
+    val b0 = Seq(
+      (0L, "active", rec(" A  good  record ", "Text", false)),
+      (1L, "deleted", rec("Deleted", "Text", false)),
+      (2L, "active", rec("Remediated", "Text", true)),   // silently dropped
+      (3L, "active", rec("   ", "Image", false)),        // blank title → no
+                                                         // dcterms:title → R1
+      (4L, "active", rec("Another", "Sound", false))
+    ).toDF("doc_id", "status", "xml")
+    val xf = Transform.xsltSheetTransformXml(xsl, "xml", carry = Seq("doc_id"))
+    val rules = Validate.schAsRules(
+      Validate.compileSchematron(sch, col("rec")))
+    val src = java.nio.file.Files.createTempDirectory("graft_edag")
+    val state = java.nio.file.Files.createTempDirectory("graft_edagstate")
+      .resolve("etl").toString
+    stage(b0, src, "b0", System.currentTimeMillis() - 600000)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("status", StringType), StructField("xml", StringType))))
+      .format("parquet").option("maxFilesPerTrigger", 1).load(src.toString)
+    val q = EtlStream.maintainEtl(stream, state, "doc_id", "status",
+      deletedValue = "deleted", contentCols = Seq("xml"),
+      transform = xf, rules = rules)
+    q.processAllAvailable(); q.stop()
+
+    val got = EtlStream.servingIndex(spark, state)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.keySet == Set(0L, 4L), s"unexpected index ids: ${got.keySet}")
+    assert(got(0L) == "<oai_dc:dc><dcterms:title>A good record</dcterms:title>" +
+      "<dcterms:type>Text</dcterms:type></oai_dc:dc>", got(0L))
+    assert(got(4L).contains("<dcterms:type>Sound</dcterms:type>"))
+    val qr = EtlStream.quarantine(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(qr == Set(3L), s"blank-title row must quarantine via R1: $qr")
+  }
+
   test("crash-window replay (marker lost after commits) changes nothing") {
     def rec(id: Long, st: String, tx: String, lg: String) = (id, st, tx, lg)
     val b0 = Seq(rec(0, "active", "one two", "en"),
