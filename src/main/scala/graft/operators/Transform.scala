@@ -457,11 +457,16 @@ object Transform {
       wrapperName: String = "record") {
     /** True for rows the stylesheet emits output for: the context
       * node matches (with its predicates) and no drop template
-      * intercepts the record. */
-    def keep(xml: Column): Column =
-      exclusionPaths.foldLeft(xpath_boolean(xml, lit(contextPath))) {
-        (c, ex) => c && !xpath_boolean(xml, lit(ex))
+      * intercepts the record. Composed into ONE XPath boolean
+      * expression — each `xpath_boolean` call re-parses the XML
+      * string, so folding N+1 probes into one cuts the filter's
+      * parse cost to a single pass per row. */
+    def keep(xml: Column): Column = {
+      val expr = exclusionPaths.foldLeft(s"($contextPath)") {
+        (acc, ex) => s"$acc and not(($ex))"
       }
+      xpath_boolean(xml, lit(expr))
+    }
     /** The compiled crosswalk output as one nested struct Column. */
     def output(xml: Column): Column = structuralCrosswalk(xml, rules)
     /** The reference's ACTUAL wire form — serialized XML records,
