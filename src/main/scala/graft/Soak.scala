@@ -389,6 +389,10 @@ object Soak {
         annQ, annC.select("id", "v"), 5, nPlanes = 8, dim = 64, nProbes = 3)),
       "lsh_6p_3probe" -> annCell(similarity.Knn.lshBucketed(
         annQ, annC.select("id", "v"), 5, nPlanes = 6, dim = 64, nProbes = 3)),
+      // multi-TABLE is the lever single-table multi-probe lacks on
+      // this corpus (r11): L independent plane sets OR-ed
+      "lsh_8p_4tables" -> annCell(similarity.Knn.lshMultiTable(
+        annQ, annC.select("id", "v"), 5, nPlanes = 8, dim = 64, nTables = 4)),
       "ivf_2probe" -> annCell(
         similarity.Ivf.searchIndex(spark, ivfDir, annQ, 5, nProbe = 2)),
       "ivf_4probe" -> annCell(

@@ -452,6 +452,22 @@ object DedupSim {
       .orderBy("q_id", "rank")
   }
 
+  /** s13: MULTI-TABLE LSH ANN — the recall lever orthogonal to s2's
+    * multi-probe: three INDEPENDENT 10-plane tables (salted
+    * deterministic derivations), candidates = pairs sharing a bucket
+    * in ANY table, union-distinct'd before one exact cosine re-rank.
+    * Smaller per-table buckets (10 planes vs s2's 8) make the union
+    * genuinely decide the candidate set at every SF; the oracle
+    * re-derives all three plane sets and replays the union. */
+  def s13KnnLshTables(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    Knn.lshMultiTable(e.filter(col("id") < 10), e.filter(col("id") >= 10),
+        k = 5, nPlanes = 10, dim = 64, nTables = 3)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** s4: IVF ANN — label-seeded inverted lists, 2-probe search, with
     * the QUANTIZED coarse quantizer (integer-exact centroid sums →
     * deterministic probes across engines and partitionings) — which
@@ -680,6 +696,7 @@ object DedupSim {
     "d13_passage_dedup" -> (d13PassageDedup _),
     "s1_knn_brute" -> (s1KnnBrute _),
     "s2_knn_lsh" -> (s2KnnLsh _),
+    "s13_knn_lsh_tables" -> (s13KnnLshTables _),
     "s4_knn_ivf" -> (s4KnnIvf _),
     "s5_quantize" -> (s5Quantize _),
     "s6_filtered_knn" -> (s6FilteredKnn _),
@@ -802,8 +819,9 @@ object DedupSim {
   /** DuckDB twin of Knn.hyperplaneBucket: the plane values are exact
     * k/1000 decimals (Hashing.uniformFromKey), so the literals
     * round-trip to identical doubles in both engines. */
-  private def bucketSql(vExpr: String, nPlanes: Int, dim: Int): String = {
-    val planes = graft.similarity.Knn.derivePlanes(nPlanes, dim)
+  private def bucketSql(vExpr: String, nPlanes: Int, dim: Int,
+      salt: String = ""): String = {
+    val planes = graft.similarity.Knn.derivePlanes(nPlanes, dim, salt)
     planes.map { p =>
       val lits = p.mkString("[", ", ", "]")
       s"CASE WHEN list_inner_product($vExpr, CAST($lits AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END"
@@ -1545,6 +1563,31 @@ object DedupSim {
     // s2: home-bucket LSH ANN — the deterministic md5-derived planes
     // make the bucketing reproducible in SQL (same bucketSql as s3),
     // so the approximate search is exactly replayable
+    // s13: all three salted plane sets re-derived; UNION (not ALL)
+    // is the candidate distinct; exact re-rank identical to s2's
+    "s13_knn_lsh_tables" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bkt AS (SELECT vec_id, v,
+             ${bucketSql("v", 10, 64, "t0")} AS b0,
+             ${bucketSql("v", 10, 64, "t1")} AS b1,
+             ${bucketSql("v", 10, 64, "t2")} AS b2
+           FROM e),
+         q AS (SELECT vec_id AS q_id, v AS q_v, b0, b1, b2 FROM bkt WHERE vec_id < 10),
+         c AS (SELECT vec_id AS n_id, v AS n_v, b0, b1, b2 FROM bkt WHERE vec_id >= 10),
+         cand AS (
+           SELECT q.q_id, c.n_id FROM q JOIN c ON q.b0 = c.b0
+           UNION SELECT q.q_id, c.n_id FROM q JOIN c ON q.b1 = c.b1
+           UNION SELECT q.q_id, c.n_id FROM q JOIN c ON q.b2 = c.b2),
+         scored AS (SELECT cand.q_id, cand.n_id, ${cosSql("q.q_v", "c.n_v")} AS cos
+           FROM cand
+           JOIN q ON cand.q_id = q.q_id
+           JOIN c ON cand.n_id = c.n_id)
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "s2_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          bkt AS (SELECT vec_id, v, ${bucketSql("v", 8, 64)} AS bucket FROM e),

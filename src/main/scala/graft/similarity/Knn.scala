@@ -54,9 +54,13 @@ object Knn {
     concat(bits: _*)
   }
 
-  /** Deterministic plane derivation (engine-portable). */
-  def derivePlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map(p => (0 until dim).map(i => Hashing.uniformFromKey(s"$p:$i")))
+  /** Deterministic plane derivation (engine-portable). A non-empty
+    * `salt` derives an INDEPENDENT plane set (multi-table LSH); the
+    * empty default reproduces the historical keys exactly, so every
+    * existing oracle replays unchanged. */
+  def derivePlanes(nPlanes: Int, dim: Int, salt: String = ""): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p => (0 until dim).map(i =>
+      Hashing.uniformFromKey(if (salt.isEmpty) s"$p:$i" else s"$salt:$p:$i")))
 
   /** LSH-bucketed ANN: both sides bucketed by signature; candidate
     * neighbors share one of the query's probed buckets; exact cosine
@@ -85,6 +89,38 @@ object Knn {
       hyperplaneBucket(col("v"), planes).as("bucket"))
     val scored = q.join(d, "bucket")
       .select(col("q_id"), col("n_id"), Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** MULTI-TABLE LSH — the recall lever ORTHOGONAL to multi-probe
+    * (and the standard fix for the single-table miss rate the r11
+    * soak chart measured on a hard corpus): `nTables` INDEPENDENT
+    * plane sets (salted derivations), a candidate is any (q, n) pair
+    * sharing a bucket in ANY table — recall ≈ 1−(1−p)^L for
+    * per-table collision probability p — union-distinct'd before ONE
+    * exact cosine re-rank. Scale shape: L bucket-keyed equi-joins
+    * (each |bucket|-bounded, never q×n), the pair distinct and the
+    * two vector re-joins are candidate-bounded and keyed; nothing
+    * quadratic materializes. Deterministic end to end, so the whole
+    * search replays in SQL (s13's oracle re-derives every table's
+    * planes). */
+  def lshMultiTable(queries: DataFrame, data: DataFrame, k: Int,
+      nPlanes: Int, dim: Int, nTables: Int): DataFrame = {
+    require(nTables >= 1, "need at least one table")
+    val q0 = queries.select(col("id").as("q_id"), col("v").as("q_v"))
+    val d0 = data.select(col("id").as("n_id"), col("v").as("n_v"))
+    val pairs = (0 until nTables).map { t =>
+      val planes = derivePlanes(nPlanes, dim, salt = s"t$t")
+      q0.select(col("q_id"),
+          hyperplaneBucket(col("q_v"), planes).as("bucket"))
+        .join(d0.select(col("n_id"),
+          hyperplaneBucket(col("n_v"), planes).as("bucket")), "bucket")
+        .select("q_id", "n_id")
+    }.reduce(_ unionByName _).distinct()
+    val scored = pairs.join(q0, "q_id").join(d0, "n_id")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -202,6 +202,39 @@ class DedupSpec extends AnyFunSuite {
     assert(r5 > 0)
   }
 
+  test("multi-table LSH recall dominates one table; candidates are a superset") {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"), Vectors.toDouble(col("embedding")).as("v"))
+    val q = e.filter(col("id") < 20)
+    val d = e.filter(col("id") >= 20)
+    val brute = graft.similarity.Knn.bruteForce(q, d, 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def results(nTables: Int): Set[(Long, Long)] =
+      // 6 planes: at this spec's tiny SF, 10-plane buckets are so
+      // sparse that even 3 tables rarely collide (recall 0) — the
+      // knob scales with corpus size, which is the point
+      graft.similarity.Knn.lshMultiTable(q, d, 5, nPlanes = 6, dim = 64, nTables)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]): Double =
+      brute.count(s.contains).toDouble / brute.size
+    val one = results(1); val three = results(3)
+    assert(recall(three) >= recall(one),
+      s"3-table recall ${recall(three)} < 1-table ${recall(one)}")
+    assert(recall(three) > 0)
+    // the union construction makes table t0's candidate PAIRS a
+    // subset of the 3-table candidate set — verify on the raw pairs
+    // (top-k can reorder, so compare candidates, not survivors)
+    val planes0 = graft.similarity.Knn.derivePlanes(6, 64, "t0")
+    val qb = q.select(col("id").as("q_id"),
+      graft.similarity.Knn.hyperplaneBucket(col("v"), planes0).as("bucket"))
+    val db = d.select(col("id").as("n_id"),
+      graft.similarity.Knn.hyperplaneBucket(col("v"), planes0).as("bucket"))
+    val t0Pairs = qb.join(db, "bucket").select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.subsetOf(t0Pairs), "1-table survivors must come from t0 pairs")
+  }
+
   test("simhash UDF and Aggregator paths produce identical signatures") {
     val docs = graft.dedup.Dedup.augmentedDocs(spark, sf)
     val a = graft.dedup.SimHash.signatures(docs)
