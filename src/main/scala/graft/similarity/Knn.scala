@@ -110,14 +110,20 @@ object Knn {
     require(nTables >= 1, "need at least one table")
     val q0 = queries.select(col("id").as("q_id"), col("v").as("q_v"))
     val d0 = data.select(col("id").as("n_id"), col("v").as("n_v"))
-    val pairs = (0 until nTables).map { t =>
-      val planes = derivePlanes(nPlanes, dim, salt = s"t$t")
-      q0.select(col("q_id"),
-          hyperplaneBucket(col("q_v"), planes).as("bucket"))
-        .join(d0.select(col("n_id"),
-          hyperplaneBucket(col("n_v"), planes).as("bucket")), "bucket")
-        .select("q_id", "n_id")
-    }.reduce(_ unionByName _).distinct()
+    // all tables' signatures in ONE map-side pass per side, exploded
+    // to (table, bucket) rows — so the candidate stage is a single
+    // (t, bucket)-keyed equi-join, not L separate corpus scans and
+    // shuffles (per-table bucket equality ⟺ (t, bucket) equality)
+    val tables = (0 until nTables).map(t =>
+      derivePlanes(nPlanes, dim, salt = s"t$t"))
+    def bucketed(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.select(col(idc), explode(array(tables.zipWithIndex.map {
+          case (pl, t) => struct(lit(t).as("t"),
+            hyperplaneBucket(col(vc), pl).as("bucket")) }: _*)).as("tb"))
+        .select(col(idc), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val pairs = bucketed(q0, "q_id", "q_v")
+      .join(bucketed(d0, "n_id", "n_v"), Seq("t", "bucket"))
+      .select("q_id", "n_id").distinct()
     val scored = pairs.join(q0, "q_id").join(d0, "n_id")
       .select(col("q_id"), col("n_id"),
         Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
