@@ -59,15 +59,6 @@ object Graph {
       .select(col("source"), col("wdeg"), col("r").as("rank_i3"))
   }
 
-  /** Build-if-absent PERSISTED source authority for a corpus derived
-    * from one data directory — the serving posture of an authority
-    * signal (Solr's ExternalFileField is a file computed offline,
-    * not a per-query graph pass): the d16 source-overlap graph +
-    * [[weightedPageRank]] land once as a VersionedTable behind the
-    * `graft_authority` fingerprint cache (orphan-swept like every
-    * other build-if-absent family), and query-time boosting reads
-    * the tiny rank table. Returns the cache dir; read with
-    * `VersionedTable.readLatest(spark, s"$dir/rank")`. */
   /** Authority-rank resolution with a STREAM-MAINTAINED preference —
     * the x21 boost signal's front door. When a
     * [[graft.streaming.RankStream]] maintainer owns the signal (its
@@ -94,6 +85,15 @@ object Graph {
     }
   }
 
+  /** Build-if-absent PERSISTED source authority for a corpus derived
+    * from one data directory — the serving posture of an authority
+    * signal (Solr's ExternalFileField is a file computed offline,
+    * not a per-query graph pass): the d16 source-overlap graph +
+    * [[weightedPageRank]] land once as a VersionedTable behind the
+    * `graft_authority` fingerprint cache (orphan-swept like every
+    * other build-if-absent family), and query-time boosting reads
+    * the tiny rank table. Returns the cache dir; read with
+    * `VersionedTable.readLatest(spark, s"$dir/rank")`. */
   def ensureSourceAuthority(docs: DataFrame, dataDir: String,
       width: Int = 20, stride: Int = 20, iters: Int = 3): String =
     synchronized {

@@ -156,7 +156,8 @@ object Transform {
   /** `normalize-space(.) != ''` — the blank-node drop guard. */
   case object ANonEmpty extends XAtom
   /** `matches(., re)` — XPath's UNANCHORED contains-a-match
-    * semantics; flags are pre-baked as an inline `(?i)` group. */
+    * semantics; flags are pre-baked as an inline group, with `i`
+    * widened to `(?iu)` (Unicode case fold, the XPath 2.0 meaning). */
   final case class AMatches(re: String) extends XAtom
   /** `starts-with(., 'prefix')` — the rights-URI routing test the
     * reference's temple.xsl:237 uses. */
@@ -809,7 +810,11 @@ object Transform {
           val f = Option(flags).getOrElse("")
           require(f.forall("ims".contains(_)),
             s"unsupported matches() flags '$f'")
-          AMatches(if (f.isEmpty) re else s"(?$f)$re")
+          // XPath 2.0 'i' folds Unicode (as does the RE2 'i' the
+          // DuckDB oracle uses); Java's bare (?i) is ASCII-only, so
+          // bake UNICODE_CASE in alongside it
+          val jf = if (f.contains('i')) f + "u" else f
+          AMatches(if (jf.isEmpty) re else s"(?$jf)$re")
         case startsRe(p) => AStartsWith(p)
         case _ => throw new IllegalArgumentException(
           s"unsupported test '$t' (subset: normalize-space(.)!='', " +

@@ -4,6 +4,7 @@ import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming benchmark-decontamination gate — d7/d23 run at the door
   * instead of as a batch sweep (the round-11 verdict item): every
@@ -42,12 +43,37 @@ object DecontamStream {
 
   /** Clean (admitted) documents, original columns. */
   def corpus(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/corpus").drop("batch")
+    readSink(spark, s"$outDir/corpus", DedupStream.docSchema)
+
+  private val quarantineSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_hits", LongType),
+    StructField("bench_id", LongType),
+    StructField("n_shared", LongType),
+    StructField("first_pos", LongType),
+    StructField("last_pos", LongType)))
 
   /** Quarantined evidence: (doc_id, n_hits, bench_id, n_shared,
     * first_pos, last_pos) — one row per leaked (doc, eval) pair. */
   def quarantine(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/quarantine").drop("batch")
+    readSink(spark, s"$outDir/quarantine", quarantineSchema)
+
+  /** Read a batch-partitioned sink with its KNOWN schema: the sink
+    * dirs are only created by batches that have rows for them, so
+    * before any batch lands — or when every batch routed entirely to
+    * the other sink — the path is absent (→ empty typed frame) or
+    * holds only _SUCCESS-empty batch dirs (→ the explicit schema
+    * keeps the parquet read from failing inference). */
+  private def readSink(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      spark.read.schema(schema.add("batch", StringType)).parquet(dir)
+        .drop("batch")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
 
   /** Start the gate: `docs` (streaming frame with doc_id/text/lang/
     * n_chars) probed against the static `benchmark` (doc_id, text)
