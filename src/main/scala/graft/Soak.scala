@@ -419,11 +419,44 @@ object Soak {
         spark, ipqDir, annQ, "id", "v", 5, nProbe = 8, rerank = 400)),
       "ivfpq_residual_8probe_r400" -> annCell(similarity.Ivfpq.searchIndex(
         spark, resDir, annQ, "id", "v", 5, nProbe = 8, rerank = 400)))
-    val annJson = annMatrix.map { case (m, (rec, t)) =>
+    // --- dedup → ANN indexing composition (r12 verdict item): the
+    // r11 chart proved duplicate FAMILIES are what break ADC ordering
+    // (rerank had to grow to k × family size). The Ivfpq scaladoc's
+    // own serving recommendation — dedup before indexing — made
+    // executable and measured: SemDedup keep-list over the
+    // replica-dense corpus, IVFPQ rebuilt on the survivors, truth =
+    // brute force over the SAME deduped corpus (the answerable set a
+    // deduped serving index owns). The chart cell to read: recall@5
+    // at rerank=80 on deduped ≥ the rerank=400 number on raw —
+    // the rerank knob returns to k×small once families are gone.
+    val semKeep = dedup.SemDedup.semDedup(
+        annC.select(col("id"), col("label"), col("v")), "label", tau = 0.99)
+      .filter(col("is_kept")).select("id")
+    val dedupC = annC.join(semKeep, Seq("id"), "left_semi").cache()
+    val nDedupC = dedupC.count()
+    val dedupTruth = similarity.Knn
+      .bruteForce(annQ, dedupC.select("id", "v"), 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dpqDir = java.nio.file.Files.createTempDirectory("graft_ann_dpq").toString
+    similarity.Ivfpq.buildIndex(dedupC, "label", "id", "v", dpqDir)
+    val (dedupRecall, dedupProbeS) = {
+      val t0 = System.nanoTime()
+      val got = similarity.Ivfpq.searchIndex(
+          spark, dpqDir, annQ, "id", "v", 5, nProbe = 8, rerank = 80)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = (System.nanoTime() - t0) / 1e9
+      (got.intersect(dedupTruth).size.toDouble / dedupTruth.size, t)
+    }
+    val annJson = (annMatrix.map { case (m, (rec, t)) =>
       s""""$m":{"recall":${BigDecimal(rec).setScale(3,
         BigDecimal.RoundingMode.HALF_UP)},"probe_s":${BigDecimal(t)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
-    }.mkString("{", ",", "}")
+    } :+ s""""ivfpq_dedup_8probe_r80":{"recall":${BigDecimal(dedupRecall)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)},"probe_s":${
+      BigDecimal(dedupProbeS).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      },"corpus":$nDedupC}""").mkString("{", ",", "}")
 
     // rank maintainer (r11 item): per-batch wall must track BATCH
     // passage volume + the |sources|²-bounded edge work, not the
@@ -442,7 +475,209 @@ object Soak {
       }
     }
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // --- XSLT transform soak (r12 verdict item): the one operator
+    // family with no replica-scale measurement before r12. A
+    // temple-shaped module (11 field templates: dispatch guards,
+    // choose-over-matches, recursive splitter, starts-with routing,
+    // same-output merge) drives BOTH wire forms over the 10× corpus;
+    // the third timing is the pre-r12 cost shape — one xpath() DOM
+    // parse per dispatch path — which the one-parse XPathSlots
+    // rewrite replaced; the parse counter pins parses == rows on the
+    // one-parse path at soak scale.
+    val xsltModuleSrc =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<xsl:stylesheet version="2.0"
+        |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+        |    xmlns:dcterms="http://purl.org/dc/terms/"
+        |    xmlns:edm="http://www.europeana.eu/schemas/edm/">
+        |  <xsl:template match="dc:title">
+        |    <xsl:if test="normalize-space(.)!=''">
+        |      <xsl:element name="dcterms:title"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |    </xsl:if>
+        |  </xsl:template>
+        |  <xsl:template match="dc:type">
+        |    <xsl:if test="normalize-space(.)!=''">
+        |      <xsl:choose>
+        |        <xsl:when test="matches(., '(^text.*$)', 'i')"><dcterms:type>Text</dcterms:type></xsl:when>
+        |        <xsl:when test="matches(., '(^image.*$)', 'i')"><dcterms:type>Image</dcterms:type></xsl:when>
+        |        <xsl:when test="matches(., '^(sound.*$)', 'i')"><dcterms:type>Sound</dcterms:type></xsl:when>
+        |        <xsl:otherwise><dcterms:format><xsl:value-of select="."/></dcterms:format></xsl:otherwise>
+        |      </xsl:choose>
+        |    </xsl:if>
+        |  </xsl:template>
+        |  <xsl:template match="dc:subject">
+        |    <xsl:call-template name="subj_template">
+        |      <xsl:with-param name="stringz" select="."/>
+        |      <xsl:with-param name="delimiter" select="';'"/>
+        |    </xsl:call-template>
+        |  </xsl:template>
+        |  <xsl:template match="dc:rights">
+        |    <xsl:choose>
+        |      <xsl:when test="starts-with(., 'http://rightsstatements.org/vocab/') or starts-with(., 'https://creativecommons.org/')">
+        |        <xsl:element name="edm:rights"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |      </xsl:when>
+        |      <xsl:otherwise>
+        |        <xsl:element name="dcterms:rights"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |      </xsl:otherwise>
+        |    </xsl:choose>
+        |  </xsl:template>
+        |  <xsl:template match="dc:creator">
+        |    <xsl:element name="dcterms:creator"><xsl:value-of select="."/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template match="dc:date">
+        |    <xsl:element name="dcterms:date"><xsl:value-of select="."/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template match="dc:description">
+        |    <xsl:if test="normalize-space(.)!=''">
+        |      <xsl:element name="dcterms:description"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |    </xsl:if>
+        |  </xsl:template>
+        |  <xsl:template match="dc:coverage">
+        |    <xsl:element name="dcterms:spatial"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template match="dcterms:spatial">
+        |    <xsl:element name="dcterms:spatial"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template match="dc:language">
+        |    <xsl:element name="dcterms:language"><xsl:value-of select="."/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template match="dc:publisher">
+        |    <xsl:element name="dcterms:publisher"><xsl:value-of select="normalize-space(.)"/></xsl:element>
+        |  </xsl:template>
+        |  <xsl:template name="subj_template">
+        |    <xsl:param name="stringz"/>
+        |    <xsl:param name="delimiter"/>
+        |    <xsl:choose>
+        |      <xsl:when test="contains($stringz, $delimiter)">
+        |        <xsl:variable name="newstem" select="substring-after($stringz, $delimiter)"/>
+        |        <dcterms:subject><xsl:value-of select="substring-before($stringz, $delimiter)"/></dcterms:subject>
+        |        <xsl:call-template name="subj_template">
+        |          <xsl:with-param name="stringz" select="$newstem"/>
+        |          <xsl:with-param name="delimiter" select="';'"/>
+        |        </xsl:call-template>
+        |      </xsl:when>
+        |      <xsl:otherwise>
+        |        <dcterms:subject><xsl:value-of select="normalize-space($stringz)"/></dcterms:subject>
+        |      </xsl:otherwise>
+        |    </xsl:choose>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val xsltSheet = operators.Transform.compileXsltModule(xsltModuleSrc, "//rec")
+    val idc = col("doc_id")
+    val typeTxt = when(idc % 6 === 0, lit("Text"))
+      .when(idc % 6 === 1, lit("image/jpeg"))
+      .when(idc % 6 === 2, lit("Sound recording"))
+      .when(idc % 6 === 3, lit("text/plain"))
+      .when(idc % 6 === 4, lit(" Unmatched leader"))
+      .otherwise(lit(""))
+    val rightsTxt = when(idc % 3 === 0,
+        lit("http://rightsstatements.org/vocab/InC/1.0/"))
+      .when(idc % 3 === 1, lit("https://creativecommons.org/publicdomain/zero/1.0/"))
+      .otherwise(lit("All rights reserved."))
+    val xmlCorpus = corpus.select(idc.as("doc_id"), concat(
+        lit("<rec><dc:title>The  "), regexp_replace(col("text"), "[&<>]", " ")
+          .substr(lit(1), lit(48)), lit(" record </dc:title><dc:type>"), typeTxt,
+        lit("</dc:type><dc:subject>Art ;; History;  Local  "), col("lang"),
+        lit(" </dc:subject><dc:rights>"), rightsTxt,
+        lit("</dc:rights><dc:creator>author "), (idc % 97).cast("string"),
+        lit("</dc:creator><dc:date>19"), (idc % 90 + 10).cast("string"),
+        lit("</dc:date><dc:description>  about  "), col("lang"),
+        lit("  </dc:description><dc:coverage>cov "), col("lang"),
+        lit("</dc:coverage><dcterms:spatial>sp "), col("lang"),
+        lit("</dcterms:spatial><dc:language>"), col("lang"),
+        lit("</dc:language><dc:publisher> pub "), (idc % 11).cast("string"),
+        lit(" </dc:publisher></rec>")).as("xml"))
+      .cache()
+    val nXml = xmlCorpus.count()
+    val xp0 = graft.plans.XmlSlots.parses.get()
+    val tXsltJson = timeS {
+      xmlCorpus.select(to_json(xsltSheet.output(col("xml"))).as("rec"))
+        .agg(sum(length(col("rec")))).head(); ()
+    }
+    val xsltParses = graft.plans.XmlSlots.parses.get() - xp0
+    val tXsltXml = timeS {
+      xmlCorpus.select(xsltSheet.outputXml(col("xml")).as("rec"))
+        .agg(sum(length(col("rec")))).head(); ()
+    }
+    // the pre-r12 cost shape: one xpath() call (one DOM parse) per
+    // dispatch path — what ruleExpr/keptArray paid per row before the
+    // one-parse rewrite (atom probes excluded; the parse dominated)
+    val dispatchPaths = xsltSheet.rules.flatMap {
+      case operators.Transform.XDispatch(_, p, _) => Seq(p)
+      case operators.Transform.XConcat(_, parts) => parts.map(_.nodesPath)
+      case _ => Seq.empty
+    }
+    val tXsltNaive = timeS {
+      xmlCorpus.select(dispatchPaths.zipWithIndex.map { case (p, i) =>
+          xpath(col("xml"), lit(p)).as(s"a$i") }: _*)
+        .agg(sum(dispatchPaths.indices.map(i => size(col(s"a$i")))
+          .reduce(_ + _))).head(); ()
+    }
+    xmlCorpus.unpersist()
+
+    // --- GapStream open-world state soak (r12 verdict item): the
+    // stateTtlMs knob is spec'd for eviction SEMANTICS; this stage
+    // MEASURES the state bound on an open-world user population
+    // (every batch brings a disjoint user id range). With TTL=0 the
+    // state operator's numRowsTotal grows monotonically with users
+    // ever seen; with a TTL it stays bounded at O(TTL-active users)
+    // — the post-idle reading returns to ~0 and the per-batch peak
+    // is one batch's population.
+    val gapTtlMs = 1500L
+    def gapStateSoak(ttlMs: Long, tag: String): Seq[Long] = {
+      val evDir = java.nio.file.Files
+        .createTempDirectory(s"graft_soak_gap$tag").toString
+      val nBatches = 6; val usersPerBatch = 3000L
+      def stage(i: Int): Unit = {
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"graft_soak_gap${tag}_s").toString + "/out"
+        val u0 = i * usersPerBatch
+        val t0 = 1000000000L + i * 100000000L
+        spark.range(u0, u0 + usersPerBatch).select(
+            explode(array(lit(0L), lit(1L))).as("k"), col("id").as("user_id"))
+          .select((col("user_id") * 2 + col("k")).as("event_id"),
+            timestamp_micros(lit(t0) + col("user_id") * 7 + col("k") * 1000000L)
+              .cast("timestamp_ntz").as("ts"),
+            col("user_id"), lit("view").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          .coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(evDir, s"b$i.parquet"))
+        ()
+      }
+      stage(0) // the schema probe in readEvents needs on-disk data
+      val sinkName = s"gap_soak_$tag"
+      val q = streaming.GapStream.gaps(
+          streaming.EventsStream.readEvents(spark, evDir), ttlMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      // each user contributes one in-batch gap; poll the sink (with a
+      // TTL, processAllAvailable never latches — timeout batches run
+      // continuously, see SourcesStreamSpec)
+      def awaitRows(target: Long): Unit = {
+        val deadline = System.nanoTime + 120L * 1000000000L
+        while (spark.table(sinkName).count() < target
+            && System.nanoTime < deadline) Thread.sleep(100)
+      }
+      val sizes = (0 until nBatches).map { i =>
+        if (i > 0) stage(i)
+        awaitRows((i + 1) * usersPerBatch)
+        if (ttlMs > 0) Thread.sleep(ttlMs + 1000) // idle window: evict
+        Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+          .getOrElse(-1L)
+      }
+      q.stop()
+      sizes
+    }
+    val gapStateTtl = gapStateSoak(gapTtlMs, "ttl")
+    val gapStateNoTtl = gapStateSoak(0L, "nottl")
+    def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -834,6 +834,23 @@ object Dedup {
         col("n_chars").as("rep_n_chars"), col("n_members"))
   }
 
+  /** Dedup SURVIVOR list over a persisted membership frame (doc_id,
+    * cluster_id, n_chars) — the keep-list the Ivfpq scaladoc's
+    * serving recommendation ("dedup BEFORE indexing") consumes:
+    * exactly ONE survivor per cluster, chosen by the d18 decision
+    * (longest member, ties to smallest doc_id) and extended to
+    * singleton clusters, which keep their only member. One window
+    * over a label scan — build-once/read-many like every other
+    * labels consumer; DedupAnnComposeSpec builds an IVFPQ index
+    * from this list and the Soak chart measures the rerank knob
+    * returning to k×small on the deduped corpus. */
+  def survivorsFromLabels(mem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   /** Cross-source duplication matrix (d16's operator form): for
     * every source pair, how many distinct `width`-token passages they
     * share. Plan: d13's chunker (posexplode, map-only) → md5 →

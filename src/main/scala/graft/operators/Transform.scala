@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.{XmlExpr, XmlSlots}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -81,42 +82,124 @@ object Transform {
     case XStamp(n, _) => n
   }
 
-  private def ruleExpr(xml: Column, r: XRule): Column = r match {
-    case XLeaf(_, p) => coalesce(xpath_string(xml, lit(p)), lit(""))
-    case XAll(_, p) => xpath(xml, lit(p))
+  /** Ordered interning of every XPath a rule tree evaluates — the
+    * slot table ONE [[graft.plans.XPathSlots]] evaluation fills. The
+    * collect walk mirrors [[ruleExpr]]'s decode walk exactly; decode
+    * looks indices up with a must-hit `apply` so a divergence fails
+    * fast instead of silently widening the table. */
+  private final class SlotReg {
+    private val order = scala.collection.mutable.ArrayBuffer.empty[(String, Byte)]
+    private val idx = scala.collection.mutable.HashMap.empty[(String, Byte), Int]
+    def intern(path: String, kind: Byte): Unit = {
+      idx.getOrElseUpdate((path, kind), {
+        order += ((path, kind)); order.size - 1
+      })
+      ()
+    }
+    def index(path: String, kind: Byte): Int = idx((path, kind))
+    def toSlots: XmlSlots =
+      new XmlSlots(order.map(_._1).toArray, order.map(_._2).toArray)
+  }
+
+  private def collectSlots(r: XRule, reg: SlotReg): Unit = r match {
+    case XLeaf(_, p) => reg.intern(p, XmlSlots.KindString)
+    case XAll(_, p) => reg.intern(p, XmlSlots.KindNodes)
     case XZip(_, fields) =>
-      val arrs = fields.map { case (_, p) => xpath(xml, lit(p)) }
-      // transform-with-index over the first array; element_at is
-      // 1-based. Interpreted HOF — fine here: this is a transform
-      // surface, not a dedup hot path, and stays linear map-only.
-      transform(arrs.head, (_, i) => struct(
-        fields.map(_._1).zip(arrs).map { case (fn, a) =>
-          element_at(a, i + 1).as(fn) }: _*))
-    case XNode(_, cs) => struct(cs.map(compileRule(xml, _)): _*)
+      fields.foreach { case (_, p) => reg.intern(p, XmlSlots.KindNodes) }
+    case XNode(_, cs) => cs.foreach(collectSlots(_, reg))
+    case XWhen(t, inner) =>
+      reg.intern(t, XmlSlots.KindBool); collectSlots(inner, reg)
+    case XChoose(bs, ow) =>
+      bs.foreach { case (t, v) =>
+        reg.intern(t, XmlSlots.KindBool); collectSlots(v, reg)
+      }
+      ow.foreach(collectSlots(_, reg))
+    case XDispatch(_, p, _) => reg.intern(p, XmlSlots.KindNodes)
+    case XConcat(_, parts) => parts.foreach(collectSlots(_, reg))
+    case XStamp(_, _) => ()
+  }
+
+  /** Typed decode of the one-parse slot column. Every method returns
+    * exactly what the corresponding `xpath_*` call returned (see
+    * [[graft.plans.XmlSlots]] for the bit-parity argument), fetched
+    * with constant-index `element_at` from the single evaluation. */
+  private final class SlotAccess(reg: SlotReg, slotsCol: Column) {
+    private def at(p: String, kind: Byte): Column =
+      element_at(slotsCol, reg.index(p, kind) + 1)
+    def nodes(p: String): Column = at(p, XmlSlots.KindNodes)
+    def str(p: String): Column = element_at(at(p, XmlSlots.KindString), 1)
+    def bool(p: String): Column =
+      element_at(at(p, XmlSlots.KindBool), 1) === "true"
+    def nodePos(p: String): Column = at(p, XmlSlots.KindNodesPos)
+  }
+
+  /** Build `body`'s decode over ONE evaluation of the rule tree's
+    * slot table, pinned with Catalyst's `With`/CommonExpressionRef:
+    * the optimizer rewrites the common definition into its own
+    * projection, so the parse count per row is exactly one BY PLAN
+    * SHAPE — not at the mercy of codegen subexpression elimination,
+    * which skips occurrences inside higher-order-function arguments
+    * and conditional branches (outputXml's dispatch decodes are all
+    * such occurrences; the first cut measured 4 parses/row there). */
+  private def withSlots(xml: Column, rules: Seq[XRule],
+      posPaths: Seq[String] = Seq.empty)(
+      body: SlotAccess => Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.With
+    val reg = new SlotReg
+    rules.foreach(collectSlots(_, reg))
+    posPaths.foreach(reg.intern(_, XmlSlots.KindNodesPos))
+    val slots = reg.toSlots
+    if (slots.paths.isEmpty)
+      body(new SlotAccess(reg, lit(null)))
+    else
+      GraftShims.column(
+        With(GraftShims.expression(XmlExpr.xpathSlots(xml, slots))) { refs =>
+          GraftShims.expression(
+            body(new SlotAccess(reg, GraftShims.column(refs.head))))
+        })
+  }
+
+  private def ruleExpr(sx: SlotAccess, r: XRule): Column = r match {
+    case XLeaf(_, p) => coalesce(sx.str(p), lit(""))
+    case XAll(_, p) => sx.nodes(p)
+    case XZip(_, fields) =>
+      // the per-match fields zip positionally (document order); the
+      // rename-transform touches only the lambda variable, so the
+      // slot column stays OUTSIDE every lambda — codegen
+      // subexpression elimination needs that to keep one parse/row
+      val zipped = arrays_zip(fields.map { case (_, p) => sx.nodes(p) }: _*)
+      transform(zipped, s => struct(fields.map(_._1).zipWithIndex.map {
+        case (fn, i) => s.getField(i.toString).as(fn) }: _*))
+    case XNode(_, cs) => struct(cs.map(compileRule(sx, _)): _*)
     case XWhen(t, inner) =>
       // no otherwise(...) → NULL when the test fails; to_json then
       // omits the field, mirroring xsl:if emitting nothing
-      when(xpath_boolean(xml, lit(t)), ruleExpr(xml, inner))
+      when(sx.bool(t), ruleExpr(sx, inner))
     case XChoose(branches, ow) =>
       val chained = branches.tail.foldLeft(
-        when(xpath_boolean(xml, lit(branches.head._1)),
-          ruleExpr(xml, branches.head._2))) { case (c, (t, r)) =>
-        c.when(xpath_boolean(xml, lit(t)), ruleExpr(xml, r))
+        when(sx.bool(branches.head._1),
+          ruleExpr(sx, branches.head._2))) { case (c, (t, r)) =>
+        c.when(sx.bool(t), ruleExpr(sx, r))
       }
-      ow.fold(chained)(r => chained.otherwise(ruleExpr(xml, r)))
-    case d: XDispatch => dispatchExpr(xml, d)
-    case c: XConcat => concatExpr(xml, c)
+      ow.fold(chained)(r => chained.otherwise(ruleExpr(sx, r)))
+    case d: XDispatch => dispatchExpr(sx, d)
+    case c: XConcat => concatExpr(sx, c)
     case XStamp(_, v) => array(lit(v))
   }
 
-  private def compileRule(xml: Column, r: XRule): Column =
-    ruleExpr(xml, r).as(ruleName(r))
+  private def compileRule(sx: SlotAccess, r: XRule): Column =
+    ruleExpr(sx, r).as(ruleName(r))
 
   /** Compile a rule tree over a serialized-XML column into one nested
     * struct Column (serialize with `to_json` for a stable wire/oracle
-    * form). */
+    * form). The record's XML is parsed ONCE per row — every rule's
+    * XPaths evaluate against the single DOM through
+    * [[graft.plans.XPathSlots]]; XsltOneParseSpec pins parses==rows. */
   def structuralCrosswalk(xml: Column, rules: Seq[XRule]): Column =
-    struct(rules.map(compileRule(xml, _)): _*)
+    withSlots(xml, rules) { sx =>
+      struct(rules.map(compileRule(sx, _)): _*)
+    }
 
   /** A stylesheet as a whole-frame transform — the shape
     * [[graft.streaming.EtlStream.maintainEtl]]'s `transform` seam
@@ -222,8 +305,8 @@ object Transform {
   private def condOf(x: Column, atoms: Seq[XAtom]): Column =
     atoms.map(atomCond(x, _)).reduceOption(_ && _).getOrElse(lit(true))
 
-  private def keptArray(xml: Column, d: XDispatch): Column = {
-    val nodes = xpath(xml, lit(d.nodesPath))
+  private def keptArray(sx: SlotAccess, d: XDispatch): Column = {
+    val nodes = sx.nodes(d.nodesPath)
     d.cases match {
       // a split call is the sole emission for its output: the guard
       // selects nodes, every segment of a selected node is emitted
@@ -242,9 +325,45 @@ object Transform {
     }
   }
 
-  private def dispatchExpr(xml: Column, d: XDispatch): Column = {
-    val kept = keptArray(xml, d)
+  private def dispatchExpr(sx: SlotAccess, d: XDispatch): Column = {
+    val kept = keptArray(sx, d)
     when(size(kept) > 0, kept)
+  }
+
+  /** [[keptArray]]'s document-order twin: each kept emission as
+    * struct(k, e) where `k` is a global sort key (source node's
+    * document-order ordinal × 1e6 + the emission index within the
+    * node — split segments stay adjacent and ordered) and `e` is the
+    * serialized `<name>escaped</name>` element. Sorting the union of
+    * every dispatch's emissions by `k` reproduces the source
+    * document's field order — what Saxon's apply-templates output
+    * does, and what the declaration-order struct model cannot. */
+  private def keptEmissions(sx: SlotAccess, d: XDispatch,
+      esc: Column => Column): Column = {
+    val zipped = arrays_zip(sx.nodes(d.nodesPath), sx.nodePos(d.nodesPath))
+    def v(z: Column): Column = z.getField("0")
+    def key(z: Column, j: Column): Column =
+      z.getField("1").cast("long") * 1000000L + j
+    def elem(x: Column): Column =
+      concat(lit(s"<${d.name}>"), esc(x), lit(s"</${d.name}>"))
+    d.cases match {
+      case Seq((atoms, VSplit(d1, d2))) =>
+        flatten(transform(filter(zipped, z => condOf(v(z), atoms)), z =>
+          transform(splitEmissions(v(z), d1, d2), (s, j) =>
+            struct(key(z, j.cast("long")).as("k"), elem(s).as("e")))))
+      case cases =>
+        require(!cases.exists(_._2.isInstanceOf[VSplit]),
+          "VSplit must be a dispatch's sole case")
+        val mapped = transform(zipped, z => {
+          val value = cases.tail.foldLeft(
+            when(condOf(v(z), cases.head._1), caseValue(v(z), cases.head._2))) {
+            case (c, (atoms, cv)) => c.when(condOf(v(z), atoms), caseValue(v(z), cv))
+          }
+          when(value.isNotNull,
+            struct(key(z, lit(0L)).as("k"), elem(value).as("e")))
+        })
+        filter(mapped, _.isNotNull)
+    }
   }
 
   /** Several field templates emitting the SAME output element
@@ -261,8 +380,8 @@ object Transform {
     * `<edm:provider>PA Digital</edm:provider>` on every record). */
   final case class XStamp(name: String, value: String) extends XRule
 
-  private def concatExpr(xml: Column, c: XConcat): Column = {
-    val kept = c.parts.map(keptArray(xml, _)).reduce(concat(_, _))
+  private def concatExpr(sx: SlotAccess, c: XConcat): Column = {
+    val kept = c.parts.map(keptArray(sx, _)).reduce(concat(_, _))
     when(size(kept) > 0, kept)
   }
 
@@ -474,21 +593,56 @@ object Transform {
       * what transform.py's Saxon run writes to the destination
       * prefix: every emission as a repeated `<name>text</name>`
       * element inside the base template's literal wrapper, entities
-      * re-escaped (xpath hands back unescaped text). Field order is
-      * template-declaration order (the documented struct-model
-      * deviation from document-order output); XsltSheetSpec asserts
-      * element-level parity with the reference's expected complex
-      * outputs. Same one-projection map-only plan as [[output]]. */
-    def outputXml(xml: Column): Column = {
+      * re-escaped (xpath hands back unescaped text). Default field
+      * order is template-declaration order (the documented
+      * struct-model deviation — identical whenever each record lists
+      * its fields in the stylesheet's order, the OAI-DC case, and
+      * the order every oracle replays); `documentOrder = true`
+      * instead sorts emissions by their source node's document
+      * position (base-body stamps last, as the call-template follows
+      * apply-templates) — the order-exact serialization for
+      * consumers that byte-compare against Saxon output,
+      * XsltSheetSpec-asserted element-for-element IN ORDER against
+      * the reference's expected complex outputs. Either way ONE
+      * map-only projection with one DOM parse per row. */
+    def outputXml(xml: Column, documentOrder: Boolean = false): Column = {
       def esc(x: Column): Column =
         regexp_replace(regexp_replace(regexp_replace(x,
           "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
-      val inner = rules.map { r =>
-        val n = ruleName(r)
-        coalesce(array_join(transform(ruleExpr(xml, r), x =>
-          concat(lit(s"<$n>"), esc(x), lit(s"</$n>"))), ""), lit(""))
-      }.reduceOption(concat(_, _)).getOrElse(lit(""))
-      concat(lit(s"<$wrapperName>"), inner, lit(s"</$wrapperName>"))
+      if (!documentOrder) {
+        withSlots(xml, rules) { sx =>
+          val inner = rules.map { r =>
+            val n = ruleName(r)
+            coalesce(array_join(transform(ruleExpr(sx, r), x =>
+              concat(lit(s"<$n>"), esc(x), lit(s"</$n>"))), ""), lit(""))
+          }.reduceOption(concat(_, _)).getOrElse(lit(""))
+          concat(lit(s"<$wrapperName>"), inner, lit(s"</$wrapperName>"))
+        }
+      } else {
+        val dispatches: Seq[XDispatch] = rules.flatMap {
+          case d: XDispatch => Seq(d)
+          case XConcat(_, parts) => parts
+          case _: XStamp => Seq.empty
+          case other => throw new IllegalArgumentException(
+            s"document-order output is defined for sheet rules " +
+              s"(dispatch/merge/stamp), got $other")
+        }
+        val stamps = rules.collect { case XStamp(n, v) =>
+          val ev = v.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+          s"<$n>$ev</$n>"
+        }.mkString
+        withSlots(xml, rules, posPaths = dispatches.map(_.nodesPath)) { sx =>
+          val inner = dispatches.map(keptEmissions(sx, _, esc))
+            .reduceOption(concat(_, _)) match {
+            case Some(all) =>
+              array_join(transform(array_sort(all), _.getField("e")), "")
+            case None => lit("")
+          }
+          concat(lit(s"<$wrapperName>"), inner, lit(stamps),
+            lit(s"</$wrapperName>"))
+        }
+      }
     }
   }
 

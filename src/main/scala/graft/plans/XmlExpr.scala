@@ -1,0 +1,226 @@
+package graft.plans
+
+import java.io.StringReader
+import java.util.concurrent.atomic.AtomicLong
+
+import javax.xml.parsers.{DocumentBuilder, DocumentBuilderFactory}
+import javax.xml.xpath.{XPathConstants, XPathExpression, XPathFactory}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.w3c.dom.NodeList
+import org.xml.sax.InputSource
+
+/** One-parse multi-XPath evaluation (the round-12 verdict item).
+  *
+  * Spark's `xpath_*` expressions each RE-PARSE the XML string per
+  * call: a compiled stylesheet with N dispatch rules costs N DOM
+  * parses per row in `Transform.structuralCrosswalk`'s projection
+  * (temple.xsl: ~20 — the reference's transform.py per-record hot
+  * loop, the cost a 100 TB crosswalk scan actually pays). [[XmlSlots]]
+  * compiles every XPath the rule tree needs into one SLOT TABLE;
+  * [[XPathSlots]] parses each row's XML ONCE and evaluates all slots
+  * against the single DOM, returning `array<array<string>>` (one
+  * inner array per slot) that the Column-side rule decode consumes
+  * with `element_at`.
+  *
+  * Semantics are BIT-IDENTICAL to Spark's xpath family by
+  * construction: the same `javax.xml` engine with the same
+  * configuration that `UDFXPathUtil` uses — a default (namespace-
+  * UNAWARE) `DocumentBuilderFactory` with the two external-entity
+  * features disabled, `XPathFactory.newXPath` compilation, and
+  * per-slot result conversion mirroring each return type:
+  *
+  *  - NODESET (the `xpath()` array form): `getNodeValue` per matched
+  *    node, in document order;
+  *  - STRING (`xpath_string`): the XPath string() conversion ("" for
+  *    an empty node-set), stored as a 1-element inner array;
+  *  - BOOLEAN (`xpath_boolean`): "true"/"false" as a 1-element array.
+  *
+  * Null/empty XML and uncompilable paths return null (whole-row /
+  * per-slot respectively), exactly `UDFXPathUtil.eval`'s contract;
+  * a malformed document throws, like the xpath family does.
+  *
+  * The expression stays inside WholeStageCodegen (generated code
+  * calls the same evaluator the interpreted path uses, the
+  * [[CharClassCounts]] precedent), and all rule decodes referencing
+  * ONE [[XPathSlots]] instance collapse to a single evaluation per
+  * row via codegen subexpression elimination — XsltOneParseSpec
+  * asserts parses == rows through the parse counter.
+  */
+final class XmlSlots(val paths: Array[String], val kinds: Array[Byte])
+    extends Serializable {
+  import XmlSlots._
+
+  require(paths.length == kinds.length, "paths/kinds length mismatch")
+
+  /** Per-thread parser + compiled expressions: DocumentBuilder and
+    * XPathExpression are not thread-safe, and one expression
+    * instance can be shared across concurrently-running partitions
+    * of the same task binary. */
+  @transient private lazy val local
+      : ThreadLocal[(DocumentBuilder, Array[XPathExpression])] =
+    ThreadLocal.withInitial { () =>
+      val dbf = DocumentBuilderFactory.newInstance()
+      // the exact UDFXPathUtil configuration: namespace-unaware
+      // default parse, external entities off (no other features)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      val xp = XPathFactory.newInstance().newXPath()
+      // a path UDFXPathUtil cannot compile yields null for that call,
+      // not an error — mirror per-slot with a null expression
+      val compiled = paths.map { p =>
+        try xp.compile(p) catch { case _: Exception => null }
+      }
+      (dbf.newDocumentBuilder(), compiled)
+    }
+
+  def evalRow(xml: UTF8String): GenericArrayData = {
+    val s = xml.toString
+    if (s.isEmpty) return null
+    val (builder, exprs) = local.get()
+    val doc =
+      try builder.parse(new InputSource(new StringReader(s)))
+      catch {
+        case e: Exception =>
+          throw new RuntimeException("Invalid XML document: " + e.getMessage, e)
+      }
+    parses.incrementAndGet()
+    var order: java.util.IdentityHashMap[org.w3c.dom.Node, Integer] = null
+    val out = new Array[AnyRef](exprs.length)
+    var i = 0
+    while (i < exprs.length) {
+      out(i) =
+        if (exprs(i) == null) null
+        else kinds(i) match {
+          case KindNodes =>
+            val nl = exprs(i)
+              .evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
+            val arr = new Array[AnyRef](nl.getLength)
+            var j = 0
+            while (j < nl.getLength) {
+              arr(j) = UTF8String.fromString(nl.item(j).getNodeValue)
+              j += 1
+            }
+            new GenericArrayData(arr)
+          case KindString =>
+            val v = exprs(i)
+              .evaluate(doc, XPathConstants.STRING).asInstanceOf[String]
+            new GenericArrayData(Array[AnyRef](UTF8String.fromString(v)))
+          case KindBool =>
+            val v = exprs(i)
+              .evaluate(doc, XPathConstants.BOOLEAN).asInstanceOf[java.lang.Boolean]
+            new GenericArrayData(Array[AnyRef](
+              UTF8String.fromString(if (v) "true" else "false")))
+          case KindNodesPos =>
+            // document-order ordinal of each matched node (one DFS
+            // numbering per row, built lazily on first use) — the
+            // sort key the document-order outputXml option needs
+            val nl = exprs(i)
+              .evaluate(doc, XPathConstants.NODESET).asInstanceOf[NodeList]
+            if (order == null) order = documentOrder(doc)
+            val arr = new Array[AnyRef](nl.getLength)
+            var j = 0
+            while (j < nl.getLength) {
+              val o = order.get(nl.item(j))
+              arr(j) = UTF8String.fromString(
+                if (o == null) "-1" else o.toString)
+              j += 1
+            }
+            new GenericArrayData(arr)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One DFS pass numbering every node (element, then its attributes,
+    * then children) — document order as XPath defines it. */
+  private def documentOrder(doc: org.w3c.dom.Document)
+      : java.util.IdentityHashMap[org.w3c.dom.Node, Integer] = {
+    val m = new java.util.IdentityHashMap[org.w3c.dom.Node, Integer]()
+    var c = 0
+    def walk(nd: org.w3c.dom.Node): Unit = {
+      m.put(nd, Integer.valueOf(c)); c += 1
+      val atts = nd.getAttributes
+      if (atts != null) {
+        var i = 0
+        while (i < atts.getLength) {
+          m.put(atts.item(i), Integer.valueOf(c)); c += 1
+          i += 1
+        }
+      }
+      var ch = nd.getFirstChild
+      while (ch != null) { walk(ch); ch = ch.getNextSibling }
+    }
+    walk(doc)
+    m
+  }
+
+  // content equality so expression canonicalization and codegen
+  // subexpression elimination see two identical slot tables as equal
+  override def equals(other: Any): Boolean = other match {
+    case o: XmlSlots =>
+      java.util.Arrays.equals(paths.asInstanceOf[Array[AnyRef]],
+        o.paths.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(kinds, o.kinds)
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(paths.asInstanceOf[Array[AnyRef]]) * 31 +
+      java.util.Arrays.hashCode(kinds)
+  override def toString: String =
+    s"XmlSlots(${paths.length} slots)"
+}
+
+object XmlSlots {
+  val KindNodes: Byte = 0
+  val KindString: Byte = 1
+  val KindBool: Byte = 2
+  /** Document-order ordinals of a nodeset's matches (see
+    * [[XmlSlots]]'s `documentOrder`). */
+  val KindNodesPos: Byte = 3
+
+  /** Global DOM-parse counter — the one-parse-per-row contract's
+    * measurement hook (test/soak only; a single local-JVM counter). */
+  val parses = new AtomicLong(0L)
+}
+
+/** `array<array<string>>` of every slot's result from ONE parse of
+  * the child XML string. See [[XmlSlots]]. */
+case class XPathSlots(child: Expression, slots: XmlSlots)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = true), containsNull = true)
+
+  // empty-string XML returns null even for a non-null child
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    slots.evalRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xmlSlots", slots, classOf[XmlSlots].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.evalRow($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+  }
+
+  override def prettyName: String = "xpath_slots"
+
+  override protected def withNewChildInternal(newChild: Expression): XPathSlots =
+    copy(child = newChild)
+}
+
+object XmlExpr {
+  /** Column API for [[XPathSlots]]. */
+  def xpathSlots(xml: Column, slots: XmlSlots): Column =
+    GraftShims.column(XPathSlots(GraftShims.expression(xml), slots))
+}

@@ -321,6 +321,45 @@ class XsltSheetSpec extends AnyFunSuite {
     }
   }
 
+  test("documentOrder outputXml matches the expected records in exact element order") {
+    // the r12 option closing the one declared wire-form deviation:
+    // emissions sorted by source-node document position (stamps
+    // last), asserted ORDER-EXACT — not as sorted multisets —
+    // against the reference's expected outputs
+    val templeHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/temple.xsl"
+    val lookupHref = "https://raw.githubusercontent.com/tulibraries/" +
+      "aggregator_mdx/main/transforms/remediations/lookup.xsl"
+    val stub = """<xsl:stylesheet version="2.0"
+      xmlns:xsl="http://www.w3.org/1999/XSL/Transform"/>"""
+    val sheet = compileXsltSheet(resource("xsl_sample_complex.xsl"),
+      includes = Map(templeHref -> resource("temple.xsl"),
+        lookupHref -> stub))
+    def elementsInOrder(xmlStr: String): Seq[(String, String)] = {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder().parse(new org.xml.sax.InputSource(
+          new java.io.StringReader(xmlStr)))
+      val nl = doc.getDocumentElement.getChildNodes
+      (0 until nl.getLength).map(nl.item)
+        .collect { case e: org.w3c.dom.Element =>
+          e.getTagName -> e.getTextContent }
+    }
+    import spark.implicits._
+    val rows = recordRows(resource("xsl_sample.xml"))
+    val got = rows.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("rec_id", "xml")
+      .filter(sheet.keep(col("xml")))
+      .select(col("rec_id"),
+        sheet.outputXml(col("xml"), documentOrder = true).as("rec"))
+      .orderBy("rec_id").collect().map(_.getString(1))
+    assert(got.length == 3)
+    got.zipWithIndex.foreach { case (rec, i) =>
+      val want = elementsInOrder(resource(s"xsl_sample_complex_out${i + 1}.xml"))
+      assert(elementsInOrder(rec) == want,
+        s"record ${i + 1} order diverged:\ngot  ${elementsInOrder(rec)}\nwant $want")
+    }
+  }
+
   test("the split emission trace equals the literal XSLT recursion on random inputs") {
     // property test: compileXsltSheet's VSplit column expression vs a
     // direct Scala transcription of the recursive named template —
