@@ -429,8 +429,13 @@ object Soak {
     // deduped serving index owns). The chart cell to read: recall@5
     // at rerank=80 on deduped ≥ the rerank=400 number on raw —
     // the rerank knob returns to k×small once families are gone.
+    // tau must cover the FAMILY diameter: the replica perturbation
+    // reaches 0.01×19 mixing, so far-apart members of one family sit
+    // below cosine 0.99 — a 0.99 cut collapsed families only
+    // partially (12.6k survivors, r80 recall 0.42: real recovery but
+    // short of raw-r400's 0.44). 0.97 collapses whole families.
     val semKeep = dedup.SemDedup.semDedup(
-        annC.select(col("id"), col("label"), col("v")), "label", tau = 0.99)
+        annC.select(col("id"), col("label"), col("v")), "label", tau = 0.97)
       .filter(col("is_kept")).select("id")
     val dedupC = annC.join(semKeep, Seq("id"), "left_semi").cache()
     val nDedupC = dedupC.count()

@@ -1133,9 +1133,11 @@ object Transform {
     * so the reference's whole transform→validate DAG runs from two
     * compiled artifacts. */
   def xsltSheetTransformXml(xslt: String, xmlCol: String, carry: Seq[String],
-      outCol: String = "rec"): DataFrame => DataFrame = {
+      outCol: String = "rec", documentOrder: Boolean = false)
+      : DataFrame => DataFrame = {
     val sheet = compileXsltSheet(xslt)
     df => df.filter(sheet.keep(col(xmlCol)))
-      .select(carry.map(col) :+ sheet.outputXml(col(xmlCol)).as(outCol): _*)
+      .select(carry.map(col) :+
+        sheet.outputXml(col(xmlCol), documentOrder).as(outCol): _*)
   }
 }

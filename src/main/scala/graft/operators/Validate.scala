@@ -148,31 +148,47 @@ object Validate {
       SchNs == e.getNamespaceURI && e.getLocalName == local
     require(doc.getDocumentElement.getNamespaceURI == SchNs,
       "not a Schematron schema (wrong root namespace)")
-    elems(doc.getDocumentElement).filter(isSch(_, "pattern")).flatMap { p =>
-      val pid = Option(p.getAttribute("id")).filter(_.nonEmpty)
-        .getOrElse("default")
-      elems(p).filter(isSch(_, "rule")).flatMap { r =>
-        val ctx = r.getAttribute("context").trim
-        require(ctx.nonEmpty, s"rule without context in pattern $pid")
-        val abs = if (ctx.startsWith("/")) ctx else s"//$ctx"
-        elems(r).zipWithIndex
-          .filter { case (a, _) => isSch(a, "assert") || isSch(a, "report") }
-          .map { case (a, i) =>
-            val isReport = a.getLocalName == "report"
-            val test = a.getAttribute("test").trim
-            require(test.nonEmpty, s"${a.getLocalName} without test in $pid")
-            val id = Option(a.getAttribute("id")).filter(_.nonEmpty)
-              .getOrElse(s"$pid-$i")
-            val msg = a.getTextContent.trim.replaceAll("\\s+", " ")
-            val probe = graft.operators.Transform.rewriteQNames(
-              if (isReport) s"$abs[$test]" else s"$abs[not($test)]")
-            val fired = xpath_boolean(xml, lit(probe))
-            // SchRule's test column is the PASS condition for asserts
-            // and the FIRE condition for reports
-            SchRule(id, if (isReport) fired else !fired, msg,
-              isReport, pid)
-          }
+    val specs = elems(doc.getDocumentElement).filter(isSch(_, "pattern"))
+      .flatMap { p =>
+        val pid = Option(p.getAttribute("id")).filter(_.nonEmpty)
+          .getOrElse("default")
+        elems(p).filter(isSch(_, "rule")).flatMap { r =>
+          val ctx = r.getAttribute("context").trim
+          require(ctx.nonEmpty, s"rule without context in pattern $pid")
+          val abs = if (ctx.startsWith("/")) ctx else s"//$ctx"
+          elems(r).zipWithIndex
+            .filter { case (a, _) => isSch(a, "assert") || isSch(a, "report") }
+            .map { case (a, i) =>
+              val isReport = a.getLocalName == "report"
+              val test = a.getAttribute("test").trim
+              require(test.nonEmpty, s"${a.getLocalName} without test in $pid")
+              val id = Option(a.getAttribute("id")).filter(_.nonEmpty)
+                .getOrElse(s"$pid-$i")
+              val msg = a.getTextContent.trim.replaceAll("\\s+", " ")
+              val probe = graft.operators.Transform.rewriteQNames(
+                if (isReport) s"$abs[$test]" else s"$abs[not($test)]")
+              (id, msg, isReport, pid, probe)
+            }
+        }
       }
+    // ONE-PARSE evaluation (the r12 XPathSlots posture): every
+    // probe of the schema is a boolean slot of one shared evaluation,
+    // so schematronReport's projection — whose per-rule conditions
+    // all reference the SAME slots expression — parses each record
+    // ONCE per row (codegen subexpression elimination merges the
+    // case-class-equal occurrences; XsltOneParseSpec pins it), where
+    // the per-rule xpath_boolean form paid |rules| parses/row. Gate
+    // consumers (schAsRules → an AND chain in a Filter) short-circuit
+    // exactly as before: each evaluated conjunct costs one parse,
+    // the same count the per-rule form paid.
+    val slots = new graft.plans.XmlSlots(specs.map(_._5).toArray,
+      Array.fill(specs.size)(graft.plans.XmlSlots.KindBool))
+    val slotsCol = graft.plans.XmlExpr.xpathSlots(xml, slots)
+    specs.zipWithIndex.map { case ((id, msg, isReport, pid, _), i) =>
+      val fired = element_at(element_at(slotsCol, i + 1), 1) === "true"
+      // SchRule's test column is the PASS condition for asserts
+      // and the FIRE condition for reports
+      SchRule(id, if (isReport) fired else !fired, msg, isReport, pid)
     }
   }
 

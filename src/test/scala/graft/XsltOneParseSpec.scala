@@ -121,6 +121,37 @@ class XsltOneParseSpec extends AnyFunSuite {
     assert(r1 == "<record><a>a 1</a><b>b&amp;1</b></record>")
   }
 
+  test("compiled Schematron report parses each record exactly once per row") {
+    val sch =
+      """<?xml version="1.0"?>
+        |<schema xmlns="http://purl.oclc.org/dsdl/schematron">
+        |  <pattern id="req">
+        |    <rule context="rec">
+        |      <assert test="a" id="R1">must have a</assert>
+        |      <assert test="b" id="R2">must have b</assert>
+        |      <report test="c" id="A1">carries c</report>
+        |    </rule>
+        |  </pattern>
+        |</schema>""".stripMargin
+    import spark.implicits._
+    val d = (1 to 29).map(i =>
+      (s"<rec><a>x$i</a>${if (i % 3 == 0) "<c>y</c>" else ""}</rec>", i.toLong))
+      .toDF("xml", "id")
+    val rules = graft.operators.Validate.compileSchematron(sch, col("xml"))
+    val before = XmlSlots.parses.get()
+    val out = graft.operators.Validate.schematronReport(
+      d, rules, phases = Seq.empty, phase = "#ALL", idCol = col("id")).collect()
+    val delta = XmlSlots.parses.get() - before
+    assert(out.length == 29)
+    assert(delta == 29L, s"expected one parse per row, got $delta for 29 rows")
+    // verdicts themselves: every record misses b (1 failed assert);
+    // every third carries c (report fires)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_failed") == 1)
+      assert(r.getAs[Int]("n_reported") == (if (r.getAs[Long]("id") % 3 == 0) 1 else 0))
+    }
+  }
+
   test("empty XML is null through slots, like the xpath family") {
     val d = Seq(("", 1L), ("<rec><a>x</a></rec>", 2L)).toDF("xml", "id")
     val rows = d.select(col("id"),
