@@ -442,6 +442,42 @@ object Indexing {
       .select(col("query"), col("tok").as("suggestion"), col("dist"), col("freq"))
   }
 
+  /** Query elevation — Solr's QueryElevationComponent data plane
+    * (elevate.xml: per-query editorially pinned documents served
+    * ABOVE the organic ranking, the forceElevation posture: a pinned
+    * doc appears even when retrieval did not surface it). `results`
+    * is any ranked frame (q_id, n_id, rank — the x7/x8/x21 shape);
+    * `elevation` the tiny config table (q_id, n_id, pos). Output is
+    * one SERP per query, `k` rows total: pinned docs at ranks
+    * 1..E(q) in config order, then the organic ranking with pinned
+    * ids EXCLUDED filling E(q)+1..k — exclusion before the cut, so a
+    * pinned doc never double-serves and never steals an organic
+    * slot. Callers must fetch results with k' ≥ k + max E(q)
+    * candidates so the organic fill never runs short.
+    *
+    * Scale shape: the elevation config is editorial (tiny, Solr
+    * ships it as a config FILE) — both joins broadcast it; the
+    * re-rank window partitions per query over ≤ k' rows. Output:
+    * (q_id, n_id, rank, elevated). */
+  def elevate(results: DataFrame, elevation: DataFrame, k: Int): DataFrame = {
+    val elev = elevation.select(col("q_id"), col("n_id"), col("pos"))
+    val offsets = elev.groupBy("q_id")
+      .agg(count(lit(1)).cast("int").as("n_elev"))
+    val pinned = elev
+      .select(col("q_id"), col("n_id"), col("pos").cast("int").as("rank"),
+        lit(true).as("elevated"))
+    val organic = results
+      .join(broadcast(elev.select("q_id", "n_id")), Seq("q_id", "n_id"),
+        "left_anti")
+      .withColumn("orank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rank").asc)))
+      .join(broadcast(offsets), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_id"),
+        (col("orank") + coalesce(col("n_elev"), lit(0))).as("rank"),
+        lit(false).as("elevated"))
+    pinned.unionByName(organic).filter(col("rank") <= k)
+  }
+
   /** Index endpoint URL construction (reference: tasks.py:76-103
     * `get_solr_url`): host may or may not carry a scheme, optional
     * port, then /solr/<core>. Pure function — the sink config side

@@ -322,6 +322,32 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** x23: query elevation — Solr's QueryElevationComponent
+    * (elevate.xml): per-query editorially PINNED documents served
+    * above the organic BM25 ranking in config order, with the
+    * forceElevation posture (a pinned id appears even when retrieval
+    * did not surface it) and pinned ids EXCLUDED from the organic
+    * fill so nothing double-serves. Probes the same persisted x7
+    * index with k' = k + E candidates (top-3-of-exclusion ⊆ top-5 ⊆
+    * the fetched top-7, so the organic fill can never run short);
+    * the elevation config is a deterministic literal, two pinned ids
+    * per query, high ids data-exercising the not-organically-ranked
+    * branch. The oracle replays the x7 score chain, excludes the
+    * same literal map, and re-ranks below the pins. */
+  def x23Elevation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val idx = Retrieval.ensureIndex(
+      docs.filter(col("doc_id") >= 5), "doc_id", "text", dir)
+    val organic = Retrieval.searchIndex(spark, idx,
+      docs.filter(col("doc_id") < 5), "doc_id", "text", k = 7)
+    val elevation = (0L until 5L)
+      .flatMap(q => Seq((q, 20L + 13L * q, 1), (q, 40L + 17L * q, 2)))
+      .toDF("q_id", "n_id", "pos")
+    Indexing.elevate(organic, elevation, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** x22: pivot facet — Solr's `facet.pivot=source,lang` with
     * `facet.limit` at each level (top-5 sources, top-3 langs within
     * each) and the stats component inside the pivot (n_chars sums
@@ -594,6 +620,7 @@ object Etl {
     "x7_bm25" -> (x7Bm25 _),
     "x21_boosted_search" -> (x21BoostedSearch _),
     "x22_pivot_facet" -> (x22PivotFacet _),
+    "x23_elevation" -> (x23Elevation _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
     "h9_missing_days" -> (h9MissingDays _),
@@ -1184,6 +1211,30 @@ object Etl {
              CAST(row_number() OVER (PARTITION BY q_id
                ORDER BY score DESC, n_id ASC) AS INT) AS rank
            FROM agg)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // x23: the x7 score chain (identical rounded ordering), the same
+    // literal elevation map, exclusion before the organic re-rank
+    "x23_elevation" ->
+      s"""WITH $bm25ScoreCtes,
+         agg AS (SELECT q_id, n_id,
+             round(CAST(sum(cq) AS BIGINT) / 1000000.0, 4) AS score
+           FROM sc GROUP BY 1, 2),
+         elev(q_id, n_id, pos) AS (VALUES
+           (0, 20, 1), (0, 40, 2), (1, 33, 1), (1, 57, 2),
+           (2, 46, 1), (2, 74, 2), (3, 59, 1), (3, 91, 2),
+           (4, 72, 1), (4, 108, 2)),
+         org AS (SELECT a.q_id, a.n_id,
+             CAST(row_number() OVER (PARTITION BY a.q_id
+               ORDER BY a.score DESC, a.n_id ASC) + 2 AS INT) AS rank,
+             FALSE AS elevated
+           FROM agg a LEFT JOIN elev e
+             ON a.q_id = e.q_id AND a.n_id = e.n_id
+           WHERE e.q_id IS NULL)
+         SELECT q_id, n_id, rank, elevated FROM (
+           SELECT CAST(q_id AS BIGINT) AS q_id, CAST(n_id AS BIGINT) AS n_id,
+             CAST(pos AS INT) AS rank, TRUE AS elevated FROM elev
+           UNION ALL
+           SELECT q_id, n_id, rank, elevated FROM org)
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "x22_pivot_facet" ->
       """WITH base AS (SELECT

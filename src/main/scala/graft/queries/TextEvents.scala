@@ -441,7 +441,21 @@ object TextEvents {
         Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** ta17: within-document n-gram repetition (the Gopher repetition
+    * family ta16's token gate does not cover — see
+    * [[TextAnalysis.ngramRepetition]]): top-2-gram character share
+    * and duplicate-3-gram character mass with all-integer verdicts,
+    * both rules mixed-verdict at every SF (measured 291/267/2756
+    * rule_top2 passes and 499/495/4920 rule_dup3 passes of
+    * 500/500/5000 docs). The oracle regenerates the n-grams with
+    * list indexing and replays the identical integer math. */
+  def ta17Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetition(
+        Tables.documents(spark, dir).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta17_repetition" -> (ta17Repetition _),
     "ta16_gopher_rules" -> (ta16GopherRules _),
     "e11_interval_overlap" -> (e11IntervalOverlap _),
     "e7_range_join" -> (e7RangeJoin _),
@@ -785,6 +799,38 @@ object TextEvents {
            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens
          FROM documents ORDER BY doc_id""",
+    // ta17: n-grams regenerated with list indexing over the
+    // normalized token array; identical integer count·length math
+    "ta17_repetition" ->
+      """WITH base AS (
+           SELECT doc_id,
+             regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS norm
+           FROM documents),
+         tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base),
+         g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+           FROM tok, UNNEST(range(1, len(toks))) AS u(i)),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         top2 AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top2_chars
+           FROM c2 GROUP BY 1),
+         g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+           FROM tok, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         dup3 AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT)
+               AS dup3_chars
+           FROM c3 GROUP BY 1)
+         SELECT b.doc_id,
+           CAST(length(b.norm) AS BIGINT) AS n_chars,
+           coalesce(t.top2_chars, 0) AS top2_chars,
+           coalesce(d.dup3_chars, 0) AS dup3_chars,
+           coalesce(t.top2_chars, 0) * 14 <= length(b.norm) AS rule_top2,
+           coalesce(d.dup3_chars, 0) * 10 <= length(b.norm) AS rule_dup3,
+           (coalesce(t.top2_chars, 0) * 14 <= length(b.norm)
+            AND coalesce(d.dup3_chars, 0) * 10 <= length(b.norm)) AS pass
+         FROM base b
+         LEFT JOIN top2 t ON b.doc_id = t.doc_id
+         LEFT JOIN dup3 d ON b.doc_id = d.doc_id
+         ORDER BY b.doc_id""",
     // ta16: same per-token-frequency derivation, integer thresholds
     "ta16_gopher_rules" ->
       s"""WITH tk AS (

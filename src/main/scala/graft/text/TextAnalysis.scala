@@ -65,6 +65,60 @@ object TextAnalysis {
           col("rule_rep"))
   }
 
+  /** Within-document n-gram repetition (the Gopher repetition family,
+    * Rae et al. 2021 Table A1 — the MassiveText signals [[gopherRules]]'
+    * token gate does not cover): per document, the character mass of
+    * the most frequent word 2-GRAM (`top2_chars` = max over 2-grams
+    * of count·length — boilerplate phrases repeated through a doc)
+    * and of all REPEATED word 3-grams (`dup3_chars` = Σ over 3-grams
+    * with count ≥ 2 of count·length — templated/spun text), judged
+    * against the normalized character count with ALL-INTEGER
+    * threshold compares (top-2-gram share ≤ 1/14, duplicate-3-gram
+    * mass ≤ 1/10 — both verdicts data-live at every SF): no float
+    * ratio parity surface, the ta16 posture. NULL text coalesces to
+    * '' so every doc keeps its verdict row.
+    *
+    * Plan: normalize once; n-gram generation is
+    * `explode(sequence)+slice+concat_ws` (the generator form — no
+    * HOF lambda in the hot path, the d2/p5 lesson); then two
+    * (doc_id, gram)-keyed counts feeding doc-keyed aggregates — map
+    * explode + keyed aggregations, no window, no corpus join-back:
+    * the same one-shuffle-per-signal 100 TB shape as [[gopherRules]],
+    * with the (doc, gram) key uniform by construction (no skew: a
+    * gram's count is bounded by its doc's length). */
+  def ngramRepetition(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"),
+      regexp_replace(trim(coalesce(col("text"), lit(""))), "\\s+", " ")
+        .as("norm"))
+    def gramCounts(n: Int) = base
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      // sequence(1, m) REVERSES when m < 1 — guard short docs to an
+      // empty gram set instead
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) >= n,
+            sequence(lit(1), size(col("toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(n))).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val top2 = gramCounts(2).groupBy("doc_id")
+      .agg(max(col("c") * length(col("g"))).as("top2_chars"))
+    val dup3 = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") >= 2, col("c") * length(col("g")))
+        .otherwise(lit(0L))).as("dup3_chars"))
+    base.join(top2, Seq("doc_id"), "left").join(dup3, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"))
+      .withColumn("rule_top2",
+        col("top2_chars") * 14 <= col("n_chars"))
+      .withColumn("rule_dup3",
+        col("dup3_chars") * 10 <= col("n_chars"))
+      .withColumn("pass", col("rule_top2") && col("rule_dup3"))
+  }
+
   /** PII patterns, deliberately portable: no backrefs/lookaround, so
     * the same pattern string behaves identically under Java regex
     * (Spark codegen) and RE2 (most other engines, incl. the oracle). */

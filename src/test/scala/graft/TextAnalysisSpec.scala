@@ -101,4 +101,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("lambdafunction"),
       "no interpreted HOF lambda in the chunk path")
   }
+
+  test("ngramRepetition counts gram character mass exactly on known docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // tokens [x,y,x,y,x,y,x]: "x y" 3× (mass 3·3=9) = "y x" 3×;
+      // 3-grams "x y x" 3× (3·5=15) + "y x y" 2× (2·5=10) → dup3 25
+      (1L, "x y x y x y x"),
+      (2L, "all distinct words here"), // no repeated grams
+      (3L, "solo"),                    // 1 token: no 2-grams at all
+      (4L, null.asInstanceOf[String]), // null → '' → verdict row kept
+      (5L, "  a   b  a b  ")           // whitespace noise normalizes
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetition(docs)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = got(i)
+    assert(got.length == 5)
+    assert(row(0).getAs[Long]("top2_chars") == 9L)
+    assert(row(0).getAs[Long]("dup3_chars") == 25L)
+    assert(row(0).getAs[Long]("n_chars") == 13L)
+    assert(!row(0).getAs[Boolean]("rule_top2")) // 9*14 > 13
+    assert(!row(0).getAs[Boolean]("rule_dup3")) // 25*10 > 13
+    // no repeats: dup3 exactly 0; top2 = longest singleton gram (14)
+    assert(row(1).getAs[Long]("top2_chars") == 14L)
+    assert(row(1).getAs[Long]("dup3_chars") == 0L)
+    assert(row(1).getAs[Boolean]("rule_dup3"))
+    assert(!row(1).getAs[Boolean]("rule_top2")) // short doc: 14*14 > 23
+    assert(row(2).getAs[Long]("top2_chars") == 0L)
+    assert(row(2).getAs[Long]("dup3_chars") == 0L)
+    assert(row(3).getAs[Long]("n_chars") == 0L
+      && row(3).getAs[Boolean]("pass")) // '' : 0*k <= 0
+    // norm "a b a b": top 2-gram "a b" 2× → 6; both 3-grams unique
+    assert(row(4).getAs[Long]("top2_chars") == 6L)
+    assert(row(4).getAs[Long]("dup3_chars") == 0L)
+  }
 }
