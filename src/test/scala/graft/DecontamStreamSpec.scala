@@ -79,4 +79,19 @@ class DecontamStreamSpec extends AnyFunSuite {
       && DecontamStream.quarantine(spark, out).count() == nQuar,
       "replayed batches duplicated sink rows")
   }
+
+  test("sink readers return empty typed frames before any batch lands (r12 advice)") {
+    // the sink dirs are only created by batches that have rows for
+    // them — before any batch, or when every batch routed entirely
+    // to the other sink, the reader must not fail schema inference
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dc_empty").toString
+    val corpus = DecontamStream.corpus(spark, out)
+    val quar = DecontamStream.quarantine(spark, out)
+    assert(corpus.count() == 0)
+    assert(corpus.columns.toSeq == Seq("doc_id", "text", "lang", "n_chars"))
+    assert(quar.count() == 0)
+    assert(quar.columns.toSeq == Seq("doc_id", "n_hits", "bench_id",
+      "n_shared", "first_pos", "last_pos"))
+  }
 }

@@ -62,6 +62,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(indexed.head.getString(0).startsWith("{\"id\":"))
   }
 
+  test("elevate pins, excludes, and fills per Solr QEC semantics (r12)") {
+    import TestSession.spark.implicits._
+    // organic ranking for two queries; q 2 has NO elevation config
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("q_id", "n_id", "rank")
+    // q 1: pin 12 (organically rank 3) and 99 (not surfaced at all)
+    val elevation = Seq((1L, 12L, 1), (1L, 99L, 2)).toDF("q_id", "n_id", "pos")
+    val got = graft.operators.Indexing.elevate(results, elevation, k = 4)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      // q1: pins first in config order (99 was never surfaced —
+      // forceElevation), then organic minus the pinned 12
+      (1L, 12L, 1, true), (1L, 99L, 2, true),
+      (1L, 10L, 3, false), (1L, 11L, 4, false),
+      // q2: untouched organic ranking
+      (2L, 20L, 1, false), (2L, 21L, 2, false), (2L, 22L, 3, false)))
+  }
+
   test("solrUrl handles the reference's host/scheme/port cases (tasks.py:76-103)") {
     assert(Indexing.solrUrl("solr.example.org", Some(8983), None, "catalog")
       == "http://solr.example.org:8983/solr/catalog")
