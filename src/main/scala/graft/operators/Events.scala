@@ -156,6 +156,28 @@ object Events {
       .select(col("f.stage_idx"), col("f.stage"), col("f.n_keys"))
   }
 
+  /** First-order transition counts (the Markov path matrix) over each
+    * key's time-ordered stream — the "what happens right after a view"
+    * primitive behind path analysis, next-action models and flow
+    * anomaly checks. `lag` over the per-key (ts, tieBreak) order names
+    * each event's predecessor type; the (prev, next) reduction then
+    * counts transitions and the distinct keys exhibiting each.
+    * Scale shape: the lag window partitions by the event key (bounded
+    * per key, never a global sort); the pair aggregate is map-side
+    * partial on ≤ |types|² groups, and the distinct-key count is
+    * bounded by |types|²·|keys| pre-aggregated rows — output is
+    * O(|types|²) regardless of corpus size. All-integer columns. */
+  def transitionCounts(df: DataFrame, keyCol: Column, tsCol: Column,
+      tieBreak: Column, typeCol: Column): DataFrame = {
+    val order = Window.partitionBy(keyCol).orderBy(tsCol, tieBreak)
+    df.select(keyCol.as("__k"), typeCol.as("next_type"),
+        lag(typeCol, 1).over(order).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("__k")).as("n_keys"))
+  }
+
   /** Range join: match point events to [start, end] intervals of the
     * same key. The scalable plan is NOT a theta join (which Spark
     * executes as BroadcastNestedLoop): intervals explode into the

@@ -322,6 +322,22 @@ object Etl {
       .orderBy("q_id", "rank")
   }
 
+  /** x24: Solr StatsComponent — `stats.field` (event value in integer
+    * cents) under a `stats.facet` (event type), `q` = the non-error
+    * stream ([[Indexing.statsComponent]]): count, min, max, sum,
+    * integer mean, countDistinct, sumOfSquares and the exact
+    * n·Σx²−(Σx)² variance numerator, the quadratic terms widened to
+    * DECIMAL(38,0) so every column is engine-exact (Solr's own
+    * double accumulation is order-sensitive — the integer/decimal
+    * form is the distributed-mergeable improvement). The `q` filter
+    * keeps the facet set data-exercised at 4 of 5 types. */
+  def x24Stats(spark: SparkSession, dir: String): DataFrame =
+    Indexing.statsComponent(Tables.events(spark, dir),
+        predicate = col("event_type") =!= "error",
+        facetCol = col("event_type"),
+        centsCol = expr("CAST(round(value * 100) AS BIGINT)"))
+      .orderBy("facet")
+
   /** x23: query elevation — Solr's QueryElevationComponent
     * (elevate.xml): per-query editorially PINNED documents served
     * above the organic BM25 ranking in config order, with the
@@ -621,6 +637,7 @@ object Etl {
     "x21_boosted_search" -> (x21BoostedSearch _),
     "x22_pivot_facet" -> (x22PivotFacet _),
     "x23_elevation" -> (x23Elevation _),
+    "x24_stats" -> (x24Stats _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
     "h9_missing_days" -> (h9MissingDays _),
@@ -1212,6 +1229,28 @@ object Etl {
                ORDER BY score DESC, n_id ASC) AS INT) AS rank
            FROM agg)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // x24: identical integer-cents stats; the quadratic terms go
+    // through HUGEINT and land as DECIMAL(38,0) to match Spark's
+    // decimal widening exactly
+    "x24_stats" ->
+      """WITH c AS (
+           SELECT event_type AS facet,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type != 'error')
+         SELECT facet,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents,
+           CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
+           CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+             AS DECIMAL(38,0)) AS sumsq_cents,
+           CAST(CAST(count(*) AS HUGEINT)
+               * sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+             - CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)
+             AS DECIMAL(38,0)) AS var_num
+         FROM c GROUP BY facet ORDER BY facet""",
     // x23: the x7 score chain (identical rounded ordering), the same
     // literal elevation map, exclusion before the organic re-rank
     "x23_elevation" ->

@@ -454,7 +454,20 @@ object TextEvents {
         Tables.documents(spark, dir).select("doc_id", "text"))
       .orderBy("doc_id")
 
+  /** e14: first-order event-type transition matrix — per user the
+    * time-ordered stream's consecutive (prev, next) type pairs,
+    * counted globally with the distinct users exhibiting each pair
+    * ([[Events.transitionCounts]]). 25 output cells over 5 types,
+    * every count data-live at every SF; all-integer columns; the
+    * (ts, event_id) tie-break makes the per-user order total so the
+    * lag predecessor is engine-deterministic. */
+  def e14Transitions(spark: SparkSession, dir: String): DataFrame =
+    Events.transitionCounts(Tables.events(spark, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("prev_type", "next_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_transitions" -> (e14Transitions _),
     "ta17_repetition" -> (ta17Repetition _),
     "ta16_gopher_rules" -> (ta16GopherRules _),
     "e11_interval_overlap" -> (e11IntervalOverlap _),
@@ -517,6 +530,20 @@ object TextEvents {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // e14: identical lag window over the totally-ordered per-user
+    // stream, identical (prev, next) reduction
+    "e14_transitions" ->
+      """WITH t AS (
+           SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+           FROM events)
+         SELECT prev_type, next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+         FROM t WHERE prev_type IS NOT NULL
+         GROUP BY prev_type, next_type
+         ORDER BY prev_type, next_type""",
     "ta14_char_entropy" -> ta14Sql,
     // ta15: the d-family shingle normalization + seed-0 h32 hashing,
     // then df over the whole corpus and per-doc unique counting
