@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming event transitions: the incremental form of
+  * graft.operators.Events.transitionCounts' lag extraction — the
+  * monitoring stream that keeps the e14 Markov path matrix current
+  * as events arrive (the consumer aggregates the emitted pairs;
+  * counts only ever grow, so the running (prev, next) tallies are a
+  * plain additive rollup of this append stream).
+  *
+  * State per user is one (ts, event_id, type) triple — the last
+  * event seen. The same open-world posture as GapStream: without a
+  * TTL that is O(distinct users ever observed), so production
+  * monitoring configs should pass `stateTtlMs > 0`; a
+  * processing-time timeout then evicts any user idle longer than
+  * the TTL and that user's next event re-seeds state emitting no
+  * pair (a gap longer than the eviction TTL is a session boundary —
+  * the transition across it is the one path analysis should NOT
+  * count).
+  *
+  * Out-of-order caveat (the GapStream/SessionStream posture): events
+  * within a micro-batch are sorted (ts, event_id) before pair
+  * extraction; a cross-batch straggler OLDER than the stored last
+  * event emits no pair — batch would have spliced it into the
+  * order — so bound lateness with a watermark in production configs
+  * to cap the divergence window. In-order feeds reproduce the batch
+  * lag pairs exactly (spec-proven against e14's window extraction).
+  */
+object TransitionStream {
+
+  final case class Ev(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String)
+  final case class LastEv(ts_us: Long, event_id: Long, event_type: String)
+  final case class Pair(user_id: Long, prev_type: String, next_type: String)
+
+  def transitions(events: DataFrame, stateTtlMs: Long = 0L): Dataset[Pair] = {
+    import events.sparkSession.implicits._
+    val timeout =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[LastEv]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val out = Seq.newBuilder[Pair]
+            var last = state.getOption
+            sorted.foreach { e =>
+              last match {
+                case Some(l) if e.ts_us >= l.ts_us =>
+                  out += Pair(uid, l.event_type, e.event_type)
+                  last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+                case Some(_) => // older-than-state straggler: no pair (see scaladoc)
+                case None =>
+                  last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
+              }
+            }
+            last.foreach(state.update)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Drain a staged events dir synchronously; returns the emitted
+    * pair rows (each user's last event remains in state). */
+  def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryName: String, stateTtlMs: Long = 0L): DataFrame = {
+    val q = transitions(EventsStream.readEvents(spark, dir), stateTtlMs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
