@@ -466,7 +466,24 @@ object TextEvents {
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .orderBy("prev_type", "next_type")
 
+  /** e15: unpivot (melt) — the wide→long inverse of e6's pivot and
+    * the other half of the reshape pair every reporting pipeline
+    * needs (per-rule verdict columns → long (rule, verdict) rows,
+    * per-type count columns → long cells). Runs Spark's native
+    * `unpivot` (an Expand — map-only, no extra shuffle) over the e6
+    * wide frame, so the oracle's observed-grid completion (every
+    * (day, type) cell incl. the zero-filled ones, |days|×5 rows)
+    * pins the round-trip exactly: pivot's na.fill(0) cells must
+    * survive the melt as explicit zero rows. */
+  def e15Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    e6Pivot(spark, dir)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy("day", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_unpivot" -> (e15Unpivot _),
     "e14_transitions" -> (e14Transitions _),
     "ta17_repetition" -> (ta17Repetition _),
     "ta16_gopher_rules" -> (ta16GopherRules _),
@@ -657,6 +674,22 @@ object TextEvents {
            count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
            count(CASE WHEN event_type = 'error' THEN 1 END) AS error
          FROM events GROUP BY 1 ORDER BY 1""",
+    // e15: the long form re-derived as the full (day, type) grid with
+    // zero-filled cells — exactly what pivot + melt must round-trip to
+    "e15_unpivot" ->
+      """WITH days AS (
+           SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events),
+         types(event_type) AS (VALUES
+           ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+         c AS (
+           SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+         FROM days d CROSS JOIN types t
+         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+         ORDER BY d.day, t.event_type""",
     "e4_percentiles" ->
       """SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
