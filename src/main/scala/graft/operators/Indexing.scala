@@ -26,17 +26,19 @@ object Indexing {
     * `sumOfSquares`, and the exact variance NUMERATOR
     * n·Σx² − (Σx)² so the reader's variance/stddev is a division of
     * two exact integers. Solr accumulates these stats in doubles
-    * (order-sensitive); taking the stat field in integer cents and
-    * widening the quadratic terms to DECIMAL(38,0) makes every
-    * output engine-stable and exactly mergeable across partitions —
-    * the form a 1000-executor partial-aggregate tree needs anyway.
+    * (order-sensitive); taking the stat field in integer cents keeps
+    * every output engine-stable and exactly mergeable across
+    * partitions — the form a 1000-executor partial-aggregate tree
+    * needs anyway. Every column stays BIGINT: with per-row cents
+    * bounded by ~10⁹ the quadratics fit int64 up to ~10⁹ rows per
+    * facet (n·Σx² < 2⁶³); beyond that headroom, shard the facet or
+    * move the quadratic pair to a string-rendered wide integer —
+    * a mixed-precision output is a cross-engine hash hazard.
     * Scale shape: one hash aggregation, map-side partial, output
     * O(|facet values|); the distinct count is the only second
     * pass and is bounded by |facets|·|distinct cents|. */
   def statsComponent(df: DataFrame, predicate: Column, facetCol: Column,
-      centsCol: Column): DataFrame = {
-    val d19 = centsCol.cast(org.apache.spark.sql.types.DecimalType(19, 0))
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      centsCol: Column): DataFrame =
     df.filter(predicate)
       .groupBy(facetCol.as("facet"))
       .agg(count(lit(1)).as("n"),
@@ -44,16 +46,14 @@ object Indexing {
         max(centsCol).as("max_cents"),
         sum(centsCol).as("sum_cents"),
         countDistinct(centsCol).as("n_distinct"),
-        sum((d19 * d19).cast(d38)).as("sumsq_cents"))
+        sum(centsCol * centsCol).as("sumsq_cents"))
       .select(col("facet"), col("n"), col("min_cents"), col("max_cents"),
         col("sum_cents"),
         expr("sum_cents div n").as("mean_cents"),
         col("n_distinct"),
-        col("sumsq_cents").cast(d38).as("sumsq_cents"),
-        (col("n").cast(d38) * col("sumsq_cents").cast(d38)
-          - col("sum_cents").cast(d38) * col("sum_cents").cast(d38))
-          .cast(d38).as("var_num"))
-  }
+        col("sumsq_cents"),
+        (col("n") * col("sumsq_cents")
+          - col("sum_cents") * col("sum_cents")).as("var_num"))
 
   /** Records → serialized index docs. Built with concat (portable,
     * codegen'd) rather than a JSON library so the exact payload is

@@ -326,16 +326,19 @@ object Etl {
     * cents) under a `stats.facet` (event type), `q` = the non-error
     * stream ([[Indexing.statsComponent]]): count, min, max, sum,
     * integer mean, countDistinct, sumOfSquares and the exact
-    * n·Σx²−(Σx)² variance numerator, the quadratic terms widened to
-    * DECIMAL(38,0) so every column is engine-exact (Solr's own
-    * double accumulation is order-sensitive — the integer/decimal
-    * form is the distributed-mergeable improvement). The `q` filter
+    * n·Σx²−(Σx)² variance numerator — every column BIGINT so the
+    * output has one canonical rendering in any engine (Solr's own
+    * double accumulation is order-sensitive — the integer form is
+    * the distributed-mergeable improvement). Cents come from
+    * floor(value*100 + 0.5): pure IEEE double math, bit-identical
+    * everywhere, unlike decimal `round` whose half-way ties depend
+    * on the engine's string-vs-binary rounding. The `q` filter
     * keeps the facet set data-exercised at 4 of 5 types. */
   def x24Stats(spark: SparkSession, dir: String): DataFrame =
     Indexing.statsComponent(Tables.events(spark, dir),
         predicate = col("event_type") =!= "error",
         facetCol = col("event_type"),
-        centsCol = expr("CAST(round(value * 100) AS BIGINT)"))
+        centsCol = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
       .orderBy("facet")
 
   /** x23: query elevation — Solr's QueryElevationComponent
@@ -1229,13 +1232,13 @@ object Etl {
                ORDER BY score DESC, n_id ASC) AS INT) AS rank
            FROM agg)
          WHERE rank <= 5 ORDER BY q_id, rank""",
-    // x24: identical integer-cents stats; the quadratic terms go
-    // through HUGEINT and land as DECIMAL(38,0) to match Spark's
-    // decimal widening exactly
+    // x24: identical integer-cents stats, every column BIGINT (one
+    // canonical rendering cross-engine); cents via floor(x*100+0.5)
+    // — bit-identical IEEE double math in both engines
     "x24_stats" ->
       """WITH c AS (
            SELECT event_type AS facet,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
            FROM events WHERE event_type != 'error')
          SELECT facet,
            CAST(count(*) AS BIGINT) AS n,
@@ -1244,12 +1247,10 @@ object Etl {
            CAST(sum(cents) AS BIGINT) AS sum_cents,
            CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents,
            CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct,
-           CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
-             AS DECIMAL(38,0)) AS sumsq_cents,
-           CAST(CAST(count(*) AS HUGEINT)
-               * sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
-             - CAST(sum(cents) AS HUGEINT) * CAST(sum(cents) AS HUGEINT)
-             AS DECIMAL(38,0)) AS var_num
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+           count(*) * CAST(sum(cents * cents) AS BIGINT)
+             - CAST(sum(cents) AS BIGINT) * CAST(sum(cents) AS BIGINT)
+             AS var_num
          FROM c GROUP BY facet ORDER BY facet""",
     // x23: the x7 score chain (identical rounded ordering), the same
     // literal elevation map, exclusion before the organic re-rank

@@ -275,8 +275,10 @@ object TextEvents {
         // exact integer cents: the sum is order-independent, so the
         // final double division is bit-identical on any engine — no
         // rounding needed (round(avg(double)) is engine-fragile when
-        // the true mean sits on a rounding boundary)
-        (sum(round(col("value") * 100).cast("long")) / (count(lit(1)) * 100.0))
+        // the true mean sits on a rounding boundary). Cents via
+        // floor(x*100+0.5), pure IEEE math — decimal `round` itself
+        // is engine-fragile on half-way representation ties.
+        (sum(floor(col("value") * 100 + 0.5).cast("long")) / (count(lit(1)) * 100.0))
           .as("avg_value"),
         round(sum("value"), 2).as("total"))
       .orderBy("k")
@@ -987,7 +989,7 @@ object TextEvents {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "e3_json_props" ->
       """SELECT k, count(*) AS n,
-           sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0) AS avg_value,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / (count(*) * 100.0) AS avg_value,
            round(sum(value), 2) AS total
          FROM (SELECT CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k,
                  value FROM events)

@@ -24,7 +24,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Out-of-order caveat (the GapStream/SessionStream posture): events
   * within a micro-batch are sorted (ts, event_id) before pair
   * extraction; a cross-batch straggler OLDER than the stored last
-  * event emits no pair — batch would have spliced it into the
+  * event — in the full (ts, event_id) order, so equal-ts ties
+  * included — emits no pair — batch would have spliced it into the
   * order — so bound lateness with a watermark in production configs
   * to cap the divergence window. In-order feeds reproduce the batch
   * lag pairs exactly (spec-proven against e14's window extraction).
@@ -57,7 +58,11 @@ object TransitionStream {
             var last = state.getOption
             sorted.foreach { e =>
               last match {
-                case Some(l) if e.ts_us >= l.ts_us =>
+                // full (ts, event_id) tie-break: an equal-ts straggler
+                // with a smaller event_id is still "older than state"
+                // under the batch order — no pair, like any straggler
+                case Some(l) if e.ts_us > l.ts_us ||
+                    (e.ts_us == l.ts_us && e.event_id > l.event_id) =>
                   out += Pair(uid, l.event_type, e.event_type)
                   last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
                 case Some(_) => // older-than-state straggler: no pair (see scaladoc)

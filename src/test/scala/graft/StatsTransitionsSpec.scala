@@ -46,16 +46,18 @@ class StatsTransitionsSpec extends AnyFunSuite {
 
   test("x24 stats identities hold exactly on the real table") {
     val got = SparkEntry.queries("x24_stats")(spark, sf).cache()
-    // the variance numerator is the exact decimal identity, not a
+    // the variance numerator is the exact integer identity, not a
     // float approximation: n*sumsq - sum^2, recomputed row by row
     got.collect().foreach { r =>
-      val n = BigDecimal(r.getAs[Long]("n"))
-      val sum = BigDecimal(r.getAs[Long]("sum_cents"))
-      val sumsq = BigDecimal(r.getAs[java.math.BigDecimal]("sumsq_cents"))
-      val varNum = BigDecimal(r.getAs[java.math.BigDecimal]("var_num"))
+      val n = BigInt(r.getAs[Long]("n"))
+      val sum = BigInt(r.getAs[Long]("sum_cents"))
+      val sumsq = BigInt(r.getAs[Long]("sumsq_cents"))
+      val varNum = BigInt(r.getAs[Long]("var_num"))
       assert(varNum == n * sumsq - sum * sum, s"identity broke on $r")
       assert(varNum >= 0, "n*sumsq - sum^2 is non-negative by Cauchy-Schwarz")
-      assert(r.getAs[Long]("mean_cents") == (sum / n).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      // both engines' integer div truncates toward zero (Spark `div`,
+      // DuckDB `//`) — BigInt `/` shares that semantic exactly
+      assert(r.getAs[Long]("mean_cents") == (sum / n).toLong)
       assert(r.getAs[Long]("min_cents") <= r.getAs[Long]("mean_cents")
         && r.getAs[Long]("mean_cents") <= r.getAs[Long]("max_cents"))
       assert(r.getAs[Long]("n_distinct") <= n.toLong)
@@ -78,8 +80,7 @@ class StatsTransitionsSpec extends AnyFunSuite {
     assert(a.getAs[Long]("sum_cents") == 500 && a.getAs[Long]("mean_cents") == 166)
     assert(a.getAs[Long]("min_cents") == 100 && a.getAs[Long]("max_cents") == 300)
     // 3*(100^2+100^2+300^2) - 500^2 = 3*110000 - 250000 = 80000
-    assert(BigDecimal(a.getAs[java.math.BigDecimal]("var_num")) == BigDecimal(80000))
-    assert(got(1).getAs[Long]("n") == 1
-      && BigDecimal(got(1).getAs[java.math.BigDecimal]("var_num")) == BigDecimal(0))
+    assert(a.getAs[Long]("var_num") == 80000L)
+    assert(got(1).getAs[Long]("n") == 1 && got(1).getAs[Long]("var_num") == 0L)
   }
 }
