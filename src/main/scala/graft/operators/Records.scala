@@ -57,6 +57,69 @@ object Records {
     when(n === 0, "missing").when(n > 1, "multiple").otherwise("ok")
   }
 
+  /** MARC21 default namespace URI (reference: process.py:12-15 NS map). */
+  val Marc21Ns = "http://www.loc.gov/MARC21/slim"
+
+  // the first element start tag: `<` then a name char — skips the
+  // XML decl (<?), comments/DOCTYPE (<!), so group 0 is the root's
+  // start tag, group 1 its (possibly prefixed) name, group 2 the
+  // attribute text verbatim
+  private val RootTag = "<([A-Za-z_][^\\s/>!?]*)([^>]*)>"
+
+  /** Inject a default namespace into the root element when the root
+    * is not already in it (reference: process.py:37-45
+    * `add_marc21xml_root_ns` — Alma SFTP collection dumps arrive
+    * with unprefixed, namespace-less roots and the MARC21 tooling
+    * downstream needs the namespace present). Already-in-namespace
+    * documents pass through BYTE-UNCHANGED (the reference's dup test
+    * pins idempotence): a root carrying any default `xmlns=` decl or
+    * whose prefix is bound to `ns` on the root itself is left alone.
+    * Map-only string surgery on the root start tag — no DOM parse,
+    * no reserialization, the rest of the document byte-identical
+    * (the reference round-trips through lxml, whose only other
+    * observable effect is blank-text removal — [[stripBlankText]],
+    * kept separate so callers opt in). Pair with [[wellFormedXml]]
+    * for the reference's encoding-error canary. */
+  def ensureRootNs(xml: Column, ns: String = Marc21Ns): Column = {
+    val rootTag = regexp_extract(xml, RootTag, 0)
+    val rootName = regexp_extract(xml, RootTag, 1)
+    val rootAttrs = regexp_extract(xml, RootTag, 2)
+    val prefix = when(rootName.contains(":"),
+      substring_index(rootName, ":", 1))
+    val hasDefaultNs = rootAttrs.rlike("""(^|\s)xmlns\s*=""")
+    val prefixBoundToNs = prefix.isNotNull &&
+      rootAttrs.contains(concat(lit("xmlns:"), prefix, lit("=\"" + ns + "\"")))
+    // first literal occurrence of the matched tag IS the regex match
+    // (the tag text itself matches the pattern, so nothing earlier can)
+    val pos = call_function("instr", xml, rootTag)
+    when(xml.isNull || rootTag === "", xml)
+      .when(hasDefaultNs || prefixBoundToNs, xml)
+      .otherwise(concat(
+        xml.substr(lit(1), pos - 1),
+        lit("<"), rootName, lit(" xmlns=\"" + ns + "\""), rootAttrs, lit(">"),
+        xml.substr(pos + length(rootTag), length(xml))))
+  }
+
+  /** lxml `remove_blank_text=True` analog: drop whitespace-only text
+    * between tags (indentation) and outer whitespace. Matches lxml on
+    * data-oriented XML — whitespace-only LEAF text collapses too,
+    * exactly as lxml's parser drops it; text with any non-space
+    * character (MARC's padded `w    ` subfields) never touches the
+    * `>\s+<` pattern and survives verbatim. Byte-parity with the
+    * reference's serialized fixture is spec-pinned. */
+  def stripBlankText(xml: Column): Column =
+    // regexp, not trim: Spark trim strips SPACES only — the trailing
+    // newline every real file carries would survive it
+    regexp_replace(regexp_replace(xml, ">\\s+<", "><"), "^\\s+|\\s+$", "")
+
+  /** TRUE iff the payload parses as XML ([[graft.plans.XmlExpr]]'s
+    * native probe — same parser configuration as the xpath family,
+    * but a flag instead of a task-failing throw). The reference's
+    * early encoding-error canary (process.py:43-44), expressed as
+    * the column the quarantine split branches on. */
+  def wellFormedXml(xml: Column): Column =
+    graft.plans.XmlExpr.xmlWellFormed(xml)
+
   /** Boundwith parent datafield (reference: process.py:83-92
     * `generate_bw_parent_field`): the ADF/a datafield inserted into
     * child records, serialized exactly as lxml would emit it. */

@@ -219,8 +219,62 @@ case class XPathSlots(child: Expression, slots: XmlSlots)
     copy(child = newChild)
 }
 
+/** Serializable try-parse holder for [[XmlWellFormed]] — one secured
+  * DocumentBuilder per thread (the [[XmlSlots]] configuration), no
+  * compiled XPaths. */
+final class XmlProbe extends Serializable {
+  @transient private lazy val local: ThreadLocal[DocumentBuilder] =
+    ThreadLocal.withInitial { () =>
+      val dbf = DocumentBuilderFactory.newInstance()
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.newDocumentBuilder()
+    }
+
+  def wellFormed(xml: UTF8String): Boolean = {
+    val s = xml.toString
+    if (s.isEmpty) return false
+    try { local.get().parse(new InputSource(new StringReader(s))); true }
+    catch { case _: Exception => false }
+  }
+
+  // all probes are interchangeable: let canonicalization/CSE unify them
+  override def equals(other: Any): Boolean = other.isInstanceOf[XmlProbe]
+  override def hashCode: Int = classOf[XmlProbe].hashCode
+}
+
+/** Boolean well-formedness probe: TRUE iff the string parses as XML
+  * under the exact xpath-family parser configuration; false for
+  * malformed or empty, null for null input. The reference's
+  * encoding-error canary (process.py:43-44 reserializes + reparses
+  * purely to surface bad bytes early) expressed as a flag the
+  * quarantine split can branch on — unlike the `xpath_*` family,
+  * which THROWS on malformed input and would fail the whole task. */
+case class XmlWellFormed(child: Expression, probe: XmlProbe = new XmlProbe)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    probe.wellFormed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("xmlProbe", probe, classOf[XmlProbe].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.wellFormed($c);")
+  }
+
+  override def prettyName: String = "xml_well_formed"
+
+  override protected def withNewChildInternal(newChild: Expression): XmlWellFormed =
+    copy(child = newChild)
+}
+
 object XmlExpr {
   /** Column API for [[XPathSlots]]. */
   def xpathSlots(xml: Column, slots: XmlSlots): Column =
     GraftShims.column(XPathSlots(GraftShims.expression(xml), slots))
+
+  /** Column API for [[XmlWellFormed]]. */
+  def xmlWellFormed(xml: Column): Column =
+    GraftShims.column(XmlWellFormed(GraftShims.expression(xml)))
 }

@@ -72,6 +72,36 @@ object Xml {
         Records.record001Status(col("xml")).as("xml_status"))
       .orderBy("doc_id")
 
+  /** r6: MARC21 root-namespace normalization + encoding canary
+    * (process.py:37-45 `add_marc21xml_root_ns`): each document is
+    * wrapped as one of five Alma-dump shapes — bare root (inject),
+    * already-default-ns (byte-unchanged), MARC21-bound prefixed root
+    * (byte-unchanged), prolog + indentation (inject + blank-text
+    * strip, the lxml round-trip effect), and a truncated document
+    * (the canary flags it FALSE instead of failing the task, the
+    * reference's early encoding-error catch; injection still lands —
+    * the reference fails only at the reparse). The oracle states the
+    * expected strings per branch directly, so the Spark-side string
+    * surgery and parse are checked against independently-constructed
+    * ground truth. Map-only: regexp surgery + one DOM try-parse per
+    * row, no shuffle before the final ORDER BY. */
+  def r6RootNs(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Records.Marc21Ns
+    val body = col("xml")
+    val m = col("doc_id") % 5
+    val raw =
+      when(m === 0, concat(lit("<collection>"), body, lit("</collection>")))
+      .when(m === 1, concat(lit(s"""<collection xmlns="$ns">"""), body, lit("</collection>")))
+      .when(m === 2, concat(lit(s"""<m:collection xmlns:m="$ns">"""), body, lit("</m:collection>")))
+      .when(m === 3, concat(lit("<?xml version=\"1.0\"?>\n<collection>\n  "), body, lit("\n</collection>\n")))
+      .otherwise(concat(lit("<collection>"), body))
+    val fixed = Records.stripBlankText(Records.ensureRootNs(raw))
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"), fixed.as("xml_doc"),
+        Records.wellFormedXml(fixed).as("well_formed"))
+      .orderBy("doc_id")
+  }
+
   /** r5: boundwith parent field generation (process.py:83-92),
     * parent id derived from the document's id. */
   def r5BwParent(spark: SparkSession, dir: String): DataFrame =
@@ -515,6 +545,7 @@ object Xml {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
+    "r6_root_ns" -> (r6RootNs _),
     "v6_xml_validate" -> (v6XmlValidate _),
     "t3_structural" -> (t3Structural _),
     "t5_xslt" -> (t5Xslt _),
@@ -536,6 +567,22 @@ object Xml {
                 WHEN len(ids) > 1 THEN 'multiple'
                 ELSE 'ok' END AS xml_status
          FROM ex ORDER BY doc_id""",
+    // r6: the oracle does NOT re-implement the surgery — it states
+    // the expected output string for each of the five input shapes
+    // (what add_marc21xml_root_ns + lxml's blank-text removal
+    // produce), and the well-formedness verdict per shape
+    "r6_root_ns" ->
+      s"""WITH marc AS ($marcXmlSql)
+         SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN concat('<collection xmlns="http://www.loc.gov/MARC21/slim">', xml, '</collection>')
+             WHEN 1 THEN concat('<collection xmlns="http://www.loc.gov/MARC21/slim">', xml, '</collection>')
+             WHEN 2 THEN concat('<m:collection xmlns:m="http://www.loc.gov/MARC21/slim">', xml, '</m:collection>')
+             WHEN 3 THEN concat('<?xml version="1.0"?><collection xmlns="http://www.loc.gov/MARC21/slim">', xml, '</collection>')
+             ELSE concat('<collection xmlns="http://www.loc.gov/MARC21/slim">', xml)
+           END AS xml_doc,
+           doc_id % 5 != 4 AS well_formed
+         FROM marc ORDER BY doc_id""",
     "r5_bw_parent" ->
       """SELECT doc_id,
            concat('<datafield xmlns="http://www.loc.gov/MARC21/slim" ind1=" " ind2=" " tag="ADF"><subfield code="a">prt-',
