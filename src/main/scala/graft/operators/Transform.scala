@@ -269,6 +269,18 @@ object Transform {
     * `normalize-space`'d, empty segments included — exactly the
     * recursion's emission trace. */
   final case class VSplit(first: String, rest: String) extends XVal
+  /** An emitting element carrying `xsl:attribute` children with
+    * LITERAL names (the aggregator_mdx-style identifier shape:
+    * `<identifier><xsl:attribute name="type">url</xsl:attribute>
+    * <xsl:value-of select="."/></identifier>`). Each attribute's
+    * value is itself an in-subset [[XVal]] (constant text or the
+    * node's (normalized) text); `inner` is the element content.
+    * Struct model: the dispatch's array element becomes
+    * `struct("@name"…, "#text")` — the standard XML→JSON attribute
+    * convention, so `to_json` carries the attributes; wire form:
+    * `<name a="v">text</name>` with attribute-escaped values. */
+  final case class VAttributed(attrs: Seq[(String, XVal)], inner: XVal)
+      extends XVal
 
   /** XPath `normalize-space`: collapse whitespace runs, trim. (Not
     * [[normalizeText]] — no lowercasing.) */
@@ -289,6 +301,45 @@ object Transform {
     case VConst(s) => lit(s)
     case v: VSplit => throw new IllegalStateException(
       s"VSplit must be a dispatch's sole case, got mixed cases ($v)")
+    case v: VAttributed => throw new IllegalStateException(
+      s"VAttributed must render through attrStruct ($v)")
+  }
+
+  /** Union of attribute names across a dispatch's cases — nonEmpty
+    * marks the dispatch ATTRIBUTED: every case then renders as
+    * `struct("@name"…, "#text")` (one common type; a case without
+    * some attribute leaves it null → omitted on the wire). */
+  private[graft] def dispatchAttrNames(d: XDispatch): Seq[String] =
+    d.cases.flatMap(_._2 match {
+      case VAttributed(as, _) => as.map(_._1)
+      case _ => Seq.empty
+    }).distinct
+
+  /** One case's emission for an ATTRIBUTED dispatch. */
+  private def attrStruct(x: Column, v: XVal, names: Seq[String]): Column = {
+    val (as, inner) = v match {
+      case VAttributed(a, in) => (a.toMap, in)
+      case other => (Map.empty[String, XVal], other)
+    }
+    struct(names.map { n =>
+      as.get(n).map(caseValue(x, _))
+        .getOrElse(lit(null).cast("string")).as("@" + n)
+    } :+ caseValue(x, inner).as("#text"): _*)
+  }
+
+  /** Wire-form rendering of one attributed emission struct:
+    * `<name a="v" …>text</name>`, attribute values escaped like text
+    * plus `"` → `&quot;` (they sit inside double quotes). */
+  private def attrElem(name: String, names: Seq[String], s: Column,
+      esc: Column => Column): Column = {
+    val parts = names.map { n =>
+      val av = s.getField("@" + n)
+      when(av.isNotNull,
+        concat(lit(" " + n + "=\""), regexp_replace(esc(av), "\"", "&quot;"),
+          lit("\""))).otherwise(lit(""))
+    }
+    concat((lit(s"<$name") +: parts :+ lit(">") :+
+      esc(s.getField("#text")) :+ lit(s"</$name>")): _*)
   }
 
   /** The [[VSplit]] emission trace for one node's text. */
@@ -316,10 +367,13 @@ object Transform {
       case cases =>
         require(!cases.exists(_._2.isInstanceOf[VSplit]),
           "VSplit must be a dispatch's sole case")
+        val names = dispatchAttrNames(d)
+        def render(x: Column, v: XVal): Column =
+          if (names.isEmpty) caseValue(x, v) else attrStruct(x, v, names)
         val mapped = transform(nodes, x =>
           cases.tail.foldLeft(
-            when(condOf(x, cases.head._1), caseValue(x, cases.head._2))) {
-            case (c, (atoms, v)) => c.when(condOf(x, atoms), caseValue(x, v))
+            when(condOf(x, cases.head._1), render(x, cases.head._2))) {
+            case (c, (atoms, v)) => c.when(condOf(x, atoms), render(x, v))
           })
         filter(mapped, _.isNotNull)
     }
@@ -354,13 +408,18 @@ object Transform {
       case cases =>
         require(!cases.exists(_._2.isInstanceOf[VSplit]),
           "VSplit must be a dispatch's sole case")
+        val names = dispatchAttrNames(d)
+        def render(x: Column, cv: XVal): Column =
+          if (names.isEmpty) caseValue(x, cv) else attrStruct(x, cv, names)
+        def wire(value: Column): Column =
+          if (names.isEmpty) elem(value) else attrElem(d.name, names, value, esc)
         val mapped = transform(zipped, z => {
           val value = cases.tail.foldLeft(
-            when(condOf(v(z), cases.head._1), caseValue(v(z), cases.head._2))) {
-            case (c, (atoms, cv)) => c.when(condOf(v(z), atoms), caseValue(v(z), cv))
+            when(condOf(v(z), cases.head._1), render(v(z), cases.head._2))) {
+            case (c, (atoms, cv)) => c.when(condOf(v(z), atoms), render(v(z), cv))
           }
           when(value.isNotNull,
-            struct(key(z, lit(0L)).as("k"), elem(value).as("e")))
+            struct(key(z, lit(0L)).as("k"), wire(value).as("e")))
         })
         filter(mapped, _.isNotNull)
     }
@@ -613,8 +672,15 @@ object Transform {
         withSlots(xml, rules) { sx =>
           val inner = rules.map { r =>
             val n = ruleName(r)
-            coalesce(array_join(transform(ruleExpr(sx, r), x =>
-              concat(lit(s"<$n>"), esc(x), lit(s"</$n>"))), ""), lit(""))
+            val wire: Column => Column = r match {
+              // attributed dispatch: array elements are structs —
+              // render <n a="v">text</n> instead of <n>text</n>
+              case d: XDispatch if dispatchAttrNames(d).nonEmpty =>
+                attrElem(n, dispatchAttrNames(d), _, esc)
+              case _ =>
+                x => concat(lit(s"<$n>"), esc(x), lit(s"</$n>"))
+            }
+            coalesce(array_join(transform(ruleExpr(sx, r), wire), ""), lit(""))
           }.reduceOption(concat(_, _)).getOrElse(lit(""))
           concat(lit(s"<$wrapperName>"), inner, lit(s"</$wrapperName>"))
         }
@@ -722,8 +788,15 @@ object Transform {
     * `xsl:call-template` of the recognized recursive delimiter-split
     * idiom ([[VSplit]]) in field templates and of CONSTANT named
     * templates in the base body ([[XStamp]]); several templates
-    * emitting one output name merge into one array ([[XConcat]]).
-    * Everything else — `xsl:attribute`, `xsl:variable` outside the
+    * emitting one output name merge into one array ([[XConcat]]);
+    * `xsl:attribute` with LITERAL names on emitting elements
+    * ([[VAttributed]], the r13 widening — the aggregator_mdx
+    * identifier shape): attribute values are constant text or the
+    * node's (normalized) text, the struct model renders the
+    * emission as `{"@name": …, "#text": …}` and the wire form as
+    * `<name a="v">text</name>`.
+    * Everything else — dynamic `xsl:attribute`/`xsl:element` names,
+    * attributes on MERGED outputs, `xsl:variable` outside the
     * splitter idiom, computational tests, nested apply-templates —
     * stays REFUSED: a compiler that silently mis-runs a stylesheet
     * is worse than one that refuses it. */
@@ -996,23 +1069,59 @@ object Transform {
             "(subset: '.' and 'normalize-space(.)')")
       }
     }
+    // xsl:attribute with a LITERAL name (the r13 widening, the
+    // aggregator_mdx identifier shape); value = constant text or an
+    // in-subset value-of — dynamic names / nested constructs refuse
+    def parseAttrEl(a: Element): (String, XVal) = {
+      val n = a.getAttribute("name")
+      require(n.nonEmpty && !n.contains("{"),
+        s"xsl:attribute name must be literal, got '$n'")
+      elems(a) match {
+        case Seq(vo) if isXsl(vo, "value-of") => n -> parseValueOf(vo)
+        case Seq() => n -> VConst(a.getTextContent)
+        case _ => throw new IllegalArgumentException(
+          s"xsl:attribute '$n' must hold one value-of or only text")
+      }
+    }
+    // the element's DIRECT text with stylesheet whitespace stripping
+    // (whitespace-only text nodes drop, XSLT 1.0 §3.4) — getTextContent
+    // would wrongly swallow xsl:attribute children's text
+    def directText(e: Element): String = {
+      val nl = e.getChildNodes
+      (0 until nl.getLength).map(nl.item).filter { t =>
+        (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
+          t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
+          t.getNodeValue.trim.nonEmpty
+      }.map(_.getNodeValue).mkString
+    }
+    // split leading xsl:attribute children off an emitting element's
+    // body; attributes after content are an XSLT error → refuse
+    def withAttrs(what: String, kids: Seq[Element])(
+        mkInner: Seq[Element] => XVal): XVal = {
+      val (attrEls, rest) = kids.span(isXsl(_, "attribute"))
+      require(!rest.exists(isXsl(_, "attribute")),
+        s"$what: xsl:attribute must precede the element's content")
+      val inner = mkInner(rest)
+      if (attrEls.isEmpty) inner
+      else VAttributed(attrEls.map(parseAttrEl), inner)
+    }
     // one EMITTING construct → (output name, value)
     def parseEmit(e: Element): (String, XVal) =
       if (isXsl(e, "element")) {
         val n = e.getAttribute("name")
         require(n.nonEmpty && !n.contains("{"),
           s"xsl:element name must be literal, got '$n'")
-        elems(e) match {
-          case Seq(vo) if isXsl(vo, "value-of") => n -> parseValueOf(vo)
+        n -> withAttrs(s"xsl:element '$n'", elems(e)) {
+          case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
           case _ => throw new IllegalArgumentException(
             s"xsl:element '$n' must hold exactly one value-of")
         }
       } else {
         require(e.getNamespaceURI != XslNs,
           s"unsupported xsl:${name(e)} as an emitting construct")
-        elems(e) match {
-          case Seq(vo) if isXsl(vo, "value-of") => outName(e) -> parseValueOf(vo)
-          case Seq() => outName(e) -> VConst(e.getTextContent)
+        outName(e) -> withAttrs(s"<${outName(e)}>", elems(e)) {
+          case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
+          case Seq() => VConst(directText(e))
           case _ => throw new IllegalArgumentException(
             s"literal element <${outName(e)}> must hold one value-of " +
               "or only text")
@@ -1104,7 +1213,11 @@ object Transform {
       allRules.filter(r => ruleName(r) == n) match {
         case Seq(one) => one
         case many if many.forall(_.isInstanceOf[XDispatch]) =>
-          XConcat(n, many.map(_.asInstanceOf[XDispatch]))
+          val ds = many.map(_.asInstanceOf[XDispatch])
+          require(ds.forall(d => dispatchAttrNames(d).isEmpty),
+            s"output '$n' merges several templates AND carries " +
+              "xsl:attribute — out of subset (attributed merged outputs)")
+          XConcat(n, ds)
         case _ => throw new IllegalArgumentException(
           s"output '$n' emitted by both a stamp and a field template " +
             "— out of subset")

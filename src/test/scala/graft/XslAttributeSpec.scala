@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Transform
+import graft.operators.Transform._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r13 `xsl:attribute` widening ([[Transform.VAttributed]]):
+  * literal-named attributes on emitting elements — the most common
+  * shape the subset previously refused (aggregator_mdx-style
+  * identifier/language crosswalks; the reference runs them through
+  * Saxon, transform.py:56-76). Covers the struct/JSON model
+  * (`{"@name":…,"#text":…}`), both wire forms (declaration-order and
+  * document-order `outputXml`), attribute escaping, and the refusal
+  * fence for everything still out of subset. */
+class XslAttributeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    require(in != null, s"missing test resource $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private val recA =
+    """<oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/">
+      |  <dc:identifier>http://x.org/1?a=1&amp;b="q"</dc:identifier>
+      |  <dc:title>  A   Tale </dc:title>
+      |  <dc:language> en </dc:language>
+      |  <dc:subject>maps</dc:subject>
+      |  <dc:identifier>   </dc:identifier>
+      |</oai_dc:dc>""".stripMargin
+
+  private def frame(xmls: String*) = {
+    import spark.implicits._
+    xmls.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "xml")
+  }
+
+  test("attributed emissions land in the struct model as @attr/#text") {
+    val sheet = compileXsltSheet(resource("xsl_sample_attr.xsl"))
+    val out = frame(recA).filter(sheet.keep(col("xml")))
+      .select(to_json(sheet.output(col("xml"))).as("rec"))
+      .head.getString(0)
+    // constant attribute + raw text content (entities unescaped by xpath)
+    assert(out.contains(
+      """"identifier":[{"@type":"url","#text":"http://x.org/1?a=1&b=\"q\""}]"""),
+      s"identifier emission wrong in $out")
+    // blank identifier dropped by the guard → exactly one array element
+    assert(!out.contains("\"#text\":\"   \""))
+    // attribute FROM the node, constant content
+    assert(out.contains(""""language":[{"@code":"en","#text":"mapped"}]"""))
+    // attributed xsl:element: two attributes, normalized content
+    assert(out.contains(
+      """"dcterms:title":[{"@lang":"en","@raw":"  A   Tale ","#text":"A Tale"}]"""),
+      s"title emission wrong in $out")
+    // un-attributed template still renders as a bare string array
+    assert(out.contains(""""subject":["maps"]"""))
+  }
+
+  test("wire form renders attributes with escaping, both output orders") {
+    val sheet = compileXsltSheet(resource("xsl_sample_attr.xsl"))
+    for (docOrder <- Seq(false, true)) {
+      val out = frame(recA).filter(sheet.keep(col("xml")))
+        .select(sheet.outputXml(col("xml"), documentOrder = docOrder).as("rec"))
+        .head.getString(0)
+      assert(out.contains(
+        """<identifier type="url">http://x.org/1?a=1&amp;b="q"</identifier>"""),
+        s"docOrder=$docOrder: $out")
+      // attribute VALUES escape quotes (they sit inside "..."), text doesn't
+      assert(out.contains(
+        """<dcterms:title lang="en" raw="  A   Tale ">A Tale</dcterms:title>"""))
+      assert(out.contains("""<language code="en">mapped</language>"""))
+      assert(out.contains("<subject>maps</subject>"))
+      assert(out.startsWith("<record>") && out.endsWith("</record>"))
+    }
+  }
+
+  test("attribute values containing quotes and angle brackets escape on the wire") {
+    val rec =
+      """<oai_dc:dc xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+        |    xmlns:dc="http://purl.org/dc/elements/1.1/">
+        |  <dc:title>a "b" &lt;c&gt; &amp; d</dc:title>
+        |</oai_dc:dc>""".stripMargin
+    val sheet = compileXsltSheet(resource("xsl_sample_attr.xsl"))
+    val out = frame(rec).filter(sheet.keep(col("xml")))
+      .select(sheet.outputXml(col("xml")).as("rec")).head.getString(0)
+    assert(out.contains(
+      """raw="a &quot;b&quot; &lt;c&gt; &amp; d""""),
+      s"attribute escaping wrong: $out")
+    assert(out.contains(""">a "b" &lt;c&gt; &amp; d</dcterms:title>"""),
+      "text content keeps plain quotes but escapes markup")
+  }
+
+  test("round-trip: the wire form re-parses and xpath reads the attributes back") {
+    val sheet = compileXsltSheet(resource("xsl_sample_attr.xsl"))
+    val wire = frame(recA).filter(sheet.keep(col("xml")))
+      .select(sheet.outputXml(col("xml")).as("rec"))
+    val read = wire.select(
+      xpath_string(col("rec"), lit("/record/identifier/@type")).as("t"),
+      xpath_string(col("rec"), lit("/record/identifier/text()")).as("v"),
+      xpath_string(col("rec"), lit("/record/language/@code")).as("c"))
+      .head
+    assert(read.getString(0) == "url")
+    assert(read.getString(1) == "http://x.org/1?a=1&b=\"q\"")
+    assert(read.getString(2) == "en")
+  }
+
+  test("still refused: dynamic names, misplaced/nested attributes, merged-output attrs") {
+    def sheetWith(body: String, extra: String = ""): String =
+      s"""<?xml version="1.0"?>
+         |<xsl:stylesheet version="2.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+         |  <xsl:template match="//dc"><out><xsl:apply-templates/></out></xsl:template>
+         |  <xsl:template match="title">$body</xsl:template>$extra
+         |</xsl:stylesheet>""".stripMargin
+    // dynamic attribute name
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<t><xsl:attribute name="{local-name()}">x</xsl:attribute></t>""")))
+    // attribute AFTER content
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<t><xsl:value-of select="."/><xsl:attribute name="a">x</xsl:attribute></t>""")))
+    // out-of-subset attribute value
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<t><xsl:attribute name="a"><xsl:value-of select="sub/path"/></xsl:attribute></t>""")))
+    // attributes on an output name merged from several templates
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<t><xsl:attribute name="a">x</xsl:attribute><xsl:value-of select="."/></t>""",
+      extra = """<xsl:template match="alt"><t><xsl:value-of select="."/></t></xsl:template>""")))
+  }
+}
