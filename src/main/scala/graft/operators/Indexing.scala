@@ -120,6 +120,40 @@ object Indexing {
             s.getField("tf").cast("string")))).as("postings"))
   }
 
+  /** Solr TermsComponent (`terms.fl`/`terms.prefix`/`terms.mincount`/
+    * `terms.limit`, `terms.sort=count` — the term-enumeration
+    * endpoint autocomplete and index-diagnostics tooling reads from
+    * the collections the reference manages): enumerate the field's
+    * distinct terms under a prefix with document frequency ≥
+    * mincount, df-descending (term breaks ties — a total order, so
+    * the page is engine-deterministic), first `limit` rows. Terms
+    * here are word n-grams of the text field (`nGram` = 1 for plain
+    * terms; 2 gives the shingle field a realistic long-tailed df
+    * distribution). Scale shape: per-doc DISTINCT n-grams built
+    * map-side (array_distinct before the explode — df counts docs,
+    * not occurrences, with no tf pre-aggregate shuffle), the prefix
+    * filter prunes in the same codegen stage as the explode, ONE
+    * hash aggregation on the surviving terms, and the global
+    * df-order is a TopK (orderBy+limit → the TopKRewriteRule bounds
+    * every partition's sort to `limit`), so the wide stage moves
+    * O(|prefix-matching distinct terms|) rows, never the corpus. */
+  def termsComponent(docs: DataFrame, textCol: Column, prefix: String,
+      minCount: Long, limit: Int, nGram: Int = 1): DataFrame = {
+    require(nGram >= 1 && limit >= 1, s"bad knobs: nGram=$nGram limit=$limit")
+    val words = split(trim(lower(textCol)), "\\s+")
+    val terms =
+      if (nGram == 1) words
+      else transform(slice(words, lit(1), greatest(size(words) - (nGram - 1), lit(0))),
+        (_, i) => concat_ws(" ",
+          (0 until nGram).map(j => element_at(words, i + j + 1)): _*))
+    docs.select(explode(array_distinct(terms)).as("term"))
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minCount)
+      .orderBy(col("df").desc, col("term"))
+      .limit(limit)
+  }
+
   /** Keyset (cursor) pagination — Solr's cursorMark semantics: the
     * next page is everything strictly AFTER the last (sort_key, id)
     * seen, limited to the page size. OFFSET-based deep paging scans

@@ -36,6 +36,35 @@ object DedupSim {
     Dedup.exact(Dedup.augmentedDocs(spark, dir))
       .orderBy("keep_id")
 
+  /** d24: canonical-URL dedup ([[graft.dedup.UrlDedup]]) — the
+    * pre-content dedup rung every web-scale pipeline runs first. The
+    * testdata carries no URL column, so each doc synthesizes one of
+    * four crawl-variant shapes of the same logical page (uppercase
+    * www host + default port + utm param / mixed-case host +
+    * fragment / trailing slash / a KEPT id param + trailing utm):
+    * shapes 0-2 collapse to one canonical URL per doc_id-quad, shape
+    * 3 stays distinct through its non-tracking param. The oracle
+    * does NOT re-implement the normalization — it states each
+    * shape's expected canonical form as ground truth (the r6
+    * pattern); UrlDedupSpec covers the normalization contract on
+    * adversarial URLs. Map-only normalize + ONE hash agg on the
+    * canonical key — the d1 exact-dedup scale shape. */
+  def d24UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("doc_id div 4").cast("string")
+    val m = col("doc_id") % 4
+    val url =
+      when(m === 0, concat(lit("http://WWW.Example.com:80/a/"), k,
+        lit("?utm_source=feed")))
+      .when(m === 1, concat(lit("http://example.COM/a/"), k, lit("#frag")))
+      .when(m === 2, concat(lit("http://example.com/a/"), k, lit("/")))
+      .otherwise(concat(lit("http://example.com/a/"), k,
+        lit("?id=1&utm_campaign=x")))
+    graft.dedup.UrlDedup.dedupByUrl(
+        Tables.documents(spark, dir).select(col("doc_id"), url.as("url")),
+        col("doc_id"), col("url"))
+      .orderBy("canonical_url")
+  }
+
   def d2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(Dedup.augmentedDocs(spark, dir), threshold = 0.8, charWindow = 25)
       .orderBy("a_id", "b_id")
@@ -680,6 +709,7 @@ object DedupSim {
     "d19_contain_keep" -> (d19ContainKeep _),
     "d20_semdedup_rep" -> (d20SemdedupRep _),
     "d1_exact" -> (d1Exact _),
+    "d24_url_dedup" -> (d24UrlDedup _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d14_containment" -> (d14Containment _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -833,6 +863,35 @@ object DedupSim {
       s"""WITH base AS ($augBase)
          SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM base GROUP BY md5(text) ORDER BY keep_id""",
+    // d24: the oracle states each crawl-variant shape's EXPECTED
+    // canonical form directly (independent ground truth — the r6
+    // pattern), then groups; the Spark side must reach the same
+    // grouping through the actual normalization chain
+    "d24_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN concat('http://WWW.Example.com:80/a/',
+                 CAST(doc_id // 4 AS VARCHAR), '?utm_source=feed')
+               WHEN 1 THEN concat('http://example.COM/a/',
+                 CAST(doc_id // 4 AS VARCHAR), '#frag')
+               WHEN 2 THEN concat('http://example.com/a/',
+                 CAST(doc_id // 4 AS VARCHAR), '/')
+               ELSE concat('http://example.com/a/',
+                 CAST(doc_id // 4 AS VARCHAR), '?id=1&utm_campaign=x')
+             END AS url,
+             CASE WHEN doc_id % 4 = 3
+               THEN concat('http://example.com/a/',
+                 CAST(doc_id // 4 AS VARCHAR), '?id=1')
+               ELSE concat('http://example.com/a/',
+                 CAST(doc_id // 4 AS VARCHAR))
+             END AS canonical_url
+           FROM documents)
+         SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_dups,
+           min(doc_id) AS keep_id,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+         FROM u GROUP BY 1 ORDER BY 1""",
     "d13_passage_dedup" ->
       s"""WITH base AS ($augBase),
          t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tks FROM base),

@@ -383,6 +383,18 @@ object Etl {
         limit1 = 5, limit2 = 3)
       .orderBy("parent", "child")
 
+  /** x25: Solr TermsComponent ([[Indexing.termsComponent]]) over the
+    * BIGRAM shingle field — terms.prefix='s', terms.mincount=5,
+    * terms.limit=50, terms.sort=count. Bigrams give the word-soup
+    * corpus a genuinely long-tailed df distribution, so the mincount
+    * cut is data-live at small SF and the limit page binds once dfs
+    * grow; (df desc, term asc) is a total order, so the page is the
+    * same in both engines. */
+  def x25Terms(spark: SparkSession, dir: String): DataFrame =
+    Indexing.termsComponent(Tables.documents(spark, dir), col("text"),
+        prefix = "s", minCount = 5L, limit = 50, nGram = 2)
+      .orderBy(col("df").desc, col("term"))
+
   /** x8: search over the SEGMENTED incrementally-maintained BM25
     * index (operators/SegmentedBm25.scala — the Lucene/Solr segment
     * lifecycle: harvest.py:185-208 feeds a long-lived collection
@@ -639,6 +651,7 @@ object Etl {
     "x7_bm25" -> (x7Bm25 _),
     "x21_boosted_search" -> (x21BoostedSearch _),
     "x22_pivot_facet" -> (x22PivotFacet _),
+    "x25_terms" -> (x25Terms _),
     "x23_elevation" -> (x23Elevation _),
     "x24_stats" -> (x24Stats _),
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
@@ -1276,6 +1289,22 @@ object Etl {
            UNION ALL
            SELECT q_id, n_id, rank, elevated FROM org)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // x25: per-doc DISTINCT bigrams (df counts docs), prefix +
+    // mincount + count-sorted limit — the (df desc, term) order is
+    // total, so LIMIT pages identically in both engines
+    "x25_terms" ->
+      """WITH arr AS (
+           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(a) - 1),
+             i -> concat(a[i], ' ', a[i + 1])))) AS term
+           FROM arr)
+         SELECT term, CAST(count(*) AS BIGINT) AS df
+         FROM bi WHERE term LIKE 's%'
+         GROUP BY term HAVING count(*) >= 5
+         ORDER BY df DESC, term LIMIT 50""",
     "x22_pivot_facet" ->
       """WITH base AS (SELECT
              coalesce(CAST(source AS VARCHAR), '(missing)') AS parent,
