@@ -300,6 +300,64 @@ object Xml {
     * regex tests whose otherwise emits a DIFFERENT element
     * (`dcterms:format`). Compiled by
     * [[graft.operators.Transform.compileXsltSheet]]. */
+  /** The t10 stylesheet — the aggregator_mdx attributed-element shape
+    * (xsl:attribute with literal names, the r13 subset widening):
+    * a node-text attribute next to normalized content, an attributed
+    * CONSTANT emission, a mixed attributed/plain dispatch (the image
+    * branch carries no attribute — its `@conf` must drop from the
+    * JSON), and an attributed otherwise-branch under a different
+    * output name. */
+  private val t10Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="2.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+      |    xmlns:dcterms="http://purl.org/dc/terms/"
+      |    xmlns:oai="http://www.openarchives.org/OAI/2.0/"
+      |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+      |  <xsl:output method="xml" encoding="UTF-8"/>
+      |  <xsl:template match="text() | @*"/>
+      |  <xsl:template match="//oai:record[oai:header[@status='deleted']]/*"/>
+      |  <xsl:template match="//oai_dc:dc">
+      |    <record><xsl:apply-templates/></record>
+      |  </xsl:template>
+      |  <xsl:template match="dc:title">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <dcterms:title><xsl:attribute name="raw"><xsl:value-of select="."/></xsl:attribute><xsl:value-of select="normalize-space(.)"/></dcterms:title>
+      |    </xsl:if>
+      |  </xsl:template>
+      |  <xsl:template match="dc:type">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <xsl:choose>
+      |        <xsl:when test="matches(., '(^text.*$)', 'i')">
+      |          <dcterms:type><xsl:attribute name="conf">high</xsl:attribute>Text</dcterms:type>
+      |        </xsl:when>
+      |        <xsl:when test="matches(., '(^image.*$)', 'i')">
+      |          <dcterms:type>Image</dcterms:type>
+      |        </xsl:when>
+      |        <xsl:otherwise>
+      |          <dcterms:format><xsl:attribute name="src">dc:type</xsl:attribute><xsl:value-of select="."/></dcterms:format>
+      |        </xsl:otherwise>
+      |      </xsl:choose>
+      |    </xsl:if>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t10: the attributed-element crosswalk end-to-end under the
+    * oracle — dc:title carries its RAW text as an attribute beside
+    * the normalized content (`{"@raw":…,"#text":…}` in the struct
+    * model), the type dispatch mixes an attributed branch, a PLAIN
+    * branch (whose `@conf` must vanish from the JSON — to_json's
+    * null-field drop), and an attributed otherwise under a second
+    * output name. Deleted records row-killed; same one-filter +
+    * one-projection plan as t8. */
+  def t10XsltAttr(spark: SparkSession, dir: String): DataFrame = {
+    val withXml = Tables.documents(spark, dir)
+      .select(col("doc_id"), oaiXml.as("xml"))
+    Transform.xsltSheetTransform(t10Stylesheet, "xml", Seq("doc_id"))(withXml)
+      .orderBy("doc_id")
+  }
+
   private val t8Stylesheet =
     """<?xml version="1.0" encoding="UTF-8"?>
       |<xsl:stylesheet version="2.0"
@@ -552,6 +610,7 @@ object Xml {
     "t6_xslt_if" -> (t6XsltIf _),
     "t7_xslt_choose" -> (t7XsltChoose _),
     "t8_apply_templates" -> (t8ApplyTemplates _),
+    "t10_xslt_attr" -> (t10XsltAttr _),
     "t9_xslt_module" -> (t9XsltModule _),
     "v9_schematron" -> (v9Schematron _),
     "v13_sch_file" -> (v13SchFile _),
@@ -653,6 +712,38 @@ object Xml {
     // title/type is a pure function of doc_id/source), so the
     // engine's xpath extraction + dispatch compilation is checked
     // independently; keep filter = the two row-kill branches
+    // t10: the oracle rebuilds the attributed JSON objects from the
+    // base columns directly — including the PLAIN image branch whose
+    // null @conf must be ABSENT from the rendered object (to_json's
+    // null-field drop is part of the contract under test)
+    "t10_xslt_attr" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE '{"@raw":"The  '||source||' record ","#text":"The '||source||' record"}'
+             END AS t1j,
+             CASE WHEN doc_id % 5 = 0 THEN
+               '{"@raw":"Vol. '||CAST(doc_id % 9 AS VARCHAR)||'  of  '||source
+                 ||'","#text":"Vol. '||CAST(doc_id % 9 AS VARCHAR)||' of '||source||'"}'
+             END AS t2j,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'Text' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'Sound recording' WHEN 3 THEN 'moving image'
+               WHEN 4 THEN ' Text with leading space' ELSE '' END AS ty
+           FROM documents WHERE doc_id % 13 != 0),
+         parts AS (
+           SELECT doc_id, ty,
+             list_filter([t1j, t2j], x -> x IS NOT NULL) AS tl
+           FROM base)
+         SELECT doc_id, '{' || concat_ws(',',
+           CASE WHEN len(tl) = 0 THEN NULL
+                ELSE '"dcterms:title":[' || array_to_string(tl, ',') || ']' END,
+           CASE WHEN ty = '' THEN NULL
+                WHEN regexp_matches(ty, '(^text.*$)', 'i') THEN '"dcterms:type":[{"@conf":"high","#text":"Text"}]'
+                WHEN regexp_matches(ty, '(^image.*$)', 'i') THEN '"dcterms:type":[{"#text":"Image"}]'
+                ELSE '"dcterms:format":[{"@src":"dc:type","#text":"' || ty || '"}]' END
+           ) || '}' AS rec
+         FROM parts ORDER BY doc_id""",
     "t8_apply_templates" ->
       """WITH base AS (
            SELECT doc_id,
