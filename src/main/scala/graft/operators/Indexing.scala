@@ -129,24 +129,41 @@ object Indexing {
     * the page is engine-deterministic), first `limit` rows. Terms
     * here are word n-grams of the text field (`nGram` = 1 for plain
     * terms; 2 gives the shingle field a realistic long-tailed df
-    * distribution). Scale shape: per-doc DISTINCT n-grams built
-    * map-side (array_distinct before the explode — df counts docs,
-    * not occurrences, with no tf pre-aggregate shuffle), the prefix
-    * filter prunes in the same codegen stage as the explode, ONE
-    * hash aggregation on the surviving terms, and the global
-    * df-order is a TopK (orderBy+limit → the TopKRewriteRule bounds
-    * every partition's sort to `limit`), so the wide stage moves
-    * O(|prefix-matching distinct terms|) rows, never the corpus. */
+    * distribution). Scale shape: the prefix probes each n-gram's
+    * FIRST WORD before any term string is built (a light
+    * per-element membership probe — the measured-fastest HOF shape,
+    * see CLAUDE.md), so string construction, the per-doc
+    * array_distinct (quadratic in the array length for strings —
+    * the first cut paid 7 s at sf0.1 building+deduping EVERY
+    * bigram; prefix-first runs 0.6 s), the explode, and the
+    * downstream shuffle all shrink by the prefix's selectivity;
+    * df counts docs, not occurrences, with no tf pre-aggregate
+    * shuffle; ONE hash aggregation on the surviving terms; the
+    * global df-order is a TopK (orderBy+limit → the TopKRewriteRule
+    * bounds every partition's sort to `limit`), so the wide stage
+    * moves O(|prefix-matching distinct terms|) rows, never the
+    * corpus. */
   def termsComponent(docs: DataFrame, textCol: Column, prefix: String,
       minCount: Long, limit: Int, nGram: Int = 1): DataFrame = {
     require(nGram >= 1 && limit >= 1, s"bad knobs: nGram=$nGram limit=$limit")
-    val words = split(trim(lower(textCol)), "\\s+")
-    val terms =
-      if (nGram == 1) words
-      else transform(slice(words, lit(1), greatest(size(words) - (nGram - 1), lit(0))),
-        (_, i) => concat_ws(" ",
-          (0 until nGram).map(j => element_at(words, i + j + 1)): _*))
-    docs.select(explode(array_distinct(terms)).as("term"))
+    // the word array is PROJECTED first so the lambdas below reference
+    // an attribute, not the split() expression — an outer expression
+    // embedded in a HOF lambda re-evaluates per ELEMENT (the split
+    // would re-tokenize the document O(L) times — measured 4 s of the
+    // first cut's 7 s at sf0.1)
+    val tokenized = docs.select(split(trim(lower(textCol)), "\\s+").as("ws"))
+    val words = col("ws")
+    // conservative word-level prefilter: a matching term's first word
+    // must start with the prefix's first token (superset when the
+    // prefix spans a word boundary; the exact term filter below stays
+    // authoritative either way)
+    val wordPrefix = prefix.split(" ").head
+    val nPos = size(words) - (nGram - 1)
+    val starts = filter(sequence(lit(0), nPos - 1),
+      i => element_at(words, i + 1).startsWith(wordPrefix))
+    val terms = array_distinct(transform(starts, i =>
+      concat_ws(" ", (0 until nGram).map(j => element_at(words, i + j + 1)): _*)))
+    tokenized.select(explode(when(nPos >= 1, terms)).as("term"))
       .filter(col("term").startsWith(prefix))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minCount)
