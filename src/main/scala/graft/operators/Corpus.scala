@@ -118,6 +118,41 @@ object Corpus {
       orderCol, tokensCol, budget)
   }
 
+  /** Length-bucketed dynamic batching — the third training-shard
+    * shape next to [[packSequences]] (concatenate + split) and
+    * [[packBinsFFD]] (bin-pack): keep documents whole AND unconcat —
+    * every batch pads to its own longest member, so grouping
+    * like-length documents is what contains the waste (the
+    * bucketed-batching recipe sequence trainers default to). Tier
+    * boundaries are explicit integer thresholds — pure comparisons,
+    * engine-exact (floor(log2(n)) double math ties differently per
+    * engine near powers of two); bucket id = #boundaries ≤ n_tokens.
+    * Batches form within a bucket in id order
+    * ([[Harvest.batchAssign]]'s deterministic row-number shape; at
+    * 100 TB compose [[Harvest.batchAssignScalable]]'s hash-sharded
+    * twin exactly as h5 does). Output is the batch MANIFEST — one
+    * row per (bucket, batch): doc count, max/sum tokens, and the
+    * batch's padding waste n_docs·max − sum, the number the recipe
+    * exists to minimize. Scale: one bounded window per bucket (or
+    * sharded), then a hash agg on O(|batches|) groups. */
+  def lengthBucketedBatches(df: DataFrame, idCol: Column, tokensCol: Column,
+      boundaries: Seq[Int], batchSize: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries must be ascending, got $boundaries")
+    val bucket = boundaries.map(b =>
+      when(tokensCol >= b, 1).otherwise(0)).reduce(_ + _)
+    Harvest.batchAssign(
+        df.select(idCol.as("id"), tokensCol.as("n_tokens"),
+          bucket.as("len_bucket")),
+        Seq(col("len_bucket")), col("id"), batchSize)
+      .groupBy(col("len_bucket"), col("file_idx").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** First-fit-decreasing bin packing — the PADDED-batch packing
     * contract, the other training-shard shape next to
     * [[packSequences]]: documents never split across sequences, so

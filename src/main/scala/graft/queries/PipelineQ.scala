@@ -244,7 +244,23 @@ object PipelineQ {
       .orderBy("split", "contaminated")
   }
 
+  /** p15: length-bucketed dynamic batching
+    * ([[Corpus.lengthBucketedBatches]]) — batches pad to their own
+    * longest member, so like-length grouping is what contains the
+    * waste. Tier thresholds 25/50/75 keep all four buckets
+    * data-live at every SF (token counts run 10–100); the output is
+    * the batch manifest with each batch's padding bill. Oracle
+    * replays the in-bucket row_number assignment (the h5 pattern —
+    * `batchAssignScalable` is the contract-tested 100 TB twin). */
+  def p15LengthBatches(spark: SparkSession, dir: String): DataFrame =
+    Corpus.lengthBucketedBatches(
+        Tables.documents(spark, dir),
+        col("doc_id"), TextAnalysis.nTokens(col("text")).cast("long"),
+        boundaries = Seq(25, 50, 75), batchSize = 32)
+      .orderBy("len_bucket", "batch_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_length_batches" -> (p15LengthBatches _),
     "p11_decontam_split" -> (p11DecontamSplit _),
     "p10_token_budget" -> (p10TokenBudget _),
     "p12_repeat_plan" -> (p12RepeatPlan _),
@@ -261,6 +277,31 @@ object PipelineQ {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p15: same tier thresholds as pure comparisons, in-bucket
+    // row_number batches, integer padding bill
+    "p15_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (
+           SELECT doc_id, nt,
+             (CASE WHEN nt >= 25 THEN 1 ELSE 0 END
+              + CASE WHEN nt >= 50 THEN 1 ELSE 0 END
+              + CASE WHEN nt >= 75 THEN 1 ELSE 0 END) AS len_bucket
+           FROM t),
+         a AS (
+           SELECT len_bucket, nt,
+             CAST(floor((row_number() OVER (PARTITION BY len_bucket
+               ORDER BY doc_id) - 1) / 32.0) AS BIGINT) AS batch_id
+           FROM b)
+         SELECT len_bucket, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(nt) AS max_tokens,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens,
+           CAST(count(*) AS BIGINT) * max(nt) - CAST(sum(nt) AS BIGINT)
+             AS pad_tokens
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
     // p11: d7's shingle-hit verdict (same '0:'-seeded md5 shingle
     // hash) x p1's md5 bucket split, aggregated
     "p11_decontam_split" ->

@@ -278,4 +278,44 @@ class CorpusSpec extends AnyFunSuite {
     bins.unpersist()
     ()
   }
+
+  test("lengthBucketedBatches: manifest invariants and the padding win") {
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+    val tokens = TextAnalysis.nTokens(col("text")).cast("long")
+    val m = Corpus.lengthBucketedBatches(docs, col("doc_id"), tokens,
+      boundaries = Seq(25, 50, 75), batchSize = 32).cache()
+    // conservation: every doc lands in exactly one batch
+    assert(m.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+      == docs.count())
+    // size cap + the waste identity per batch
+    assert(m.filter(col("n_docs") > 32 ||
+      col("pad_tokens") =!= col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .count() == 0)
+    // all four tiers live on the real corpus
+    assert(m.select("len_bucket").distinct().count() == 4)
+    // the recipe's reason to exist: bucketing pads less than batching
+    // the same stream unbucketed (one tier, same batch size)
+    val flat = Corpus.lengthBucketedBatches(docs, col("doc_id"), tokens,
+      boundaries = Seq(0), batchSize = 32)
+    val bucketedWaste = m.agg(org.apache.spark.sql.functions.sum("pad_tokens"))
+      .head.getLong(0)
+    val flatWaste = flat.agg(org.apache.spark.sql.functions.sum("pad_tokens"))
+      .head.getLong(0)
+    assert(bucketedWaste < flatWaste,
+      s"bucketing must pad less: $bucketedWaste !< $flatWaste")
+    m.unpersist()
+    // the 100 TB composition: batchAssignScalable within tiers keeps
+    // the cap and conservation (ids differ — boundaries still hold)
+    val bucket = Seq(25, 50, 75).map(b =>
+      when(tokens >= b, 1).otherwise(0)).reduce(_ + _)
+    val scalable = graft.operators.Harvest.batchAssignScalable(
+        docs.select(col("doc_id"), tokens.as("nt"), bucket.as("len_bucket")),
+        Seq(col("len_bucket")), col("doc_id"), recordsPerFile = 32)
+      .groupBy("len_bucket", "file_idx")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(scalable.filter(col("n") > 32).count() == 0)
+    assert(scalable.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == docs.count())
+  }
 }
