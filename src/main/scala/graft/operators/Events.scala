@@ -156,6 +156,48 @@ object Events {
       .select(col("f.stage_idx"), col("f.stage"), col("f.n_keys"))
   }
 
+  /** Conversion-window funnel — [[funnel]] with the product-analytics
+    * conversion window: a key converts stage k only if the stage-k
+    * event is at-or-after its stage-(k−1) hit AND within `windowUs`
+    * of its FIRST-stage hit (first-touch anchoring, the common
+    * analytics default — deterministic, though a later first-touch
+    * could in principle convert where the earliest misses; that
+    * greedy caveat is inherent to the anchor choice and documented).
+    * Window arithmetic is integer microseconds (`unix_micros` — the
+    * ns-epoch oracle rule), never timestamp floats. Same plan shape
+    * as [[funnel]]: |stages| window-min passes per key partition,
+    * one per-key rollup, output |stages| rows. */
+  def funnelWindowed(df: DataFrame, keyCol: Column, tsCol: Column,
+      stages: Seq[(String, Column)], windowUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+    var cur = df
+    var prevTs: Column = null
+    var t0: Column = null
+    stages.foreach { case (name, pred) =>
+      val hit =
+        if (prevTs == null) when(pred, tsCol)
+        else when(pred && tsCol >= prevTs
+          && unix_micros(tsCol) - unix_micros(t0) <= windowUs, tsCol)
+      cur = cur.withColumn(s"__ts_$name", min(hit).over(w))
+      prevTs = col(s"__ts_$name")
+      if (t0 == null) t0 = prevTs
+    }
+    val perKey = cur.groupBy(keyCol.as("__k"))
+      .agg(min(col(s"__ts_${stages.head._1}")).as(s"__t0"),
+        stages.tail.zipWithIndex.map { case ((n, _), i) =>
+          min(col(s"__ts_$n")).as(s"__t${i + 1}") }: _*)
+    val counts = perKey.agg(
+      count(col("__t0")).as("c0"),
+      stages.tail.zipWithIndex.map { case (_, i) =>
+        count(col(s"__t${i + 1}")).as(s"c${i + 1}") }: _*)
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"c$i").as("n_keys"))
+    }
+    counts.select(explode(array(rows: _*)).as("f"))
+      .select(col("f.stage_idx"), col("f.stage"), col("f.n_keys"))
+  }
+
   /** First-order transition counts (the Markov path matrix) over each
     * key's time-ordered stream — the "what happens right after a view"
     * primitive behind path analysis, next-action models and flow

@@ -358,6 +358,21 @@ object TextEvents {
           "purchase" -> (col("event_type") === "purchase")))
       .orderBy("stage_idx")
 
+  /** e16: the e9 funnel under a 24 h conversion window
+    * ([[Events.funnelWindowed]], first-touch anchored): each later
+    * stage must land at-or-after the previous stage's hit AND within
+    * 24 h of the user's FIRST view. The window binds at every SF
+    * (it cuts every stage's count below e9's unwindowed numbers
+    * while leaving all three stages nonzero), and the arithmetic is
+    * integer microseconds both engines. */
+  def e16WindowedFunnel(spark: SparkSession, dir: String): DataFrame =
+    Events.funnelWindowed(Tables.events(spark, dir), col("user_id"), col("ts"),
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        windowUs = 86400000000L)
+      .orderBy("stage_idx")
+
   /** e10: weekly cohort retention over the event stream. */
   def e10Retention(spark: SparkSession, dir: String): DataFrame =
     Events.retention(Tables.events(spark, dir), col("user_id"), col("ts"))
@@ -497,6 +512,7 @@ object TextEvents {
     "e6_pivot" -> (e6Pivot _),
     "e8_asof" -> (e8AsOf _),
     "e9_funnel" -> (e9Funnel _),
+    "e16_windowed_funnel" -> (e16WindowedFunnel _),
     "e10_retention" -> (e10Retention _),
     "ta1_tokens" -> (ta1Tokens _),
     "ta5_ngram_freq" -> (ta5NgramFreq _),
@@ -649,6 +665,31 @@ object TextEvents {
          FROM p ASOF JOIN v
            ON p.user_id = v.v_user AND p.purchase_ts >= v.view_ts
          ORDER BY purchase_id""",
+    // e16: e9's cascade with the 24 h first-touch window — the bound
+    // is integer microseconds on both engines (epoch_us / unix_micros)
+    "e16_windowed_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+           FROM events GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, s1.t1,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+               AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+               THEN e.ts END) AS t2
+           FROM events e JOIN s1 USING (user_id) GROUP BY 1, 2),
+         s3 AS (
+           SELECT e.user_id, s2.t1, s2.t2,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+               AND epoch_us(e.ts) - epoch_us(s2.t1) <= 86400000000
+               THEN e.ts END) AS t3
+           FROM events e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+         SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage,
+           (SELECT count(t1) FROM s1) AS n_keys
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), 'click', (SELECT count(t2) FROM s2)
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(t3) FROM s3)
+         ORDER BY stage_idx""",
     "e9_funnel" ->
       """WITH s1 AS (
            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
