@@ -504,6 +504,68 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Boilerplate-chunk removal (the C4/CCNet repeated-line dedup
+    * rung, d10's stats upgraded to the REWRITE a pipeline actually
+    * ships): documents split into non-overlapping `width`-token
+    * chunks (the "lines" of this single-line corpus; a trailing
+    * short chunk is its own chunk, so reassembly is one array_join),
+    * chunks occurring `minOcc`+ times corpus-wide — C4's own rule is
+    * the absolute "any line appearing ≥ 3 times" cut — are struck
+    * from every document, and the cleaned text is reassembled in
+    * token order.
+    *
+    * Scale shape: one map-side chunk fan-out feeds (a) the
+    * chunk-keyed occurrence count (shuffle 1, map-side partial) and
+    * (b) the rewrite join; the hot set (occ ≥ minOcc) is small by
+    * construction (it IS the boilerplate) so it broadcasts back onto
+    * the exploded stream, and the reassembly is one doc-keyed
+    * aggregation (shuffle 2). Linear in corpus tokens, nothing
+    * pairwise, no driver-side data. If a corpus ever makes the hot
+    * set large, the broadcast degrades to the same shuffled equi-join
+    * Spark picks automatically past the broadcast threshold — the
+    * plan stays candidate-bounded either way. */
+  def boilerplateStrip(docs: DataFrame, width: Int = 3,
+      minOcc: Long = 3L): DataFrame = {
+    val ex = docChunks(docs, width)
+    val hot = ex.groupBy("chunk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("chunk"), lit(true).as("hot"))
+    stripAgainstHot(ex, hot)
+  }
+
+  /** The d25 chunk fan-out: (doc_id, pos, chunk) — non-overlapping
+    * `width`-token chunks, trailing remainder as its own chunk.
+    * Shared by [[boilerplateStrip]] and the streaming gate
+    * ([[graft.streaming.BoilerplateStream]]) so batch and stream can
+    * never drift on the chunk definition. */
+  def docChunks(docs: DataFrame, width: Int): DataFrame = {
+    // project the token split to a column BEFORE the chunk lambda
+    // touches it (the x25 outer-expression rule: a non-attribute
+    // expression inside a HOF re-evaluates per element — here that
+    // would re-split the document once per chunk, O(L²/width))
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("tks"))
+    val chunked = toks.select(col("doc_id"),
+      transform(
+        sequence(lit(0), expr(s"(size(tks) - 1) div $width")),
+        i => array_join(slice(col("tks"), i * width + 1, lit(width)), " "))
+        .as("chunks"))
+    chunked.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("pos", "chunk")))
+  }
+
+  /** The d25 rewrite: strike every chunk in `hot` (chunk, hot=true)
+    * from the fan-out `ex` and reassemble per doc — the hot set is
+    * the boilerplate, small by construction, so it broadcasts. */
+  def stripAgainstHot(ex: DataFrame, hot: DataFrame): DataFrame =
+    ex.join(broadcast(hot), Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("hot").isNotNull.cast("long")).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("hot").isNull, struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+
   /** Fuzzy name matching by edit distance: candidates block on a
     * coarse key (brand), verified with Levenshtein. The classic
     * entity-resolution step for short strings where token sets are

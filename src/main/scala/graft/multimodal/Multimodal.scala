@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads ride as
@@ -125,6 +126,55 @@ object Multimodal {
       // volume
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Audio activity segmentation over opaque payloads (the ASR-data
+    * preparation rung: split a recording into voiced segments before
+    * transcription/packing; m4's frame idea applied to the energy
+    * domain). The payload is read as fixed `windowBytes` windows
+    * (complete windows only — a trailing partial window is below the
+    * detector's resolution), each window's ENERGY is the exact
+    * integer sum of its byte values (the fixture corpus is ASCII, so
+    * ascii(char) IS the payload byte — m3's contract; a real PCM
+    * energy/VAD score plugs in through the same seam), and maximal
+    * runs of consecutive windows with energy ≥ `threshold` merge
+    * into segments (the classic islands step: run id = window index
+    * − per-doc row_number, constant exactly on consecutive runs).
+    *
+    * Scale shape: the window fan-out is map-side (payloads never
+    * shuffle — only (doc_id, window, energy) triples do); the islands
+    * window, the run aggregation and the per-doc segment numbering
+    * all key on doc_id, so ONE doc-keyed exchange serves all three
+    * (hashPartitioning(doc_id) satisfies the (doc_id, run) clustering
+    * — a subset of the agg keys). All-integer output. */
+  def audioSegments(df: DataFrame, idCol: String, payloadCol: String,
+      windowBytes: Int, threshold: Long): DataFrame = {
+    // `pl` is projected to an attribute before the lambda touches it
+    // (the x25 outer-expression rule); the per-window substring +
+    // 50-byte ascii fold are the LIGHT per-element probes the r6
+    // measurements favor as HOFs
+    val wins = df
+      .select(col(idCol).as("doc_id"), col(payloadCol).cast("string").as("pl"))
+      .filter(length(col("pl")) >= windowBytes)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST(length(pl) DIV $windowBytes AS INT) - 1)," +
+            s" w -> substring(pl, w * $windowBytes + 1, $windowBytes))"))
+          .as(Seq("w", "win")))
+      .select(col("doc_id"), col("w"),
+        expr("aggregate(split(win, ''), 0, (a, c) -> a + ascii(c))")
+          .cast("long").as("energy"))
+    val order = Window.partitionBy("doc_id").orderBy("w")
+    val runs = wins.filter(col("energy") >= threshold)
+      .withColumn("run", col("w") - row_number().over(order))
+    val segs = runs.groupBy("doc_id", "run")
+      .agg(min(col("w")).cast("long").as("start_window"),
+        count(lit(1)).as("n_windows"),
+        sum(col("energy")).as("energy_total"))
+    val segOrder = Window.partitionBy("doc_id").orderBy("start_window")
+    segs.withColumn("seg_idx", row_number().over(segOrder))
+      .select(col("doc_id"), col("seg_idx"), col("start_window"),
+        col("n_windows"), col("energy_total"))
   }
 
   /** Binary metadata extraction (the oracled m1 surface): size,

@@ -59,6 +59,53 @@ object Graph {
       .select(col("source"), col("wdeg"), col("r").as("rank_i3"))
   }
 
+  /** HITS hubs & authorities over the DIRECTED reprint graph — the
+    * other classic link-analysis signal next to [[weightedPageRank]]:
+    * a good HUB reprints from many good authorities, a good AUTHORITY
+    * is reprinted by many good hubs (Kleinberg's mutual recursion).
+    * Direction comes from the caller's pair orientation: each
+    * (source_a, source_b, w) pair is read as source_b → source_a
+    * (the lexicographically later source points at the earlier — a
+    * deterministic stand-in for the crawl-time direction a real
+    * pipeline would use).
+    *
+    * Exact integer arithmetic like the PageRank twin, with HITS's
+    * per-phase NORMALIZATION made engine-exact: after each phase the
+    * scores rescale to sum 1_000_000 by integer division against the
+    * phase total (floored via DIV on nonnegative values — identical
+    * in any engine), so the unrolled oracle CTE replays bit-for-bit
+    * and no float norm can diverge. Each phase is one edge-keyed
+    * join-aggregate + a one-row total broadcast — O(edges) per
+    * iteration at any corpus size, the g1/g2 posture.
+    *
+    * Output: (source, hub, auth) after `iters` full iterations;
+    * isolated nodes hold 0 on both scores. */
+  def hits(nodes: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
+    val edges = pairs.select(col("source_b").as("u"),
+      col("source_a").as("v"), col("w"))
+    def rescale(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(greatest(sum("m"), lit(1L)).as("s"))
+      nodes.join(raw, Seq("source"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("(coalesce(m, CAST(0 AS BIGINT)) * 1000000) DIV s").as(out))
+    }
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = rescale(
+        edges.join(hub.select(col("source").as("u"), col("h")), Seq("u"))
+          .select(col("v").as("source"), (col("h") * col("w")).as("x"))
+          .groupBy("source").agg(sum("x").as("m")), "a")
+      hub = rescale(
+        edges.join(auth.select(col("source").as("v"), col("a")), Seq("v"))
+          .select(col("u").as("source"), (col("a") * col("w")).as("x"))
+          .groupBy("source").agg(sum("x").as("m")), "h")
+    }
+    hub.join(auth, Seq("source"))
+      .select(col("source"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Authority-rank resolution with a STREAM-MAINTAINED preference —
     * the x21 boost signal's front door. When a
     * [[graft.streaming.RankStream]] maintainer owns the signal (its

@@ -140,6 +140,40 @@ object DedupSim {
     Dedup.dupSpanStats(Dedup.augmentedDocs(spark, dir))
       .orderBy("doc_id")
 
+  /** Header templates d25 plants (the d24 synthesis pattern: the
+    * testdata has no boilerplate, so the query synthesizes the
+    * crawl-header shapes a web corpus carries). Six tokens each —
+    * exactly two width-3 chunks, so no header chunk straddles into
+    * body text — over a vocabulary disjoint from the corpus's, so a
+    * header chunk can never collide with a natural one. */
+  private val d25Headers = Seq(
+    "subscribe to our newsletter for updates",
+    "all rights reserved by the publisher",
+    "click here to accept cookie policy",
+    "share this article on social feed")
+
+  /** d25: boilerplate-chunk removal (the C4/CCNet repeated-line
+    * rung) — d10 measures duplicated spans, this one REWRITES the
+    * corpus: non-overlapping 3-token chunks occurring ≥ 3 times
+    * corpus-wide (C4's own "any line appearing three or more times"
+    * rule) are struck and the cleaned text reassembled in token
+    * order. Each doc gets one of four planted header templates
+    * (doc_id % 4), so the cut is live on BOTH branches at every SF:
+    * headers are hot everywhere (occ ≈ |docs|/4), natural trigrams
+    * mostly survive at small SF and split by Poisson spread at
+    * sf0.1 — and a few hundred sf0.1 docs go fully-boilerplate,
+    * keeping the empty-rewrite edge oracle-exercised. The cleaned
+    * STRING itself is hash-compared (the ta8 posture). */
+  def d25BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val hdrs = array(d25Headers.map(lit): _*)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(element_at(hdrs, pmod(col("doc_id"), lit(4)).cast("int") + 1),
+          lit(" "), trim(col("text"))).as("text"))
+    Dedup.boilerplateStrip(docs, width = 3, minOcc = 3L)
+      .orderBy("doc_id")
+  }
+
   /** d8: the full dedup decision — MinHash-LSH pairs (the d3
     * pipeline) → connected components → every document labeled with
     * its cluster's canonical (minimum) id; `is_canonical` marks the
@@ -422,6 +456,24 @@ object DedupSim {
       .orderBy("source")
   }
 
+  /** g3: HITS hubs & authorities — Kleinberg's mutual recursion over
+    * the g2 reprint graph, directed later-source → earlier-source
+    * (deterministic crawl-time stand-in), weights = d16's n_shared.
+    * The per-phase normalization is integer division against the
+    * phase total, so the whole two-iteration recursion replays as an
+    * unrolled CTE (the g1/g2 exact-integer posture — no float norm).
+    * Isolated sources hold 0 on both scores at every SF. */
+  def g3Hits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.sourceOverlap(docs, col("source"), col("text"),
+        width = 20, stride = 20, maxDf = None)
+      .select(col("source_a"), col("source_b"), col("n_shared").as("w"))
+      .localCheckpoint(false)
+    graft.operators.Graph.hits(
+        docs.select("source").distinct(), pairs, iters = 2)
+      .orderBy("source")
+  }
+
   /** d17: the df-CAPPED overlap matrix — d16 with the 100 TB knob
     * engaged (maxDf=3): passage hashes present in more than 3
     * sources are treated as boilerplate and dropped BEFORE the
@@ -537,6 +589,32 @@ object DedupSim {
       .filter(col("lang") === "en" && col("id") >= 10)
       .select("id", "v")
     Knn.bruteForce(e.filter(col("id") < 10), corpus, k = 5)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** s14: filtered IVF search — s6's metadata predicate (lang = 'en')
+    * run through the s4 IVF plan instead of brute force. The
+    * centroids are built from the FULL corpus (one index serves
+    * every filter — at 100 TB the index is the expensive artifact,
+    * filters are ad hoc), and the predicate composes into the
+    * probed-list scan BEFORE scoring (pre-filtering: a selective
+    * filter makes the probe cheaper, and under-fill is an honestly
+    * shorter result, never a silently wrong one). The lang join
+    * happens once, outside the search. */
+  def s14FilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
+    val langs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("lang"))
+    val corpus = e.filter(col("id") >= 10).join(langs, "id")
+      .select(col("id"), col("v"), col("label"),
+        (col("lang") === "en").as("keep"))
+    graft.similarity.Ivf.searchFiltered(
+        e.filter(col("id") < 10).select("id", "v"), corpus,
+        listKey = "label", keepCol = "keep",
+        k = 5, nProbe = 2, centroidScale = 1000000L)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
       .orderBy("q_id", "rank")
   }
@@ -710,6 +788,7 @@ object DedupSim {
     "d20_semdedup_rep" -> (d20SemdedupRep _),
     "d1_exact" -> (d1Exact _),
     "d24_url_dedup" -> (d24UrlDedup _),
+    "d25_boilerplate" -> (d25BoilerplateStrip _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d14_containment" -> (d14Containment _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -730,6 +809,7 @@ object DedupSim {
     "s4_knn_ivf" -> (s4KnnIvf _),
     "s5_quantize" -> (s5Quantize _),
     "s6_filtered_knn" -> (s6FilteredKnn _),
+    "s14_filtered_ivf" -> (s14FilteredIvf _),
     "s7_mmr" -> (s7Mmr _),
     "s8_recall" -> (s8Recall _),
     "d16_source_overlap" -> (d16SourceOverlap _),
@@ -740,6 +820,7 @@ object DedupSim {
     "d22_dedup_funnel" -> (d22DedupFunnel _),
     "g1_source_rank" -> (g1SourceRank _),
     "g2_weighted_rank" -> (g2WeightedRank _),
+    "g3_hits" -> (g3Hits _),
     "d21_lsh_recall" -> (d21LshRecall _),
     "s9_recall_sweep" -> (s9RecallSweep _),
   )
@@ -863,6 +944,35 @@ object DedupSim {
       s"""WITH base AS ($augBase)
          SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM base GROUP BY md5(text) ORDER BY keep_id""",
+    // d25: header planting, chunking, the C4 occ>=3 cut and the
+    // rewrite all re-derived; the hot set folds to a scalar list
+    // (coalesced to [] if ever empty) so the filter replays without
+    // a join
+    "d25_boilerplate" ->
+      s"""WITH aug AS (
+           SELECT doc_id, concat(CASE doc_id % 4
+               WHEN 0 THEN '${d25Headers(0)}' WHEN 1 THEN '${d25Headers(1)}'
+               WHEN 2 THEN '${d25Headers(2)}' ELSE '${d25Headers(3)}' END,
+             ' ', trim(text)) AS text
+           FROM documents),
+         toks AS (
+           SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tks
+           FROM aug),
+         ch AS (
+           SELECT doc_id, list_transform(range(0, ((len(tks) - 1) // 3) + 1),
+             i -> array_to_string(tks[3*i+1:3*i+3], ' ')) AS chunks
+           FROM toks),
+         dfc AS (SELECT chunk, count(*) AS occ
+           FROM (SELECT unnest(chunks) AS chunk FROM ch) GROUP BY 1),
+         hot AS (SELECT coalesce(list(chunk), []) AS hs
+           FROM dfc WHERE occ >= 3)
+         SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+           CAST(len(list_filter(chunks, c -> list_contains(hs, c))) AS BIGINT)
+             AS n_removed,
+           coalesce(array_to_string(
+               list_filter(chunks, c -> NOT list_contains(hs, c)), ' '), '')
+             AS clean_text
+         FROM ch, hot ORDER BY doc_id""",
     // d24: the oracle states each crawl-variant shape's EXPECTED
     // canonical form directly (independent ground truth — the r6
     // pattern), then groups; the Spark side must reach the same
@@ -1605,6 +1715,39 @@ object DedupSim {
                ORDER BY cos DESC, n_id ASC) AS INT) AS rank
            FROM scored)
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // s14: s4's full-corpus centroid + probe scaffolding, with the
+    // scored list scan additionally gated by the lang predicate —
+    // pre-filtering inside probed lists, the filtered-ANN contract
+    "s14_filtered_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (SELECT vec_id AS n_id, label, v AS n_v FROM e WHERE vec_id >= 10),
+         q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < 10),
+         keep AS (SELECT e.vec_id AS n_id FROM e
+           JOIN documents doc ON e.vec_id = doc.doc_id
+           WHERE doc.lang = 'en' AND e.vec_id >= 10),
+         cents0 AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(n_v[dim] * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000.0) AS m
+           FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) r
+           GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cents0 GROUP BY 1),
+         probes AS (
+           SELECT q_id, q_v, label FROM (
+             SELECT q.q_id, q.q_v, cents.label,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${cosSql("q.q_v", "cents.centroid")} DESC, cents.label ASC) AS p
+             FROM q CROSS JOIN cents)
+           WHERE p <= 2),
+         scored AS (
+           SELECT q_id, n_id, ${cosSql("q_v", "n_v")} AS cos
+           FROM probes JOIN d USING (label) JOIN keep USING (n_id))
+         SELECT q_id, n_id, cos, rank FROM (
+           SELECT q_id, n_id, cos,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, n_id ASC) AS INT) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "s6_filtered_knn" ->
       s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT id AS q_id, v AS q_v FROM e WHERE id < 10),
@@ -1902,6 +2045,51 @@ object DedupSim {
          SELECT r3.source, d.outdeg, r3.r AS rank_i3
          FROM r3 JOIN deg d ON r3.source = d.source
          ORDER BY r3.source""",
+    // g3: the directed reprint graph (later source → earlier), two
+    // unrolled HITS iterations, each phase's integer-division rescale
+    // replayed against the phase total — bit-for-bit the Spark math
+    "g3_hits" ->
+      s"""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS tks
+           FROM documents),
+         s AS (SELECT source, unnest(range(0, greatest(len(tks), 1), 20)) AS st, tks FROM t),
+         p AS (SELECT source,
+             md5(array_to_string(list_slice(tks, st + 1, least(st + 20, len(tks))), ' ')) AS h
+           FROM s),
+         sh AS (SELECT DISTINCT source, h FROM p),
+         pr AS (SELECT a.source AS sa, b.source AS sb,
+             CAST(count(*) AS BIGINT) AS w
+           FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2),
+         edges AS (SELECT sb AS u, sa AS v, w FROM pr),
+         nodes AS (SELECT DISTINCT source FROM t),
+         h0 AS (SELECT source, CAST(1000000 AS BIGINT) AS hb FROM nodes),
+         a1r AS (SELECT e.v AS source, CAST(sum(h0.hb * e.w) AS BIGINT) AS m
+           FROM edges e JOIN h0 ON e.u = h0.source GROUP BY 1),
+         a1t AS (SELECT greatest(CAST(sum(m) AS BIGINT), 1) AS s FROM a1r),
+         a1 AS (SELECT n.source,
+             CAST((coalesce(a1r.m, 0) * 1000000) // a1t.s AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a1r USING (source), a1t),
+         h1r AS (SELECT e.u AS source, CAST(sum(a1.a * e.w) AS BIGINT) AS m
+           FROM edges e JOIN a1 ON e.v = a1.source GROUP BY 1),
+         h1t AS (SELECT greatest(CAST(sum(m) AS BIGINT), 1) AS s FROM h1r),
+         h1 AS (SELECT n.source,
+             CAST((coalesce(h1r.m, 0) * 1000000) // h1t.s AS BIGINT) AS hb
+           FROM nodes n LEFT JOIN h1r USING (source), h1t),
+         a2r AS (SELECT e.v AS source, CAST(sum(h1.hb * e.w) AS BIGINT) AS m
+           FROM edges e JOIN h1 ON e.u = h1.source GROUP BY 1),
+         a2t AS (SELECT greatest(CAST(sum(m) AS BIGINT), 1) AS s FROM a2r),
+         a2 AS (SELECT n.source,
+             CAST((coalesce(a2r.m, 0) * 1000000) // a2t.s AS BIGINT) AS a
+           FROM nodes n LEFT JOIN a2r USING (source), a2t),
+         h2r AS (SELECT e.u AS source, CAST(sum(a2.a * e.w) AS BIGINT) AS m
+           FROM edges e JOIN a2 ON e.v = a2.source GROUP BY 1),
+         h2t AS (SELECT greatest(CAST(sum(m) AS BIGINT), 1) AS s FROM h2r),
+         h2 AS (SELECT n.source,
+             CAST((coalesce(h2r.m, 0) * 1000000) // h2t.s AS BIGINT) AS hb
+           FROM nodes n LEFT JOIN h2r USING (source), h2t)
+         SELECT n.source, h2.hb AS hub, a2.a AS auth
+         FROM nodes n JOIN h2 USING (source) JOIN a2 USING (source)
+         ORDER BY n.source""",
     // g2: the g1 CTE chain with per-edge weights (n_shared) and the
     // weighted split (r*w) // wdeg — integer div per edge, matching
     // the Spark expression exactly

@@ -502,6 +502,37 @@ object Etl {
       .orderBy("source")
   }
 
+  /** x26: the expand component (Solr's ExpandComponent, x20's other
+    * half): alongside each collapsed group head, return the next
+    * `expand.rows` group members so the SERP can show "more from this
+    * domain" under the head. Different query terms than x20 so the
+    * two oracles exercise different score surfaces. Plan: x20's
+    * map-thinned explode + ONE doc-keyed score shuffle, then ONE
+    * source-keyed window pass computes rank AND the head id
+    * (first_value over the same ordered frame — no self-join, so the
+    * rollup/cube DetectAmbiguousSelfJoin hazard never arises); the
+    * expand rows are a pure filter on rank ∈ [2, 1+rows]. ALL-INTEGER
+    * scores; (score desc, doc_id asc) is a total order so head and
+    * page are engine-identical. */
+  def x26Expand(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("scan", "merge")
+    val expandRows = 3
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    hits
+      .withColumn("rank", row_number().over(w))
+      .withColumn("head_id", first("doc_id").over(w))
+      .filter(col("rank").between(2, 1 + expandRows))
+      .select(col("source"), col("head_id"), col("doc_id"), col("score"),
+        (col("rank") - 1).as("expand_rank"))
+      .orderBy("source", "expand_rank")
+  }
+
   /** x17: spellcheck suggestions — deterministic misspellings (every
     * ≥4-char vocab token with its 2nd character dropped, minus forms
     * that collide with real tokens) resolved back through
@@ -634,6 +665,7 @@ object Etl {
     "x16_suggest" -> (x16Suggest _),
     "x19_mlt" -> (x19Mlt _),
     "x20_collapse" -> (x20Collapse _),
+    "x26_expand" -> (x26Expand _),
     "x17_spellcheck" -> (x17Spellcheck _),
     "x18_suggest_serving" -> (x18SuggestServing _),
     "x8_seg_search" -> (x8SegSearch _),
@@ -761,6 +793,27 @@ object Etl {
            FROM hits)
          SELECT source, doc_id, score, n_group_hits
          FROM r WHERE rank = 1 ORDER BY source""",
+    // x26: x20's window with first_value carrying the head id; the
+    // expand page is the rank in [2, 4] slice of the same total order
+    "x26_expand" ->
+      """WITH hits AS (
+           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS score
+           FROM (
+             SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             FROM documents)
+           WHERE tok IN ('scan', 'merge') GROUP BY 1, 2),
+         r AS (
+           SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS rank,
+             first_value(doc_id) OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS head_id
+           FROM hits)
+         SELECT source, head_id, doc_id, score,
+           CAST(rank - 1 AS INT) AS expand_rank
+         FROM r WHERE rank BETWEEN 2 AND 4
+         ORDER BY source, expand_rank""",
     "x6_compact" ->
       """WITH files AS (
            SELECT source AS part_key, doc_id // 20 AS file_id,

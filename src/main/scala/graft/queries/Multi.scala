@@ -186,8 +186,27 @@ object Multi {
       .orderBy("a_id", "b_id")
   }
 
+  /** m8: audio activity segmentation (the ASR-pipeline rung: split a
+    * recording into voiced segments before transcription/packing).
+    * Payload bytes in 50-byte windows, window energy = exact integer
+    * byte sum (ASCII corpus: ascii(char) IS the byte — the m3
+    * contract), maximal runs of windows with energy ≥ 4720 merge
+    * into segments. The threshold sits just above the corpus's mean
+    * window energy, so silence (space-dense windows) and speech both
+    * carry real mass at every SF — the islands arithmetic (run id =
+    * w − row_number) is what the oracle exercises. All-integer
+    * output; payloads never shuffle (only (doc_id, w, energy)). */
+  def m8AudioSegments(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioSegments(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), trim(col("text")).cast("binary").as("payload")),
+        idCol = "doc_id", payloadCol = "payload",
+        windowBytes = 50, threshold = 4720L)
+      .orderBy("doc_id", "seg_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _),
+    "m8_audio_segments" -> (m8AudioSegments _),
     "m2_modality_stats" -> (m2ModalityStats _),
     "m3_decode_features" -> (m3DecodeFeatures _),
     "m4_frame_sample" -> (m4FrameSample _),
@@ -196,6 +215,32 @@ object Multi {
     "m7_video_neardup" -> (m7VideoNeardup _))
 
   val oracleSql: Map[String, String] = Map(
+    // m8: the window grid, per-window byte-sum energy, islands run id
+    // (w − row_number) and segment rollup all re-derived; ASCII makes
+    // ascii(substr(t, i, 1)) ≡ payload byte i
+    "m8_audio_segments" ->
+      """WITH d AS (
+           SELECT doc_id, trim(text) AS t, length(trim(text)) // 50 AS nw
+           FROM documents WHERE length(trim(text)) >= 50),
+         w AS (SELECT doc_id, t, unnest(range(0, nw)) AS w FROM d),
+         en AS (SELECT doc_id, w,
+             CAST(list_sum(list_transform(range(1, 51),
+               i -> ascii(substr(t, CAST(w * 50 + i AS INT), 1)))) AS BIGINT)
+               AS energy
+           FROM w),
+         sp AS (SELECT doc_id, w, energy,
+             w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+           FROM en WHERE energy >= 4720),
+         seg AS (SELECT doc_id,
+             CAST(min(w) AS BIGINT) AS start_window,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(energy) AS BIGINT) AS energy_total
+           FROM sp GROUP BY doc_id, grp)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY start_window) AS INT) AS seg_idx,
+           start_window, n_windows, energy_total
+         FROM seg ORDER BY doc_id, seg_idx""",
     "m1_binary_meta" ->
       """SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -317,6 +317,38 @@ object Ivf {
       .select("q_id", "n_id", "cos", "rank")
   }
 
+  /** Filtered IVF search — ANN under a metadata predicate, the
+    * production "vector search with a WHERE clause" run through the
+    * index instead of brute force (s6's semantics on s4's plan). The
+    * centroids come from the FULL corpus: one index serves every
+    * filter (rebuilding per predicate is the anti-pattern — at 100 TB
+    * the index is the expensive artifact and filters are ad hoc).
+    * The predicate (`keepCol`, precomputed by the caller so any
+    * metadata join happens once) composes into the probed-list scan
+    * BEFORE scoring — pre-filtering, so only admitted vectors inside
+    * probed lists are scored and a selective filter makes the query
+    * CHEAPER, never "score then discard" (post-filtering's silent
+    * k-under-fill is visible here as an honestly shorter result).
+    * Same cost shape as [[search]]: |corpus|·nProbe/nLists rows
+    * scored, scaled down by the filter's selectivity inside the
+    * probed lists. */
+  def searchFiltered(queries: DataFrame, data: DataFrame, listKey: String,
+      keepCol: String, k: Int, nProbe: Int,
+      centroidScale: Long = 0L): DataFrame = {
+    val cents =
+      if (centroidScale > 0) centroidsQuantized(data, listKey, "v", centroidScale)
+      else centroids(data, listKey, "v")
+    val probes = probeLists(queries, cents, nProbe)
+    val lists = data.filter(col(keepCol))
+      .select(col("id").as("n_id"), col("v").as("n_v"),
+        col(listKey).as("list_id"))
+    val scored = probes.join(lists, "list_id")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine4(col("q_v"), col("n_v")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Top-k cosine neighbors per query, searching only probed lists.
     * `data`: (id, v, <listKey>). With `centroidScale > 0` the list
     * centroids come from [[centroidsQuantized]] — deterministic

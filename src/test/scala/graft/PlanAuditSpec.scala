@@ -27,6 +27,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowNestedLoop = Set(
     "s1_knn_brute",    // broadcast(query side) × corpus scan, per-partition top-k
     "s4_knn_ivf",      // broadcast(centroids) × query/corpus assignment
+    "s14_filtered_ivf",// the same broadcast(centroids) probe shape;
+                       // the filtered list scan itself stays an
+                       // equi-join on list_id
+    "g3_hits",         // broadcast(one-row phase total) for the
+                       // integer HITS normalization; the edge
+                       // passes stay keyed equi-joins
     "s6_filtered_knn", // broadcast(query side) × pre-filtered corpus
     "s7_mmr",          // s1's broadcast bruteForce feeds candidates; since the
                        // one-job rerank rewrite there is no checkpoint truncating
@@ -45,6 +51,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val allowSinglePartition = Set(
     "e9_funnel",         // O(stages)-row final rollup
+    "e16_windowed_funnel", // e9's plan under the conversion window:
+                         // the same O(stages)-row final rollup
+    "g3_hits",           // one-row phase-total reductions (the HITS
+                         // normalization scalars)
     "q5_filter_project", // 1-row result of a selective filter
     "v5_profile",        // global column-profile aggregate (tiny)
     "v8_profile_drift",  // two v5-shaped global profiles + |cols|-row join
