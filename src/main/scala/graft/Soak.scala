@@ -77,6 +77,15 @@ object Soak {
     val (tInv, nInv) = time(operators.Indexing.invertedPostings(
       corpus, col("doc_id"), col("text"), nBlocks = 32).count())
 
+    // d25 boilerplate strip at 10x: cost must stay linear in corpus
+    // tokens (one fan-out + a chunk agg + a doc-keyed reassembly) —
+    // the replicated corpus makes trigram chunks far hotter than at
+    // sf scale, so the broadcast hot set is at its largest here and
+    // the removed-instance count is the volume receipt
+    val (tBplate, nBplate) = time(
+      dedup.Dedup.boilerplateStrip(corpus, width = 3, minOcc = 3L)
+        .agg(sum("n_removed")).head.getLong(0))
+
     // edit-distance at replica scale: per-replica name suffixes give
     // distinct-name counts (and verdict-broadcast id-pair volume)
     // that grow with the corpus, soaking the chunked-length equi-join
@@ -744,7 +753,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -532,6 +532,24 @@ object Transform {
       require(e.getNamespaceURI == null,
         s"unsupported xsl:${name(e)} here — only value-of/for-each/" +
           "if/literal elements are in the subset")
+      // static attributes have no slot in this compiler's JSON field
+      // model — refuse rather than silently dropping them (the
+      // refuse-not-misrun posture); the apply-templates sheet
+      // compiler is the attributed path
+      locally {
+        val am = e.getAttributes
+        (0 until am.getLength).map(am.item).foreach {
+          case a: org.w3c.dom.Attr
+              if a.getNamespaceURI != "http://www.w3.org/2000/xmlns/"
+                && a.getName != "xmlns" =>
+            throw new IllegalArgumentException(
+              s"static attribute '${a.getName}' on <${name(e)}> is out " +
+                "of subset here (the JSON field model has no attribute " +
+                "slot; route attributed outputs through the stylesheet " +
+                "compiler)")
+          case _ => ()
+        }
+      }
       elems(e) match {
         case Seq(vo) if isXsl(vo, "value-of") =>
           XLeaf(name(e), valuePath(base, vo.getAttribute("select")))
@@ -1105,6 +1123,34 @@ object Transform {
       if (attrEls.isEmpty) inner
       else VAttributed(attrEls.map(parseAttrEl), inner)
     }
+    // STATIC attributes written directly on a literal result element
+    // (`<identifier type="local">`) — XSLT copies them to the output
+    // verbatim, so dropping them would be a silent misrun (the
+    // refuse-not-misrun posture this compiler promises). Namespace
+    // declarations are not output attributes; AVT braces refuse
+    // (dynamic attribute values stay out of subset).
+    def staticAttrs(e: Element): Seq[(String, XVal)] = {
+      val am = e.getAttributes
+      (0 until am.getLength).map(am.item).collect {
+        case a: org.w3c.dom.Attr
+            if a.getNamespaceURI != "http://www.w3.org/2000/xmlns/"
+              && a.getName != "xmlns" =>
+          require(!a.getValue.contains("{"),
+            s"attribute value template '${a.getValue}' on " +
+              s"<${outName(e)}> is out of subset (literal values only)")
+          a.getName -> (VConst(a.getValue): XVal)
+      }
+    }
+    // merge literal attributes under the dynamic ones — xsl:attribute
+    // OVERRIDES a same-name literal attribute (XSLT 1.0 §7.1.3)
+    def mergeStatics(statics: Seq[(String, XVal)], v: XVal): XVal =
+      if (statics.isEmpty) v
+      else v match {
+        case VAttributed(dyn, inner) =>
+          VAttributed(statics.filterNot(s =>
+            dyn.exists(_._1 == s._1)) ++ dyn, inner)
+        case inner => VAttributed(statics, inner)
+      }
     // one EMITTING construct → (output name, value)
     def parseEmit(e: Element): (String, XVal) =
       if (isXsl(e, "element")) {
@@ -1119,13 +1165,14 @@ object Transform {
       } else {
         require(e.getNamespaceURI != XslNs,
           s"unsupported xsl:${name(e)} as an emitting construct")
-        outName(e) -> withAttrs(s"<${outName(e)}>", elems(e)) {
-          case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
-          case Seq() => VConst(directText(e))
-          case _ => throw new IllegalArgumentException(
-            s"literal element <${outName(e)}> must hold one value-of " +
-              "or only text")
-        }
+        outName(e) -> mergeStatics(staticAttrs(e),
+          withAttrs(s"<${outName(e)}>", elems(e)) {
+            case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
+            case Seq() => VConst(directText(e))
+            case _ => throw new IllegalArgumentException(
+              s"literal element <${outName(e)}> must hold one value-of " +
+                "or only text")
+          })
       }
     // template body → ordered (name, guard atoms, value) emissions;
     // choose branches RECURSE (an xsl:if inside xsl:when — the

@@ -533,6 +533,44 @@ object Etl {
       .orderBy("source", "expand_rank")
   }
 
+  /** x27: result grouping (Solr's `group=true&group.field=source&
+    * group.limit=2&rows=3` — the third of the grouping trio: x20
+    * collapses to heads, x26 expands under heads, this RANKS THE
+    * GROUPS and pages them): groups ordered by their best doc's
+    * score (Solr's default group sort), top `rows` groups returned,
+    * each carrying its top `group.limit` docs and the group's total
+    * hit count. Third distinct term pair so the three grouping
+    * oracles exercise three score surfaces. Plan: x20's map-thinned
+    * explode + ONE doc-keyed score shuffle + ONE source-keyed window
+    * pass (rank, group size, best score via first_value on the same
+    * ordered frame); the group-level rank is a window over the
+    * ALREADY doc-limited frame — O(group.limit·|groups|) rows, the
+    * x22 tiny-final-reduction shape, never doc rows. ALL-INTEGER;
+    * (best desc, source asc) and (score desc, doc_id asc) are total
+    * orders so both pages are engine-identical. */
+  def x27Grouping(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "filter")
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val small = hits
+      .withColumn("doc_rank", row_number().over(w))
+      .withColumn("n_group_hits",
+        count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("best", first("score").over(w))
+      .filter(col("doc_rank") <= 2)
+    val gw = Window.orderBy(col("best").desc, col("source").asc)
+    small.withColumn("group_rank", dense_rank().over(gw))
+      .filter(col("group_rank") <= 3)
+      .select(col("group_rank"), col("source"), col("doc_id"),
+        col("score"), col("doc_rank"), col("n_group_hits"))
+      .orderBy("group_rank", "doc_rank")
+  }
+
   /** x17: spellcheck suggestions — deterministic misspellings (every
     * ≥4-char vocab token with its 2nd character dropped, minus forms
     * that collide with real tokens) resolved back through
@@ -666,6 +704,7 @@ object Etl {
     "x19_mlt" -> (x19Mlt _),
     "x20_collapse" -> (x20Collapse _),
     "x26_expand" -> (x26Expand _),
+    "x27_grouping" -> (x27Grouping _),
     "x17_spellcheck" -> (x17Spellcheck _),
     "x18_suggest_serving" -> (x18SuggestServing _),
     "x8_seg_search" -> (x8SegSearch _),
@@ -793,6 +832,32 @@ object Etl {
            FROM hits)
          SELECT source, doc_id, score, n_group_hits
          FROM r WHERE rank = 1 ORDER BY source""",
+    // x27: the grouping trio's group-level page — dense_rank over the
+    // doc-limited frame on (best desc, source asc)
+    "x27_grouping" ->
+      """WITH hits AS (
+           SELECT doc_id, source, CAST(count(*) AS BIGINT) AS score
+           FROM (
+             SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+             FROM documents)
+           WHERE tok IN ('spark', 'filter') GROUP BY 1, 2),
+         r AS (
+           SELECT source, doc_id, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS doc_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_group_hits,
+             first_value(score) OVER (PARTITION BY source
+               ORDER BY score DESC, doc_id ASC) AS best
+           FROM hits),
+         s AS (SELECT * FROM r WHERE doc_rank <= 2),
+         g AS (
+           SELECT *, dense_rank() OVER (ORDER BY best DESC, source ASC) AS group_rank
+           FROM s)
+         SELECT CAST(group_rank AS INT) AS group_rank, source, doc_id, score,
+           CAST(doc_rank AS INT) AS doc_rank, n_group_hits
+         FROM g WHERE group_rank <= 3
+         ORDER BY group_rank, doc_rank""",
     // x26: x20's window with first_value carrying the head id; the
     // expand page is the rank in [2, 4] slice of the same total order
     "x26_expand" ->

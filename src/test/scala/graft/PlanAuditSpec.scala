@@ -55,6 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
                          // the same O(stages)-row final rollup
     "g3_hits",           // one-row phase-total reductions (the HITS
                          // normalization scalars)
+    "x27_grouping",      // group-level rank window over the ALREADY
+                         // doc-limited frame (O(limit·|groups|) rows
+                         // — the x22 tiny-final-reduction shape)
     "q5_filter_project", // 1-row result of a selective filter
     "v5_profile",        // global column-profile aggregate (tiny)
     "v8_profile_drift",  // two v5-shaped global profiles + |cols|-row join

@@ -144,6 +144,27 @@ class Round13OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- x27 result grouping ----
+
+  test("x27 groups page by best-doc score; docs page within groups") {
+    val got = SparkEntry.queries("x27_grouping")(spark, sf).cache()
+    // at most 3 groups, at most 2 docs each, ranks gapless
+    assert(got.select("source").distinct().count() <= 3)
+    assert(got.groupBy("source").count().filter(col("count") > 2).count() == 0)
+    assert(got.filter(!col("doc_rank").between(1, 2)).count() == 0)
+    // group order follows the best doc: group_rank 1's best score is
+    // the global max among surfaced groups
+    val rows = got.orderBy("group_rank", "doc_rank").collect()
+    val bestByGroup = rows.groupBy(_.getInt(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(3)).max }
+    bestByGroup.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a >= b, s"group order violated: $a < $b")
+      case _ => ()
+    }
+    got.unpersist()
+    ()
+  }
+
   // ---- g3 HITS ----
 
   test("g3 hand-built star: the hub/authority asymmetry lands as designed") {

@@ -106,6 +106,53 @@ class XslAttributeSpec extends AnyFunSuite {
     assert(read.getString(2) == "en")
   }
 
+  test("STATIC attributes on literal result elements copy to the output") {
+    // XSLT copies a literal result element's own attributes verbatim;
+    // dropping them silently would be a misrun (refuse-not-misrun)
+    def sheetWith(identifierEl: String): String =
+      s"""<?xml version="1.0"?>
+         |<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+         |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+         |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+         |    version="2.0">
+         |  <xsl:template match="text() | @*"/>
+         |  <xsl:template match="//oai_dc:dc"><record><xsl:apply-templates /></record></xsl:template>
+         |  <xsl:template match="dc:identifier">$identifierEl</xsl:template>
+         |</xsl:stylesheet>""".stripMargin
+    def wire(sheetSrc: String): String = {
+      val sheet = compileXsltSheet(sheetSrc)
+      frame(recA).filter(sheet.keep(col("xml")))
+        .select(sheet.outputXml(col("xml")).as("rec")).head.getString(0)
+    }
+    // plain static attribute
+    val w1 = wire(sheetWith(
+      """<identifier type="local"><xsl:value-of select="normalize-space(.)"/></identifier>"""))
+    assert(w1.contains("""<identifier type="local">http://x.org/1?a=1&amp;b="q"</identifier>"""),
+      s"static attribute dropped: $w1")
+    // xsl:attribute OVERRIDES a same-name static (XSLT 1.0 §7.1.3)
+    val w2 = wire(sheetWith(
+      """<identifier type="local"><xsl:attribute name="type">dyn</xsl:attribute><xsl:value-of select="normalize-space(.)"/></identifier>"""))
+    assert(w2.contains("""type="dyn"""") && !w2.contains("""type="local""""),
+      s"dynamic attribute did not override the static: $w2")
+    // distinct names coexist, statics first
+    val w3 = wire(sheetWith(
+      """<identifier type="local"><xsl:attribute name="kind">url</xsl:attribute><xsl:value-of select="normalize-space(.)"/></identifier>"""))
+    assert(w3.contains("""<identifier type="local" kind="url">"""),
+      s"static + dynamic attributes did not merge: $w3")
+    // AVT values stay refused
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<identifier type="{.}"><xsl:value-of select="."/></identifier>""")))
+  }
+
+  test("the JSON-field compiler REFUSES static attributes (no silent drop)") {
+    val ns = "xmlns:xsl=\"http://www.w3.org/1999/XSL/Transform\""
+    val ex = intercept[IllegalArgumentException](Transform.compileXslt(
+      s"""<xsl:stylesheet $ns><xsl:template match="/record"><o>
+          <id type="local"><xsl:value-of select="controlfield"/></id>
+          </o></xsl:template></xsl:stylesheet>"""))
+    assert(ex.getMessage.contains("static attribute"), ex.getMessage)
+  }
+
   test("still refused: dynamic names, misplaced/nested attributes, merged-output attrs") {
     def sheetWith(body: String, extra: String = ""): String =
       s"""<?xml version="1.0"?>
