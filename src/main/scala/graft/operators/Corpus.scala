@@ -101,6 +101,37 @@ object Corpus {
         floor((col("cum_tokens") - tokensCol) / budget).cast("long"))
   }
 
+  /** Packed-sequence SPAN MANIFEST — the attention-mask artifact a
+    * packed-pretraining pipeline materializes next to the packing
+    * itself: for every document [[packSequences]] placed, WHERE it
+    * sits inside its pack (token offset + length + position in the
+    * pack's document order) and how long the pack is. Trainers
+    * consume exactly this to build block-diagonal attention masks
+    * and reset position ids at document boundaries; without it a
+    * packed batch silently lets attention bleed across documents.
+    *
+    * Pure integer arithmetic on the packing's own columns: a pack's
+    * base offset is the minimum (cum − n) inside it, each document's
+    * span starts at (cum − n) − base and runs `tokensCol` tokens.
+    * Scale: the added windows key on (key, chunk) — a SUBSET-spec
+    * refinement of the packing's own key partitioning, so Spark
+    * reuses the one exchange (hashPartitioning(key) satisfies the
+    * (key, chunk) clustering); nothing new shuffles. */
+  def packSpanManifest(df: DataFrame, keyCol: Column, orderCol: Column,
+      tokensCol: Column, budget: Long): DataFrame = {
+    val packed = packSequences(df, keyCol, orderCol, tokensCol, budget)
+      .withColumn("__sa", (col("cum_tokens") - tokensCol).cast("long"))
+    val wp = Window.partitionBy(keyCol, col("chunk_id"))
+    val wo = Window.partitionBy(keyCol, col("chunk_id")).orderBy(orderCol)
+    packed
+      .withColumn("span_start",
+        (col("__sa") - min(col("__sa")).over(wp)).cast("long"))
+      .withColumn("span_len", tokensCol.cast("long"))
+      .withColumn("seq_idx", row_number().over(wo))
+      .withColumn("pack_tokens", sum(tokensCol).over(wp).cast("long"))
+      .drop("__sa")
+  }
+
   /** The 100 TB form of packSequences: a hash shard of the order key
     * is composed into the window key, so parallelism is
     * |keys| × nShards and no single window ever holds a whole key's

@@ -33,6 +33,23 @@ object PipelineQ {
       .select("doc_id", "lang", "n_tokens", "cum_tokens", "chunk_id")
       .orderBy("doc_id")
 
+  /** p16: the pack-span manifest — p2's packing upgraded to the
+    * attention-mask artifact (per doc: offset, length, order inside
+    * its pack, and the pack's total tokens — what a trainer needs to
+    * block-diagonalize attention and reset position ids at document
+    * boundaries). Same one lang-keyed exchange as p2: the per-pack
+    * windows refine the packing's own partitioning. */
+  def p16PackSpans(spark: SparkSession, dir: String): DataFrame =
+    Corpus.packSpanManifest(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.nTokens(col("text")).as("n_tokens")),
+        keyCol = col("lang"), orderCol = col("doc_id"),
+        tokensCol = col("n_tokens"), budget = 1000L)
+      .select(col("lang"), col("chunk_id"), col("seq_idx"), col("doc_id"),
+        col("span_start"), col("span_len"), col("pack_tokens"))
+      .orderBy("doc_id")
+
   /** p3: reproducible sharded corpus shuffle (8 shards). */
   def p3Shuffle(spark: SparkSession, dir: String): DataFrame =
     Corpus.shuffleShards(
@@ -269,6 +286,7 @@ object PipelineQ {
     "p8_domain_cap" -> (p8DomainCap _),
     "p1_hash_split" -> (p1HashSplit _),
     "p2_pack" -> (p2Pack _),
+    "p16_pack_spans" -> (p16PackSpans _),
     "p3_shuffle" -> (p3Shuffle _),
     "p4_mixture" -> (p4Mixture _),
     "p5_chunk" -> (p5Chunk _),
@@ -435,6 +453,33 @@ object PipelineQ {
                 WHEN CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // p16: p2's cum/chunk replay, then the per-pack base-offset min,
+    // order row_number and token-sum windows — all integer
+    "p16_pack_spans" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t),
+         p AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(floor((cum_tokens - n_tokens) / 1000) AS BIGINT) AS chunk_id,
+             cum_tokens - n_tokens AS sa
+           FROM c)
+         SELECT lang, chunk_id,
+           CAST(row_number() OVER (PARTITION BY lang, chunk_id
+             ORDER BY doc_id) AS INT) AS seq_idx,
+           doc_id,
+           CAST(sa - min(sa) OVER (PARTITION BY lang, chunk_id) AS BIGINT)
+             AS span_start,
+           CAST(n_tokens AS BIGINT) AS span_len,
+           CAST(sum(n_tokens) OVER (PARTITION BY lang, chunk_id) AS BIGINT)
+             AS pack_tokens
+         FROM p ORDER BY doc_id""",
     "p2_pack" ->
       """WITH t AS (
            SELECT doc_id, lang,

@@ -144,6 +144,29 @@ class Round13OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- p16 pack-span manifest ----
+
+  test("p16 spans tile each pack exactly: gapless, ordered, summing to pack_tokens") {
+    val got = SparkEntry.queries("p16_pack_spans")(spark, sf).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "chunk_id").orderBy("seq_idx")
+    val chk = got.withColumn("prev_end",
+      lag(col("span_start") + col("span_len"), 1, 0L).over(w))
+    assert(chk.filter(col("span_start") =!= col("prev_end")).count() == 0,
+      "a span does not start where its predecessor ends")
+    val last = got.groupBy("lang", "chunk_id", "pack_tokens")
+      .agg(max(col("span_start") + col("span_len")).as("end"))
+    assert(last.filter(col("end") =!= col("pack_tokens")).count() == 0,
+      "spans do not sum to the pack's token count")
+    // and the manifest agrees with p2's packing row-for-row
+    val p2 = SparkEntry.queries("p2_pack")(spark, sf)
+      .select(col("doc_id"), col("chunk_id").as("p2_chunk"))
+    assert(got.join(p2, "doc_id")
+      .filter(col("chunk_id") =!= col("p2_chunk")).count() == 0)
+    got.unpersist()
+    ()
+  }
+
   // ---- x27 result grouping ----
 
   test("x27 groups page by best-doc score; docs page within groups") {
