@@ -78,6 +78,34 @@ object Sources {
     } finally df.unpersist(false)
   }
 
+  /** JSONL shard export — the interchange format training corpora
+    * actually ship as (one JSON object per line, one directory per
+    * shard): every row serializes with `to_json` over all columns,
+    * lands under `shard=<id>/` via the text writer's partitionBy (so
+    * a consumer prunes shards at the path level exactly like the
+    * parquet sinks), and a `_manifest` parquet alongside records per
+    * shard row and byte totals — the completeness receipt a transfer
+    * job checks before deleting the source. Deterministic overwrite;
+    * read back with `spark.read.json(dir + "/shard=*")`. Payload
+    * bytes stream straight from the executors to the files — nothing
+    * collects, nothing extra shuffles beyond the caller's own shard
+    * partitioning. */
+  def writeJsonlShards(df: DataFrame, shardCol: String,
+      outDir: String): Unit = {
+    val lines = df.withColumn("__line",
+      to_json(struct(df.columns.filter(_ != shardCol).map(col): _*)))
+    lines.select(col(shardCol).as("shard"), col("__line"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .text(s"$outDir/data")
+    lines.groupBy(col(shardCol).as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        // +1 per row: the newline the text writer appends
+        (sum(length(col("__line")).cast("long")) + count(lit(1)))
+          .as("n_bytes"))
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+  }
+
   /** CSV report sink (reference: validate.py:77-99 writes the
     * invalid-record report with csv.DictWriter — header row, every
     * field quoted). The reference emits ONE artifact, so the default

@@ -71,4 +71,33 @@ class ExportSpec extends AnyFunSuite {
     back.unpersist(); docs.unpersist()
     ()
   }
+
+  test("JSONL shard export: round-trips, shard-pruned layout, manifest accounts bytes") {
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"), col("text"), col("lang"),
+        pmod(col("doc_id"), lit(4)).as("shard"))
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Sources.writeJsonlShards(docs, "shard", out)
+    // round-trip: every row back, columns intact
+    val back = spark.read.json(s"$out/data/shard=*").cache()
+    assert(back.count() == 100)
+    val orig = docs.select(col("doc_id"), col("text"), col("lang"))
+    assert(back.select("doc_id", "text", "lang").exceptAll(orig).isEmpty
+      && orig.exceptAll(back.select("doc_id", "text", "lang")).isEmpty)
+    // layout: one directory per shard, path-prunable
+    val shardDirs = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // manifest: per-shard rows match, bytes equal the on-disk data size
+    val man = spark.read.parquet(s"$out/_manifest").cache()
+    assert(man.agg(sum("n_rows")).head.getLong(0) == 100)
+    val diskBytes = shardDirs.map { d =>
+      new java.io.File(s"$out/data/$d").listFiles()
+        .filter(_.getName.endsWith(".txt")).map(_.length()).sum
+    }.sum
+    assert(man.agg(sum("n_bytes")).head.getLong(0) == diskBytes,
+      "manifest bytes disagree with the files on disk")
+    man.unpersist(); back.unpersist()
+    ()
+  }
 }
