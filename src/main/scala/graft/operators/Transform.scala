@@ -282,6 +282,15 @@ object Transform {
   final case class VAttributed(attrs: Seq[(String, XVal)], inner: XVal)
       extends XVal
 
+  /** Mixed content (the r13 widening): literal text interleaved with
+    * in-subset value-ofs inside one emitting element —
+    * `<coverage><xsl:value-of select="."/> (geographic)</coverage>`,
+    * the separator/suffix idiom real crosswalks lean on (xsl:text
+    * children parse to whitespace-exact constant parts). Renders as
+    * one `concat` in document order. Parts are scalar XVals only
+    * (VText/VNormText/VConst) — nesting stays refused. */
+  final case class VParts(parts: Seq[XVal]) extends XVal
+
   /** XPath `normalize-space`: collapse whitespace runs, trim. (Not
     * [[normalizeText]] — no lowercasing.) */
   def normalizeSpace(c: Column): Column =
@@ -299,6 +308,7 @@ object Transform {
     case VText => x
     case VNormText => normalizeSpace(x)
     case VConst(s) => lit(s)
+    case VParts(ps) => concat(ps.map(caseValue(x, _)): _*)
     case v: VSplit => throw new IllegalStateException(
       s"VSplit must be a dispatch's sole case, got mixed cases ($v)")
     case v: VAttributed => throw new IllegalStateException(
@@ -1087,41 +1097,68 @@ object Transform {
             "(subset: '.' and 'normalize-space(.)')")
       }
     }
+    // ordered mixed-content walk (the r13 VParts widening): literal
+    // text, xsl:text and in-subset value-ofs interleave in document
+    // order. Whitespace-only bare text nodes drop (XSLT 1.0 §3.4
+    // stylesheet stripping); xsl:text children keep their text
+    // VERBATIM including pure whitespace (that is xsl:text's
+    // purpose); nested elements refuse. xsl:attribute children are
+    // skipped here — withAttrs consumes them, with the order fence.
+    def parseContent(e: Element, what: String): XVal = {
+      val nl = e.getChildNodes
+      val parts = (0 until nl.getLength).map(nl.item).flatMap {
+        case el: Element if isXsl(el, "attribute") => None
+        case el: Element if isXsl(el, "value-of") => Some(parseValueOf(el))
+        case el: Element if isXsl(el, "text") =>
+          Some(VConst(el.getTextContent): XVal)
+        case el: Element => throw new IllegalArgumentException(
+          s"$what may hold only literal text, xsl:text and in-subset " +
+            s"value-ofs — got <${name(el)}>")
+        case t if (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
+            t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
+            t.getNodeValue.trim.nonEmpty =>
+          Some(VConst(t.getNodeValue): XVal)
+        case _ => None
+      }
+      parts match {
+        case Seq() => VConst("")
+        case Seq(one) => one
+        case many => VParts(many.toSeq)
+      }
+    }
     // xsl:attribute with a LITERAL name (the r13 widening, the
-    // aggregator_mdx identifier shape); value = constant text or an
-    // in-subset value-of — dynamic names / nested constructs refuse
+    // aggregator_mdx identifier shape); value = mixed in-subset
+    // content like any emitting element — dynamic names and nested
+    // constructs refuse
     def parseAttrEl(a: Element): (String, XVal) = {
       val n = a.getAttribute("name")
       require(n.nonEmpty && !n.contains("{"),
         s"xsl:attribute name must be literal, got '$n'")
-      elems(a) match {
-        case Seq(vo) if isXsl(vo, "value-of") => n -> parseValueOf(vo)
-        case Seq() => n -> VConst(a.getTextContent)
-        case _ => throw new IllegalArgumentException(
-          s"xsl:attribute '$n' must hold one value-of or only text")
-      }
+      require(!elems(a).exists(isXsl(_, "attribute")),
+        s"xsl:attribute '$n' may not nest another xsl:attribute")
+      n -> parseContent(a, s"xsl:attribute '$n'")
     }
-    // the element's DIRECT text with stylesheet whitespace stripping
-    // (whitespace-only text nodes drop, XSLT 1.0 §3.4) — getTextContent
-    // would wrongly swallow xsl:attribute children's text
-    def directText(e: Element): String = {
+    // split xsl:attribute children off an emitting element's body at
+    // the NODE level; any content (element, non-whitespace text,
+    // xsl:text) before an xsl:attribute is an XSLT error → refuse
+    def withAttrs(what: String, e: Element)(mkInner: () => XVal): XVal = {
       val nl = e.getChildNodes
-      (0 until nl.getLength).map(nl.item).filter { t =>
-        (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
-          t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
-          t.getNodeValue.trim.nonEmpty
-      }.map(_.getNodeValue).mkString
-    }
-    // split leading xsl:attribute children off an emitting element's
-    // body; attributes after content are an XSLT error → refuse
-    def withAttrs(what: String, kids: Seq[Element])(
-        mkInner: Seq[Element] => XVal): XVal = {
-      val (attrEls, rest) = kids.span(isXsl(_, "attribute"))
-      require(!rest.exists(isXsl(_, "attribute")),
-        s"$what: xsl:attribute must precede the element's content")
-      val inner = mkInner(rest)
+      var seenContent = false
+      val attrEls = scala.collection.mutable.ArrayBuffer[Element]()
+      (0 until nl.getLength).map(nl.item).foreach {
+        case el: Element if isXsl(el, "attribute") =>
+          require(!seenContent,
+            s"$what: xsl:attribute must precede the element's content")
+          attrEls += el
+        case _: Element => seenContent = true
+        case t if (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
+            t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
+            t.getNodeValue.trim.nonEmpty => seenContent = true
+        case _ => ()
+      }
+      val inner = mkInner()
       if (attrEls.isEmpty) inner
-      else VAttributed(attrEls.map(parseAttrEl), inner)
+      else VAttributed(attrEls.toSeq.map(parseAttrEl), inner)
     }
     // STATIC attributes written directly on a literal result element
     // (`<identifier type="local">`) — XSLT copies them to the output
@@ -1157,22 +1194,14 @@ object Transform {
         val n = e.getAttribute("name")
         require(n.nonEmpty && !n.contains("{"),
           s"xsl:element name must be literal, got '$n'")
-        n -> withAttrs(s"xsl:element '$n'", elems(e)) {
-          case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
-          case _ => throw new IllegalArgumentException(
-            s"xsl:element '$n' must hold exactly one value-of")
-        }
+        n -> withAttrs(s"xsl:element '$n'", e)(() =>
+          parseContent(e, s"xsl:element '$n'"))
       } else {
         require(e.getNamespaceURI != XslNs,
           s"unsupported xsl:${name(e)} as an emitting construct")
         outName(e) -> mergeStatics(staticAttrs(e),
-          withAttrs(s"<${outName(e)}>", elems(e)) {
-            case Seq(vo) if isXsl(vo, "value-of") => parseValueOf(vo)
-            case Seq() => VConst(directText(e))
-            case _ => throw new IllegalArgumentException(
-              s"literal element <${outName(e)}> must hold one value-of " +
-                "or only text")
-          })
+          withAttrs(s"<${outName(e)}>", e)(() =>
+            parseContent(e, s"<${outName(e)}>")))
       }
     // template body → ordered (name, guard atoms, value) emissions;
     // choose branches RECURSE (an xsl:if inside xsl:when — the

@@ -358,6 +358,49 @@ object Xml {
       .orderBy("doc_id")
   }
 
+  private val t11Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="2.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+      |    xmlns:dcterms="http://purl.org/dc/terms/"
+      |    xmlns:oai="http://www.openarchives.org/OAI/2.0/"
+      |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/">
+      |  <xsl:output method="xml" encoding="UTF-8"/>
+      |  <xsl:template match="text() | @*"/>
+      |  <xsl:template match="//oai:record[oai:header[@status='deleted']]/*"/>
+      |  <xsl:template match="//oai_dc:dc">
+      |    <record><xsl:apply-templates/></record>
+      |  </xsl:template>
+      |  <xsl:template match="dc:title">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <dcterms:title>Title: <xsl:value-of select="normalize-space(.)"/><xsl:text> [eng]</xsl:text></dcterms:title>
+      |    </xsl:if>
+      |  </xsl:template>
+      |  <xsl:template match="dc:type">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <dcterms:medium kind="genre"><xsl:value-of select="."/><xsl:text> / </xsl:text><xsl:value-of select="normalize-space(.)"/></dcterms:medium>
+      |    </xsl:if>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t11: MIXED CONTENT through the compiled path (the r13 VParts
+    * widening, end-to-end under the driver oracle): literal prefix
+    * text, an xsl:text suffix whose leading space only xsl:text can
+    * carry, and TWO value-ofs of the same node (raw `.` beside
+    * `normalize-space(.)`) interleaved with a literal separator —
+    * all inside one emission, one of them attributed with a static
+    * attribute. The oracle rebuilds every concat from the base
+    * columns, so the in-order part assembly is independently
+    * checked. Same plan as t10: one keep-filter + one codegen'd
+    * projection. */
+  def t11XsltMixed(spark: SparkSession, dir: String): DataFrame = {
+    val withXml = Tables.documents(spark, dir)
+      .select(col("doc_id"), oaiXml.as("xml"))
+    Transform.xsltSheetTransform(t11Stylesheet, "xml", Seq("doc_id"))(withXml)
+      .orderBy("doc_id")
+  }
+
   private val t8Stylesheet =
     """<?xml version="1.0" encoding="UTF-8"?>
       |<xsl:stylesheet version="2.0"
@@ -611,6 +654,7 @@ object Xml {
     "t7_xslt_choose" -> (t7XsltChoose _),
     "t8_apply_templates" -> (t8ApplyTemplates _),
     "t10_xslt_attr" -> (t10XsltAttr _),
+    "t11_xslt_mixed" -> (t11XsltMixed _),
     "t9_xslt_module" -> (t9XsltModule _),
     "v9_schematron" -> (v9Schematron _),
     "v13_sch_file" -> (v13SchFile _),
@@ -742,6 +786,35 @@ object Xml {
                 WHEN regexp_matches(ty, '(^text.*$)', 'i') THEN '"dcterms:type":[{"@conf":"high","#text":"Text"}]'
                 WHEN regexp_matches(ty, '(^image.*$)', 'i') THEN '"dcterms:type":[{"#text":"Image"}]'
                 ELSE '"dcterms:format":[{"@src":"dc:type","#text":"' || ty || '"}]' END
+           ) || '}' AS rec
+         FROM parts ORDER BY doc_id""",
+    // t11: every mixed-content concat rebuilt from the base columns
+    // (prefix text + normalized node + xsl:text suffix; raw '.' +
+    // literal separator + normalize-space(.) under a static attr)
+    "t11_xslt_mixed" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE 'Title: The '||source||' record [eng]' END AS t1,
+             CASE WHEN doc_id % 5 = 0 THEN
+               'Title: Vol. '||CAST(doc_id % 9 AS VARCHAR)||' of '||source||' [eng]'
+             END AS t2,
+             CASE CAST(doc_id % 6 AS INTEGER)
+               WHEN 0 THEN 'Text' WHEN 1 THEN 'image/jpeg'
+               WHEN 2 THEN 'Sound recording' WHEN 3 THEN 'moving image'
+               WHEN 4 THEN ' Text with leading space' ELSE '' END AS ty
+           FROM documents WHERE doc_id % 13 != 0),
+         parts AS (
+           SELECT doc_id, ty,
+             list_filter([t1, t2], x -> x IS NOT NULL) AS tl
+           FROM base)
+         SELECT doc_id, '{' || concat_ws(',',
+           CASE WHEN len(tl) = 0 THEN NULL
+                ELSE '"dcterms:title":["' || array_to_string(tl, '","') || '"]' END,
+           CASE WHEN ty = '' THEN NULL
+                ELSE '"dcterms:medium":[{"@kind":"genre","#text":"'
+                  || ty || ' / ' || trim(regexp_replace(ty, '\s+', ' ', 'g'))
+                  || '"}]' END
            ) || '}' AS rec
          FROM parts ORDER BY doc_id""",
     "t8_apply_templates" ->

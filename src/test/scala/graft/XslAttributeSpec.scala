@@ -153,6 +153,47 @@ class XslAttributeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("static attribute"), ex.getMessage)
   }
 
+  test("MIXED content: literal text, xsl:text and value-ofs interleave in order") {
+    def sheetWith(titleEl: String): String =
+      s"""<?xml version="1.0"?>
+         |<xsl:stylesheet xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+         |    xmlns:dc="http://purl.org/dc/elements/1.1/"
+         |    xmlns:oai_dc="http://www.openarchives.org/OAI/2.0/oai_dc/"
+         |    version="2.0">
+         |  <xsl:template match="text() | @*"/>
+         |  <xsl:template match="//oai_dc:dc"><record><xsl:apply-templates /></record></xsl:template>
+         |  <xsl:template match="dc:title">$titleEl</xsl:template>
+         |</xsl:stylesheet>""".stripMargin
+    def wire(src: String): String = {
+      val sheet = compileXsltSheet(src)
+      frame(recA).filter(sheet.keep(col("xml")))
+        .select(sheet.outputXml(col("xml")).as("rec")).head.getString(0)
+    }
+    // prefix text + normalized value + xsl:text suffix (whose leading
+    // space only xsl:text can carry through stylesheet stripping)
+    val w1 = wire(sheetWith(
+      """<t>Title: <xsl:value-of select="normalize-space(.)"/><xsl:text> [eng]</xsl:text></t>"""))
+    assert(w1.contains("<t>Title: A Tale [eng]</t>"), s"mixed parts wrong: $w1")
+    // two value-ofs of the same node around a literal separator,
+    // under a static attribute
+    val w2 = wire(sheetWith(
+      """<t kind="genre"><xsl:value-of select="."/><xsl:text> / </xsl:text><xsl:value-of select="normalize-space(.)"/></t>"""))
+    assert(w2.contains("""<t kind="genre">  A   Tale  / A Tale</t>"""),
+      s"raw+norm mix wrong: $w2")
+    // a pure-whitespace bare text node still drops; xsl:text keeps it
+    val w3 = wire(sheetWith(
+      """<t><xsl:value-of select="normalize-space(.)"/> <xsl:value-of select="normalize-space(.)"/></t>"""))
+    assert(w3.contains("<t>A TaleA Tale</t>"),
+      s"bare whitespace between value-ofs must strip: $w3")
+    val w4 = wire(sheetWith(
+      """<t><xsl:value-of select="normalize-space(.)"/><xsl:text> </xsl:text><xsl:value-of select="normalize-space(.)"/></t>"""))
+    assert(w4.contains("<t>A Tale A Tale</t>"),
+      s"xsl:text whitespace must survive: $w4")
+    // nested literal elements inside an emission still refuse
+    intercept[IllegalArgumentException](compileXsltSheet(sheetWith(
+      """<t>Title: <b><xsl:value-of select="."/></b></t>""")))
+  }
+
   test("still refused: dynamic names, misplaced/nested attributes, merged-output attrs") {
     def sheetWith(body: String, extra: String = ""): String =
       s"""<?xml version="1.0"?>
