@@ -68,6 +68,38 @@ object Harvest {
       .select(col("key"), col("d").as("missing_day"))
   }
 
+  /** Incremental-harvest window planner — the from/until date slicing
+    * the reference's scheduler side computes around every OAI run
+    * (harvest.py's harvest_oai takes from/until bounds; the DAG
+    * derives them from the last successful run), expressed as a
+    * data-plane operator over per-feed state: each feed's
+    * [lo, hi) resume span is cut into consecutive `widthDays`-day
+    * [from, until) slices, the LAST slice clipped at hi (OAI
+    * endpoints throttle long ranges — bounded windows are how a
+    * re-harvest resumes politely and retries stay small). A feed
+    * with an empty span still plans one zero-length window (the
+    * "harvest today" run that discovers nothing new). All date/int
+    * arithmetic — `ceil` via integer (span + w − 1) DIV w, so the
+    * plan replays in any engine. Scale: the per-feed explode is
+    * calendar-bounded (O(span/width) rows per feed), never
+    * corpus-sized — the state frame IS the tiny side. */
+  def harvestWindows(state: DataFrame, keyCol: Column, loCol: Column,
+      hiCol: Column, widthDays: Int): DataFrame =
+    state
+      .select(keyCol.as("key"), loCol.as("lo"), hiCol.as("hi"))
+      .withColumn("n_win",
+        greatest(expr(s"(datediff(hi, lo) + $widthDays - 1) DIV $widthDays"),
+          lit(1L)))
+      .select(col("key"), col("lo"), col("hi"),
+        posexplode(sequence(lit(0L), col("n_win") - 1)).as(Seq("i", "w")))
+      .select(col("key"), col("i").cast("int").as("win_idx"),
+        date_add(col("lo"), (col("w") * widthDays).cast("int"))
+          .as("from_date"),
+        least(date_add(col("lo"), ((col("w") + 1) * widthDays).cast("int")),
+          col("hi")).as("until_date"))
+      .withColumn("n_days",
+        datediff(col("until_date"), col("from_date")).cast("long"))
+
   /** records_per_file batching (reference: harvest.py:185-208): the
     * reference counts records and cuts a new output file every
     * `recordsPerFile`. Here: deterministic file index per group via

@@ -63,6 +63,24 @@ object Etl {
         col("event_type"), col("ts"))
       .orderBy("key", "missing_day")
 
+  /** h10: the incremental-harvest window PLAN — each feed's resume
+    * span (min→max event date plays the last-success→now state) cut
+    * into 7-day [from, until) slices, the last clipped (the OAI
+    * from/until slicing the reference's DAG computes around
+    * harvest_oai; bounded ranges are how a resume stays polite and
+    * retries stay small). Integer-ceil window counts; every feed's
+    * span exceeds one width AND ends off-boundary at every SF, so
+    * both the full-window and the clipped-final branches are
+    * oracle-live. */
+  def h10HarvestWindows(spark: SparkSession, dir: String): DataFrame = {
+    val state = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("key"))
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    Harvest.harvestWindows(state, col("key"), col("lo"), col("hi"),
+        widthDays = 7)
+      .orderBy("key", "win_idx")
+  }
+
   def h5BatchAssign(spark: SparkSession, dir: String): DataFrame =
     Harvest.batchAssign(
         Harvest.flagDeleted(Tables.events(spark, dir), col("event_type"), deletedStatus),
@@ -728,6 +746,7 @@ object Etl {
     "v7_volume_anomaly" -> (v7VolumeAnomaly _),
     "h8_harvest_diff" -> (h8HarvestDiff _),
     "h9_missing_days" -> (h9MissingDays _),
+    "h10_harvest_windows" -> (h10HarvestWindows _),
     "x5_inverted" -> (x5Inverted _),
     "x4_apply_changes" -> (x4ApplyChanges _),
     "h1_partition_status" -> (h1PartitionStatus _),
@@ -893,6 +912,22 @@ object Etl {
            CAST(floor((cum_bytes - bytes) / 20000) AS BIGINT) AS group_id
          FROM c ORDER BY part_key, file_id""",
     // h9: the calendar re-derived with generate_series; the same
+    // h10: span → integer-ceil window count → date arithmetic per
+    // slice, the clipped last window via least()
+    "h10_harvest_windows" ->
+      """WITH s AS (
+           SELECT event_type AS key,
+             min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+           FROM events GROUP BY 1),
+         n AS (SELECT key, lo, hi,
+             greatest(((hi - lo) + 6) // 7, 1) AS n_win FROM s),
+         w AS (SELECT key, lo, hi, unnest(range(0, n_win)) AS w FROM n)
+         SELECT key, CAST(w AS INT) AS win_idx,
+           lo + CAST(w * 7 AS INT) AS from_date,
+           least(lo + CAST((w + 1) * 7 AS INT), hi) AS until_date,
+           CAST(least(lo + CAST((w + 1) * 7 AS INT), hi)
+             - (lo + CAST(w * 7 AS INT)) AS BIGINT) AS n_days
+         FROM w ORDER BY key, win_idx""",
     // planted day-of-month gaps come back as the missing set
     "h9_missing_days" ->
       """WITH e AS (

@@ -144,6 +144,40 @@ class Round13OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  // ---- h10 harvest window plan ----
+
+  test("h10 windows tile each feed's span: contiguous, 7-day, clipped last") {
+    val got = SparkEntry.queries("h10_harvest_windows")(spark, sf).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("win_idx")
+    val chk = got.withColumn("prev_until", lag("until_date", 1).over(w))
+    assert(chk.filter(col("prev_until").isNotNull &&
+      col("from_date") =!= col("prev_until")).count() == 0,
+      "a window does not start where its predecessor ended")
+    // every window is exactly 7 days except a shorter clipped last
+    val lastIdx = got.groupBy("key").agg(max("win_idx").as("last"))
+    val j = got.join(lastIdx, "key")
+    assert(j.filter(col("win_idx") < col("last") && col("n_days") =!= 7)
+      .count() == 0)
+    assert(j.filter(col("n_days") <= 0 || col("n_days") > 7).count() == 0)
+    // the clip branch is live: some feed's final window is short
+    assert(j.filter(col("win_idx") === col("last") && col("n_days") < 7)
+      .count() > 0)
+    got.unpersist()
+    ()
+  }
+
+  test("h10 zero-span state still plans one zero-length window") {
+    import spark.implicits._
+    val state = Seq(("feedA", "2024-01-01", "2024-01-01"))
+      .toDF("key", "lo", "hi")
+      .select(col("key"), to_date(col("lo")).as("lo"), to_date(col("hi")).as("hi"))
+    val got = graft.operators.Harvest.harvestWindows(
+      state, col("key"), col("lo"), col("hi"), widthDays = 7).collect()
+    assert(got.length == 1 && got(0).getLong(4) == 0L,
+      "an empty resume span must plan exactly one zero-length run")
+  }
+
   // ---- p16 pack-span manifest ----
 
   test("p16 spans tile each pack exactly: gapless, ordered, summing to pack_tokens") {
