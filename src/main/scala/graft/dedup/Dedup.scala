@@ -516,14 +516,16 @@ object Dedup {
     *
     * Scale shape: one map-side chunk fan-out feeds (a) the
     * chunk-keyed occurrence count (shuffle 1, map-side partial) and
-    * (b) the rewrite join; the hot set (occ ≥ minOcc) is small by
-    * construction (it IS the boilerplate) so it broadcasts back onto
-    * the exploded stream, and the reassembly is one doc-keyed
-    * aggregation (shuffle 2). Linear in corpus tokens, nothing
-    * pairwise, no driver-side data. If a corpus ever makes the hot
-    * set large, the broadcast degrades to the same shuffled equi-join
-    * Spark picks automatically past the broadcast threshold — the
-    * plan stays candidate-bounded either way. */
+    * (b) the rewrite join; the hot set (occ ≥ minOcc) is usually
+    * small (it IS the boilerplate) and Spark/AQE broadcasts it back
+    * onto the exploded stream when runtime stats say it fits — the
+    * join carries NO broadcast hint (a hint is honored past the
+    * threshold and would OOM on a web-scale hot set, where every
+    * common n-gram chunk qualifies, not just planted headers), so a
+    * corpus-proportional hot set genuinely degrades to the shuffled
+    * equi-join (Round14OpsSpec pins the fallback engaging). The
+    * reassembly is one doc-keyed aggregation (shuffle 2). Linear in
+    * corpus tokens, nothing pairwise, no driver-side data. */
   def boilerplateStrip(docs: DataFrame, width: Int = 3,
       minOcc: Long = 3L): DataFrame = {
     val ex = docChunks(docs, width)
@@ -555,15 +557,115 @@ object Dedup {
   }
 
   /** The d25 rewrite: strike every chunk in `hot` (chunk, hot=true)
-    * from the fan-out `ex` and reassemble per doc — the hot set is
-    * the boilerplate, small by construction, so it broadcasts. */
+    * from the fan-out `ex` and reassemble per doc. Deliberately NO
+    * broadcast hint: the hot set is corpus-proportional in the worst
+    * case (at web scale every common trigram chunk clears an
+    * absolute occ cut), and a hint is honored past
+    * autoBroadcastJoinThreshold — Spark would build it in memory
+    * until the 8 GB/driver wall instead of degrading. Left unhinted,
+    * AQE broadcasts the usual tiny hot set from runtime stats and
+    * falls back to the shuffled equi-join when it does not fit
+    * (Round14OpsSpec proves both: the AQE broadcast on a tiny hot set + the engaged
+    * fallback). [[graft.streaming.BoilerplateStream]] inherits this
+    * posture through the shared operator. */
   def stripAgainstHot(ex: DataFrame, hot: DataFrame): DataFrame =
-    ex.join(broadcast(hot), Seq("chunk"), "left")
+    ex.join(hot, Seq("chunk"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("hot").isNotNull.cast("long")).as("n_removed"),
         array_join(transform(array_sort(collect_list(
             when(col("hot").isNull, struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+
+  /** Positional k-token-gram hashes in DOCUMENT ORDER, k generic —
+    * the anchor stream of [[exactSubstringSpans]]. Same
+    * normalization (lower + whitespace collapse) and 32-bit seeded
+    * hash as the 3-shingle family, so the oracle mirrors the exact
+    * formula (hash collisions replay identically — the d10 rule). A
+    * doc shorter than k tokens emits NO anchors: it cannot contain a
+    * ≥ k-token duplicate. JVM UDF by the measured heavy-per-element
+    * decision (Dedup.scala:51-58). */
+  private val positionalKgramsUdf = udf((text: String, k: Int) => {
+    val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
+    val tks = wsPattern.split(norm)
+    val n = tks.length - k + 1
+    if (n <= 0) Array.empty[Long]
+    else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val sb = new StringBuilder(tks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(tks(i + j)); j += 1 }
+        out(i) = h32jvm(0, sb.toString)
+        i += 1
+      }
+      out
+    }
+  })
+
+  def positionalHashedKgrams(text: Column, k: Int): Column =
+    positionalKgramsUdf(text, lit(k))
+
+  /** Exact-substring duplicate SPANS (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * suffix-array rung, re-expressed shingle-anchored): a token
+    * position is COVERED iff its k-token gram occurs ≥ 2 times
+    * corpus-wide (cross-doc or within-doc — the suffix array makes
+    * no distinction either); maximal runs of consecutive covered
+    * positions are duplicate spans of token length run + k − 1, and
+    * spans ≥ `minLen` tokens are reported as (doc_id, span_start,
+    * span_len). Unlike d13's FIXED non-overlapping windows this
+    * catches UNALIGNED duplicates — a shared run offset by half a
+    * window anchors at every interior position regardless of any
+    * grid (Round14OpsSpec plants exactly that miss).
+    *
+    * Scale shape: O(tokens) anchor fan-out; one g-keyed occurrence
+    * count (map-side partial — 8-byte keys); the covered-set join is
+    * an UN-HINTED equi-join (the dup-gram set is corpus-proportional
+    * on a crawl — the d25 lesson, AQE picks broadcast only when it
+    * fits); islands are one per-doc window (bounded per key). Never
+    * pairwise, no driver-side data. */
+  def exactSubstringSpans(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"),
+        positionalHashedKgrams(col("text"), k).as("gs"))
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val dup = ex.groupBy("g").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("g")
+    val covered = ex.join(dup, Seq("g")).select("doc_id", "pos")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Within-document repetition REWRITE (d27) — the intra-doc
+    * complement of [[boilerplateStrip]]: ta17 only MEASURES the
+    * Gopher repetition signals, and d25's hot set is corpus-level;
+    * this strikes repeated chunks INSIDE each document (a chunk's
+    * first occurrence survives, every later occurrence is dropped)
+    * and reassembles the text in token order. Chunking is the same
+    * [[docChunks]] grid as d25, so the two rewrites compose without
+    * drifting on the chunk definition.
+    *
+    * Scale shape: NO corpus-wide state at all — one (doc_id, chunk)
+    * keyed aggregate (map-side partial) then one doc-keyed
+    * reassembly; both shuffles bounded per document. The
+    * embarrassing-parallel end of the dedup ladder. */
+  def stripInternalRepeats(docs: DataFrame, width: Int = 3): DataFrame =
+    docChunks(docs, width)
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min("pos").as("pos"), count(lit(1)).as("occ"))
+      .groupBy("doc_id")
+      .agg(sum("occ").as("n_chunks"),
+        sum(col("occ") - 1).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("chunk")))),
           s => s.getField("chunk")), " ").as("clean_text"))
 
   /** Fuzzy name matching by edit distance: candidates block on a

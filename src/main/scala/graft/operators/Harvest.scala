@@ -82,7 +82,17 @@ object Harvest {
     * arithmetic — `ceil` via integer (span + w − 1) DIV w, so the
     * plan replays in any engine. Scale: the per-feed explode is
     * calendar-bounded (O(span/width) rows per feed), never
-    * corpus-sized — the state frame IS the tiny side. */
+    * corpus-sized — the state frame IS the tiny side.
+    *
+    * BOUNDS CONTRACT: windows are HALF-OPEN [from, until) day slices
+    * — window N's until_date equals window N+1's from_date, the
+    * natural form for composing with [[dateWindow]]-style `>= from
+    * AND < until` predicates. OAI-PMH itself treats BOTH from and
+    * until as INCLUSIVE at datestamp granularity, so feeding these
+    * columns verbatim to a ListRecords request double-harvests every
+    * boundary day (and the zero-length from==until plan row requests
+    * a full day). Convert with [[oaiInclusiveBounds]] before handing
+    * a window to an OAI endpoint. */
   def harvestWindows(state: DataFrame, keyCol: Column, loCol: Column,
       hiCol: Column, widthDays: Int): DataFrame =
     state
@@ -99,6 +109,22 @@ object Harvest {
           col("hi")).as("until_date"))
       .withColumn("n_days",
         datediff(col("until_date"), col("from_date")).cast("long"))
+
+  /** Convert a [[harvestWindows]] plan's half-open [from, until) day
+    * slices to the INCLUSIVE [oai_from, oai_until] bounds OAI-PMH
+    * ListRecords expects (both ends inclusive at datestamp
+    * granularity — harvest.py:29-33 passes them verbatim into the
+    * request): a non-empty window's oai_until is until_date minus one
+    * day, so consecutive windows touch but never overlap (no
+    * boundary-day double-harvest); the zero-length from==until
+    * "harvest today" row maps to the single-day request
+    * [from, from]. Map-only; original plan columns carried through. */
+  def oaiInclusiveBounds(windows: DataFrame): DataFrame =
+    windows
+      .withColumn("oai_from", col("from_date"))
+      .withColumn("oai_until",
+        when(col("n_days") > 0, date_sub(col("until_date"), 1))
+          .otherwise(col("from_date")))
 
   /** records_per_file batching (reference: harvest.py:185-208): the
     * reference counts records and cuts a new output file every

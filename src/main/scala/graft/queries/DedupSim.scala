@@ -174,6 +174,56 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** d26: exact-substring duplicate spans (the Lee et al. 2022
+    * suffix-array rung, shingle-anchored) — the UNALIGNED-duplicate
+    * detector d13's fixed 20-token window grid provably misses. The
+    * corpus plants its own positives (the d24 synthesis pattern):
+    * every %10 doc gets a twin (doc_id + 3000000) carrying three
+    * vocab-disjoint unique tokens then tokens 8..47 of the original —
+    * a 40-token verbatim copy starting at offset 7, half a d13
+    * window off the grid, so no 20-token aligned passage matches but
+    * every interior 10-gram anchors. Expected spans: start 3/len 40
+    * in the twin, start 7/len 40 in the original (clipped on short
+    * docs; natural repeats extend spans identically in both engines —
+    * the oracle replays the same h32 anchor hashing, so even hash
+    * collisions replay). ALL-INTEGER output. */
+  def d26SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("zq"), col("doc_id")),
+          concat(lit("zr"), col("doc_id")),
+          concat(lit("zs"), col("doc_id")),
+          array_join(slice(split(trim(col("text")), "\\s+"), 8, 40), " "))
+          .as("text"))
+    Dedup.exactSubstringSpans(docs.unionByName(planted), k = 10, minLen = 20)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** d27: within-doc repetition rewrite — the intra-document
+    * complement of d25 (ta17 measures the Gopher repetition signals;
+    * this STRIPS them): repeated width-3 chunks inside one document
+    * keep their first occurrence, later occurrences drop, text
+    * reassembles in token order. Planted positives: every %7 doc is
+    * prefixed with its own first six tokens, so the body's first two
+    * grid chunks repeat the prefix chunks exactly (prepending keeps
+    * the 3-token grid aligned — appending would straddle the
+    * trailing partial chunk); every other doc is the
+    * nothing-removed branch. The cleaned STRING is hash-compared
+    * (the ta8/d25 posture). */
+  def d27InternalRepeats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 6), " "),
+            lit(" "), trim(col("text"))))
+          .otherwise(col("text")).as("text"))
+    Dedup.stripInternalRepeats(docs, width = 3)
+      .orderBy("doc_id")
+  }
+
   /** d8: the full dedup decision — MinHash-LSH pairs (the d3
     * pipeline) → connected components → every document labeled with
     * its cluster's canonical (minimum) id; `is_canonical` marks the
@@ -608,9 +658,15 @@ object DedupSim {
         Vectors.toDouble(col("embedding")).as("v"))
     val langs = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), col("lang"))
-    val corpus = e.filter(col("id") >= 10).join(langs, "id")
+    // LEFT join: the centroid base must be the FULL >= 10 embedding
+    // corpus regardless of documents coverage (the oracle builds
+    // centroids from all vec_id >= 10) — an inner join would silently
+    // drop doc-less vectors from centroid construction, a
+    // data-dependent divergence the fixture's 1:1 coverage hides.
+    val corpus = e.filter(col("id") >= 10)
+      .join(langs, Seq("id"), "left")
       .select(col("id"), col("v"), col("label"),
-        (col("lang") === "en").as("keep"))
+        coalesce(col("lang") === "en", lit(false)).as("keep"))
     graft.similarity.Ivf.searchFiltered(
         e.filter(col("id") < 10).select("id", "v"), corpus,
         listKey = "label", keepCol = "keep",
@@ -789,6 +845,8 @@ object DedupSim {
     "d1_exact" -> (d1Exact _),
     "d24_url_dedup" -> (d24UrlDedup _),
     "d25_boilerplate" -> (d25BoilerplateStrip _),
+    "d26_substring_spans" -> (d26SubstringSpans _),
+    "d27_internal_repeats" -> (d27InternalRepeats _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d14_containment" -> (d14Containment _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -973,6 +1031,63 @@ object DedupSim {
                list_filter(chunks, c -> NOT list_contains(hs, c)), ' '), '')
              AS clean_text
          FROM ch, hot ORDER BY doc_id""",
+    // d26: the anchor hashing is the SAME h32 formula both engines
+    // (the d10 rule — even collisions replay); covered positions →
+    // islands by the pos − row_number() trick; spans as integer
+    // (start, len)
+    "d26_substring_spans" ->
+      s"""WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+             concat('zq', doc_id, ' zr', doc_id, ' zs', doc_id, ' ',
+               array_to_string(list_slice(
+                 regexp_split_to_array(trim(text), '\\s+'), 8, 47), ' '))
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tks
+           FROM base),
+         p AS (SELECT doc_id, unnest(range(1, greatest(len(tks) - 9, 0) + 1)) AS i, tks
+           FROM t),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ${h32sql(0, "array_to_string(tks[i:i+9], ' ')")} AS gh
+           FROM p),
+         dup AS (SELECT gh FROM (
+             SELECT gh, count(*) AS c FROM g GROUP BY 1) WHERE c >= 2),
+         cov AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+         isl AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM cov)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_len
+         FROM isl GROUP BY doc_id, grp
+         HAVING max(pos) - min(pos) + 10 >= 20
+         ORDER BY doc_id, span_start""",
+    // d27: same docChunks grid as d25; first occurrence per
+    // (doc, chunk) kept by min(pos), reassembly ordered by pos
+    "d27_internal_repeats" ->
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               concat(array_to_string(list_slice(
+                   regexp_split_to_array(trim(text), '\s+'), 1, 6), ' '),
+                 ' ', trim(text))
+             ELSE text END AS text
+           FROM documents),
+         toks AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS tks FROM base),
+         ch AS (SELECT doc_id, list_transform(range(0, ((len(tks) - 1) // 3) + 1),
+             i -> array_to_string(tks[3*i+1:3*i+3], ' ')) AS chunks
+           FROM toks),
+         e AS (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, chunks FROM ch),
+         e2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             chunks[CAST(pos + 1 AS INT)] AS chunk FROM e),
+         k AS (SELECT doc_id, chunk, min(pos) AS pos, count(*) AS occ
+           FROM e2 GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_chunks,
+           CAST(sum(occ - 1) AS BIGINT) AS n_removed,
+           coalesce(string_agg(chunk, ' ' ORDER BY pos), '') AS clean_text
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     // d24: the oracle states each crawl-variant shape's EXPECTED
     // canonical form directly (independent ground truth — the r6
     // pattern), then groups; the Spark side must reach the same

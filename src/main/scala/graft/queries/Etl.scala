@@ -71,13 +71,20 @@ object Etl {
     * retries stay small). Integer-ceil window counts; every feed's
     * span exceeds one width AND ends off-boundary at every SF, so
     * both the full-window and the clipped-final branches are
-    * oracle-live. */
+    * oracle-live. r14: the plan runs through
+    * [[Harvest.oaiInclusiveBounds]] so the INCLUSIVE [oai_from,
+    * oai_until] day bounds an OAI ListRecords request actually takes
+    * (until_date − 1 day — no boundary-day double-harvest) are
+    * oracled too; the zero-span "harvest today" single-day mapping is
+    * spec-pinned (Round13OpsSpec) since every fixture span is
+    * non-empty. */
   def h10HarvestWindows(spark: SparkSession, dir: String): DataFrame = {
     val state = Tables.events(spark, dir)
       .groupBy(col("event_type").as("key"))
       .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
-    Harvest.harvestWindows(state, col("key"), col("lo"), col("hi"),
-        widthDays = 7)
+    Harvest.oaiInclusiveBounds(
+        Harvest.harvestWindows(state, col("key"), col("lo"), col("hi"),
+          widthDays = 7))
       .orderBy("key", "win_idx")
   }
 
@@ -913,7 +920,9 @@ object Etl {
          FROM c ORDER BY part_key, file_id""",
     // h9: the calendar re-derived with generate_series; the same
     // h10: span → integer-ceil window count → date arithmetic per
-    // slice, the clipped last window via least()
+    // slice, the clipped last window via least(); inclusive OAI
+    // bounds re-derived as until − 1 day (single-day for a
+    // zero-length plan row — oracle-dead here, spec-pinned)
     "h10_harvest_windows" ->
       """WITH s AS (
            SELECT event_type AS key,
@@ -921,13 +930,18 @@ object Etl {
            FROM events GROUP BY 1),
          n AS (SELECT key, lo, hi,
              greatest(((hi - lo) + 6) // 7, 1) AS n_win FROM s),
-         w AS (SELECT key, lo, hi, unnest(range(0, n_win)) AS w FROM n)
-         SELECT key, CAST(w AS INT) AS win_idx,
-           lo + CAST(w * 7 AS INT) AS from_date,
-           least(lo + CAST((w + 1) * 7 AS INT), hi) AS until_date,
-           CAST(least(lo + CAST((w + 1) * 7 AS INT), hi)
-             - (lo + CAST(w * 7 AS INT)) AS BIGINT) AS n_days
-         FROM w ORDER BY key, win_idx""",
+         w AS (SELECT key, lo, hi, unnest(range(0, n_win)) AS w FROM n),
+         p AS (SELECT key, CAST(w AS INT) AS win_idx,
+             lo + CAST(w * 7 AS INT) AS from_date,
+             least(lo + CAST((w + 1) * 7 AS INT), hi) AS until_date,
+             CAST(least(lo + CAST((w + 1) * 7 AS INT), hi)
+               - (lo + CAST(w * 7 AS INT)) AS BIGINT) AS n_days
+           FROM w)
+         SELECT key, win_idx, from_date, until_date, n_days,
+           from_date AS oai_from,
+           CASE WHEN n_days > 0 THEN until_date - 1
+                ELSE from_date END AS oai_until
+         FROM p ORDER BY key, win_idx""",
     // planted day-of-month gaps come back as the missing set
     "h9_missing_days" ->
       """WITH e AS (

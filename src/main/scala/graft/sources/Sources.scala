@@ -100,8 +100,11 @@ object Sources {
       .text(s"$outDir/data")
     lines.groupBy(col(shardCol).as("shard"))
       .agg(count(lit(1)).as("n_rows"),
-        // +1 per row: the newline the text writer appends
-        (sum(length(col("__line")).cast("long")) + count(lit(1)))
+        // octet_length, not length: to_json emits raw multi-byte
+        // UTF-8, so character count under-bills every non-ASCII row
+        // and the transfer job would delete a source it hasn't fully
+        // copied. +1 per row: the newline the text writer appends.
+        (sum(octet_length(col("__line")).cast("long")) + count(lit(1)))
           .as("n_bytes"))
       .write.mode("overwrite").parquet(s"$outDir/_manifest")
   }

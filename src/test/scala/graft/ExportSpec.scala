@@ -100,4 +100,32 @@ class ExportSpec extends AnyFunSuite {
     man.unpersist(); back.unpersist()
     ()
   }
+
+  test("JSONL manifest bills OCTETS, not characters, on non-ASCII rows") {
+    import spark.implicits._
+    // curly quotes, accents, CJK, an emoji — every row multi-byte in
+    // UTF-8, so a character-count manifest would under-bill and the
+    // transfer job would delete a source it hasn't fully copied
+    // (ADVICE r13: length() vs octet_length()).
+    val docs = Seq(
+      (1L, "Jiří “devo-265” • résumé", 0),
+      (2L, "東京都 ümläut 😀", 1),
+      (3L, "plain ascii line", 0)).toDF("doc_id", "text", "shard")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_u8").toString
+    Sources.writeJsonlShards(docs, "shard", out)
+    val man = spark.read.parquet(s"$out/_manifest")
+    val diskBytes = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".txt")).map(_.length()).sum
+    val billed = man.agg(sum("n_bytes")).head.getLong(0)
+    assert(billed == diskBytes,
+      s"manifest billed $billed, files hold $diskBytes")
+    // and the character count genuinely differs here — the test would
+    // not regress silently if the fixture lost its multi-byte rows
+    val chars = docs.select(col("shard"),
+      to_json(struct(col("doc_id"), col("text"))).as("l"))
+      .agg(sum(length(col("l")))).head.getLong(0) + 3
+    assert(chars < diskBytes, "fixture must be multi-byte to bite")
+    ()
+  }
 }
