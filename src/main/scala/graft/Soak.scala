@@ -258,6 +258,117 @@ object Soak {
       capCorpus, col("source"), col("text"), width = 20, stride = 20,
       maxDf = Some(2 * nReplicas)).count())
 
+    // --- d26 exact-substring spans at 10× (r13 verdict item 4's
+    // soak cell): replicas are char-shifted copies of one base, so
+    // most anchor positions are covered corpus-wide — the WORST case
+    // for the covered-set join volume (O(corpus positions), the
+    // linear ceiling) and for per-doc island windows. Cost must
+    // track corpus tokens, never pairs.
+    val (tSubstr, nSubstr) = time(dedup.Dedup.exactSubstringSpans(
+      corpus, k = 10, minLen = 20).count())
+
+    // --- d27 within-doc repeats at 10×: the zero-corpus-state
+    // rewrite — both shuffles bounded per doc; the receipt is the
+    // flat linear wall next to d26's corpus-keyed shape.
+    val (tIntRep, nIntRep) = time(dedup.Dedup.stripInternalRepeats(corpus, 3)
+      .agg(sum("n_removed")).head.getLong(0))
+
+    // --- d25 hot-set GROWTH curve (r13 verdict: the broadcast-hint
+    // removal needs the hot set's corpus-proportionality measured,
+    // not asserted): |{chunk : occ ≥ 3}| at 1×/10×/30× replicas.
+    // The char-shift perturbation re-aligns every replica's chunk
+    // grid, so replicas don't trivially triple each base chunk — the
+    // growth that shows (17k → 29k → 39k measured r14) is natural
+    // trigram mass crossing the ABSOLUTE occ ≥ 3 cut as the corpus
+    // grows, i.e. monotone corpus-proportionality: exactly the curve
+    // that makes an explicit broadcast hint a driver-OOM at web
+    // scale (and why r14 removed it).
+    def hotSetCount(nRep: Int): Long = {
+      val c =
+        if (nRep == nReplicas) corpus
+        else (0 until nRep).map { i =>
+          base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            substring(col("text"), (i % 40) + 1, Int.MaxValue).as("text"))
+        }.reduce(_ unionByName _)
+      dedup.Dedup.docChunks(c, 3)
+        .groupBy("chunk").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 3L).count()
+    }
+    val hot1 = hotSetCount(1)
+    val hot10 = hotSetCount(nReplicas)
+    val hot30 = hotSetCount(30)
+
+    // --- skew-join soak (r13 verdict item 3): Skew.saltedJoin on a
+    // measured path. Zipfian key: half the 4M-row big side lands on
+    // ONE key; broadcast is disabled so the join genuinely shuffles
+    // on the hot key. Three cells: AQE skew-split ON (the default
+    // posture, thresholds lowered so the 2M-row hot partition
+    // clears the split bar), plain shuffle with AQE skew OFF (the
+    // serialized hot partition), and Skew.saltedJoin with AQE skew
+    // OFF (the manual spread). Receipt: identical row counts, and
+    // max task duration plain >> salted (the serialization the salt
+    // exists to break).
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
+    val skewListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskInfo != null) {
+          val d = te.taskInfo.duration
+          maxTask.getAndUpdate(m => math.max(m, d)); ()
+        }
+      }
+    }
+    // wide rows make the hot partition's sort/stream cost REAL: the
+    // serialized task handles 4M × ~90 B ≈ 360 MB while every other
+    // key carries ~1.6k rows — the histogram a plain shuffle join
+    // cannot spread (measured r14 first cut: 4M narrow longs sorted
+    // in ~0.8 s on the hot task, too light to show the effect)
+    val bigN = 8000000L
+    val skewBig = spark.range(bigN).select(
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(col("id"), lit(5000L))).as("k"),
+      concat(lit("payload-block-"), col("id"),
+        lit("-abcdefghijklmnopqrstuvwxyz0123456789-"),
+        pmod(col("id"), lit(997L))).as("payload"))
+    val skewSmall = spark.range(5000L)
+      .select(col("id").as("k2"), (col("id") * 7L).as("w"))
+    def skewCell(skewJoinOn: Boolean)(
+        frame: => org.apache.spark.sql.DataFrame): (Double, Long, Long) = {
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_)))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoinOn.toString)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      try {
+        spark.sparkContext.addSparkListener(skewListener)
+        maxTask.set(0L)
+        val (t, n) = time(frame.agg(
+          sum(length(col("payload")) * col("w")).cast("long"),
+          count(lit(1))).head.getLong(1))
+        // listener events drain async — settle before reading
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(skewListener)
+        (t, n, maxTask.get())
+      } finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    }
+    val plainJoin = skewBig.join(skewSmall, col("k") === col("k2"))
+    val (tSkewAqe, nSkewAqe, _) = skewCell(skewJoinOn = true)(plainJoin)
+    val (tSkewPlain, nSkewPlain, mtPlain) = skewCell(skewJoinOn = false)(plainJoin)
+    val (tSkewSalt, nSkewSalt, mtSalt) = skewCell(skewJoinOn = false)(
+      operators.Skew.saltedJoin(skewBig, skewSmall,
+        col("k"), col("k2"), col("payload"), salt = 32))
+
     // --- streaming-maintainer soak (r10 verdict item): the
     // batch-parity specs prove the maintainers CORRECT; this stage
     // MEASURES that per-batch wall stays O(batch + maintenance) as
@@ -521,6 +632,66 @@ object Soak {
     val (d30Recall, d30S) = cell30(truth30(dc30),
       similarity.Ivfpq.searchIndex(
         spark, dpq30Dir, q30, "id", "v", 5, nProbe = 8, rerank = 80))
+    c30.unpersist(); dc30.unpersist(); ann30.unpersist()
+    // --- 100× tier (r13 verdict item 7): the third point on the
+    // dedup→index scaling curve. Perturbation is CAPPED at the 30×
+    // tier's reach (0.01·(i % 30) mixing, with the mixed index still
+    // varying per replica so no two members are identical): the tier
+    // grows FAMILY DEPTH (100 members) and corpus size (~200k
+    // vectors) while HOLDING the family diameter at the 30× tier's,
+    // isolating pure scale from the tau-diameter coupling the 30×
+    // cell already measured (tau=0.97 kept for cross-tier
+    // comparability — it covers the capped diameter by
+    // construction). Read: dedup recall at r80 must hold its lead
+    // over raw as families deepen 3.3×; SemDedup's within-cluster
+    // quadratic at 20k-member clusters is the deliberate stress —
+    // the codegen DotProduct filter streams the pair volume, nothing
+    // materializes.
+    val annRep100 = 100
+    val ann100 = (0 until annRep100).map { i =>
+      emb.select((col("id") + lit(i * 1000000L)).as("id"), col("label"),
+        transform(sequence(lit(0), lit(63)), j =>
+          try_element_at(col("v"), j + 1)
+            + lit(0.01 * (i % 30)) * try_element_at(col("v"),
+              pmod(j + lit(i), lit(64)) + 1)).as("v"))
+    }.reduce(_ unionByName _)
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0d),
+        (a, x) => a + x * x)))
+      .select(col("id"), col("label"),
+        transform(col("v"), x => x / col("nrm")).as("v"))
+      .cache()
+    val q100 = ann100.filter(col("id") < 10).select("id", "v")
+    val c100 = ann100.filter(pmod(col("id"), lit(1000000L)) >= 10).cache()
+    val n100 = c100.count()
+    def truth100(c: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      similarity.Knn.bruteForce(q100, c.select("id", "v"), 5)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cell100(truth: Set[(Long, Long)],
+        probe: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val t0 = System.nanoTime()
+      val got = probe.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((got.intersect(truth).size.toDouble / truth.size,
+        (System.nanoTime() - t0) / 1e9))
+    }
+    val raw100Dir = java.nio.file.Files.createTempDirectory("graft_ann_r100").toString
+    similarity.Ivfpq.buildIndex(c100, "label", "id", "v", raw100Dir)
+    val (raw100Recall, raw100S) = cell100(truth100(c100),
+      similarity.Ivfpq.searchIndex(
+        spark, raw100Dir, q100, "id", "v", 5, nProbe = 8, rerank = 80))
+    val keep100Ids = dedup.SemDedup.semDedup(
+        c100.select(col("id"), col("label"), col("v")), "label", tau = 0.97)
+      .filter(col("is_kept")).select("id").cache()
+    val (tSem100, keep100) = time(keep100Ids.count())
+    val dc100 = c100.join(keep100Ids, Seq("id"), "left_semi").cache()
+    val nDc100 = dc100.count()
+    val dpq100Dir = java.nio.file.Files.createTempDirectory("graft_ann_d100").toString
+    similarity.Ivfpq.buildIndex(dc100, "label", "id", "v", dpq100Dir)
+    val (d100Recall, d100S) = cell100(truth100(dc100),
+      similarity.Ivfpq.searchIndex(
+        spark, dpq100Dir, q100, "id", "v", 5, nProbe = 8, rerank = 80))
+    c100.unpersist(); dc100.unpersist(); ann100.unpersist()
     def annCellJson(recall: Double, probeS: Double, corpus: Long): String =
       s"""{"recall":${BigDecimal(recall).setScale(3,
         BigDecimal.RoundingMode.HALF_UP)},"probe_s":${BigDecimal(probeS)
@@ -531,7 +702,9 @@ object Soak {
         .setScale(2, BigDecimal.RoundingMode.HALF_UP)}}"""
     } :+ s""""ivfpq_dedup_8probe_r80":${annCellJson(dedupRecall, dedupProbeS, nDedupC)}"""
       :+ s""""ivfpq_raw30_8probe_r80":${annCellJson(raw30Recall, raw30S, n30)}"""
-      :+ s""""ivfpq_dedup30_8probe_r80":${annCellJson(d30Recall, d30S, nDc30)}""")
+      :+ s""""ivfpq_dedup30_8probe_r80":${annCellJson(d30Recall, d30S, nDc30)}"""
+      :+ s""""ivfpq_raw100_8probe_r80":${annCellJson(raw100Recall, raw100S, n100)}"""
+      :+ s""""ivfpq_dedup100_8probe_r80":${annCellJson(d100Recall, d100S, nDc100)}""")
       .mkString("{", ",", "}")
 
     // rank maintainer (r11 item): per-batch wall must track BATCH
@@ -753,7 +926,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -33,18 +33,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object TransitionStream {
 
   final case class Ev(user_id: Long, ts_us: Long, event_id: Long,
-      event_type: String)
+      event_type: String, ts: java.sql.Timestamp)
   final case class LastEv(ts_us: Long, event_id: Long, event_type: String)
   final case class Pair(user_id: Long, prev_type: String, next_type: String)
 
-  def transitions(events: DataFrame, stateTtlMs: Long = 0L): Dataset[Pair] = {
+  def transitions(events: DataFrame, stateTtlMs: Long = 0L,
+      watermarkDelay: Option[String] = None): Dataset[Pair] = {
     import events.sparkSession.implicits._
+    // watermark => EventTimeTimeout (the GapStream r14 measurement:
+    // the stateful late-row filter only engages in event-time mode);
+    // TTL + watermark => event-time session cut in-function plus
+    // watermark-driven state eviction
+    val eventTime = watermarkDelay.isDefined
     val timeout =
-      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      if (eventTime) GroupStateTimeout.EventTimeTimeout
+      else if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events
+    val src = watermarkDelay match {
+      case Some(d) => events.withWatermark("ts", d)
+      case None    => events
+    }
+    src
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("event_id"), col("event_type"))
+        col("event_id"), col("event_type"), col("ts"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout) {
@@ -63,7 +74,12 @@ object TransitionStream {
                 // under the batch order — no pair, like any straggler
                 case Some(l) if e.ts_us > l.ts_us ||
                     (e.ts_us == l.ts_us && e.event_id > l.event_id) =>
-                  out += Pair(uid, l.event_type, e.event_type)
+                  // event-time session cut (the GapStream rule): the
+                  // transition across an idle span past the TTL is
+                  // the one path analysis must NOT count
+                  if (eventTime && stateTtlMs > 0
+                      && e.ts_us - l.ts_us > stateTtlMs * 1000L) ()
+                  else out += Pair(uid, l.event_type, e.event_type)
                   last = Some(LastEv(e.ts_us, e.event_id, e.event_type))
                 case Some(_) => // older-than-state straggler: no pair (see scaladoc)
                 case None =>
@@ -71,7 +87,12 @@ object TransitionStream {
               }
             }
             last.foreach(state.update)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            if (eventTime && stateTtlMs > 0) last.foreach { l =>
+              state.setTimeoutTimestamp(math.max(
+                l.ts_us / 1000L + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            else if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
             out.result().iterator
           }
       }
@@ -80,8 +101,10 @@ object TransitionStream {
   /** Drain a staged events dir synchronously; returns the emitted
     * pair rows (each user's last event remains in state). */
   def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queryName: String, stateTtlMs: Long = 0L): DataFrame = {
-    val q = transitions(EventsStream.readEvents(spark, dir), stateTtlMs)
+      queryName: String, stateTtlMs: Long = 0L,
+      watermarkDelay: Option[String] = None): DataFrame = {
+    val q = transitions(EventsStream.readEvents(spark, dir), stateTtlMs,
+      watermarkDelay)
       .writeStream
       .outputMode("append")
       .format("memory")

@@ -175,6 +175,119 @@ class Round14OpsSpec extends AnyFunSuite {
     ()
   }
 
+  // ---- GapStream / TransitionStream: wired watermark ----
+
+  private def stageEvents(dir: String, name: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import spark.implicits._
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_wm_s").toString + "/out"
+    rows.toDF("event_id", "ts_us", "user_id", "event_type")
+      .select(col("event_id"),
+        timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, s"$name.parquet"))
+    ()
+  }
+
+  test("GapStream watermark drops late stragglers the unwatermarked stream would count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_wm").toString
+    val t0 = 1000000000000000L // µs
+    val S = 1000000L
+    // b1: user 1 gaps at 100 s; user 2's lone event at +3600 s drags
+    // max event time (watermark after b1 = 3600 − 600 = +3000 s)
+    stageEvents(dir, "b1", Seq((1L, t0, 1L, "view"),
+      (2L, t0 + 100 * S, 1L, "view"), (3L, t0 + 3600 * S, 2L, "view")))
+    val q = graft.streaming.GapStream
+      .gaps(graft.streaming.EventsStream.readEvents(spark, dir),
+        stateTtlMs = 0L, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_wm_test").start()
+    q.processAllAvailable()
+    // b2: user 1 straggler at +250 s — NEWER than user 1's state
+    // (+100 s), so WITHOUT a watermark it emits gap 150; it sits
+    // 2750 s behind the watermark, so the late filter must drop it.
+    // user 2's +3700 s event proves the batch ran.
+    stageEvents(dir, "b2", Seq((4L, t0 + 250 * S, 1L, "view"),
+      (5L, t0 + 3700 * S, 2L, "view")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gap_wm_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L)),
+      s"late straggler must be dropped, not gapped: $got")
+  }
+
+  test("TransitionStream watermark: same drop semantics on the pair stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tr_wm").toString
+    val t0 = 2000000000000000L
+    val S = 1000000L
+    stageEvents(dir, "b1", Seq((1L, t0, 1L, "view"),
+      (2L, t0 + 100 * S, 1L, "click"), (3L, t0 + 3600 * S, 2L, "view")))
+    val q = graft.streaming.TransitionStream
+      .transitions(graft.streaming.EventsStream.readEvents(spark, dir),
+        stateTtlMs = 0L, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tr_wm_test").start()
+    q.processAllAvailable()
+    // the late click→purchase transition must NOT appear
+    stageEvents(dir, "b2", Seq((4L, t0 + 250 * S, 1L, "purchase"),
+      (5L, t0 + 3700 * S, 2L, "signup")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tr_wm_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "view", "click"), (2L, "view", "signup")),
+      s"late transition must be dropped: $got")
+  }
+
+  test("event-time TTL: idle past the TTL is a session boundary, not a gap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_ettl").toString
+    val t0 = 3000000000000000L
+    val S = 1000000L
+    stageEvents(dir, "b1", Seq((1L, t0, 1L, "view"),
+      (2L, t0 + 100 * S, 1L, "view"), (3L, t0 + 3600 * S, 2L, "view")))
+    val q = graft.streaming.GapStream
+      .gaps(graft.streaming.EventsStream.readEvents(spark, dir),
+        stateTtlMs = 3600L * 1000L, watermarkDelay = Some("10 minutes"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_ettl_test").start()
+    q.processAllAvailable()
+    // user 1 comes back 4900 s later — past the 3600 s event-time TTL
+    // — IN THE SAME BATCH as the deadline passing: the in-function
+    // session cut must drop the gap even though the state row is
+    // still present. user 2's 3600 s gap sits exactly AT the TTL
+    // (not past it) and must be counted.
+    stageEvents(dir, "b2", Seq((4L, t0 + 5000 * S, 1L, "view"),
+      (5L, t0 + 7200 * S, 2L, "view")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gap_ettl_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 3600L)),
+      s"idle-past-TTL must cut the session, exact-TTL must count: $got")
+  }
+
+  test("watermark is inert on an in-horizon feed: gap parity on vs off") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap_par")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val on = graft.streaming.GapStream.runOnce(spark, dir.toString,
+        "gap_par_on", watermarkDelay = Some("2 hours"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val off = graft.streaming.GapStream.runOnce(spark, dir.toString,
+        "gap_par_off")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(on == off, "an in-horizon feed must be watermark-invariant")
+    assert(on.nonEmpty)
+  }
+
   // ---- h10: OAI inclusive bounds ----
 
   test("oaiInclusiveBounds: windows tile the span with no boundary double-harvest") {
