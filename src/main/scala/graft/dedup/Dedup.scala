@@ -58,7 +58,7 @@ object Dedup {
     * so nothing downstream loses codegen. */
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
-  private[dedup] def shingleStrings(text: String): Array[String] = {
+  private[graft] def shingleStrings(text: String): Array[String] = {
     val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
     val tks = wsPattern.split(norm)
     val n = math.max(tks.length - 2, 1)
@@ -81,42 +81,27 @@ object Dedup {
     * graft.functions.Hashing.h32, which the oracle mirrors. */
   private[dedup] def h32jvm(seed: Int, s: String): Long = Hashing.h32jvm(seed, s)
 
-  private val hashedShinglesUdf = udf((text: String) =>
-    shingleStrings(text).map(h32jvm(0, _)).distinct.sorted)
-
-  private val positionalHashedShinglesUdf = udf((text: String) => {
-    // document-order, NON-distinct: position i is the shingle
-    // starting at token i — the span-audit form, where distinctness
-    // defers to the consuming aggregation
-    val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
-    val tks = wsPattern.split(norm)
-    val n = math.max(tks.length - 2, 1)
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val sb = new StringBuilder(tks(i))
-      if (i + 1 < tks.length) sb.append(' ').append(tks(i + 1))
-      if (i + 2 < tks.length) sb.append(' ').append(tks(i + 2))
-      out(i) = h32jvm(0, sb.toString)
-      i += 1
-    }
-    out
-  })
-
   /** Hashed shingles in DOCUMENT ORDER with one entry per start
     * token (posexplode yields the 0-based token position of each
     * shingle) — same normalization/hash as [[hashedShingles]], so
-    * the two forms join. */
+    * the two forms join. Native codegen expression since r14 (the
+    * r13 watch-list item): bit-identical to the legacy UDF
+    * (ShingleHashSpec pins parity), but no ScalaUDF converter
+    * boundary and no codegen fence on the hottest dedup stage. */
   def positionalHashedShingles(text: Column): Column =
-    positionalHashedShinglesUdf(text)
+    graft.plans.ShingleHash.positionalHashedShingles(text)
 
   /** Column forms. */
   def shingles(text: Column): Column = shinglesUdf(text)
 
-  /** Distinct 32-bit-hashed shingles (seed 0). Hash collisions can
-    * merge shingles with probability |sh|²/2³² — immaterial, and the
-    * oracle mirrors the same hashing so results stay exact. */
-  def hashedShingles(text: Column): Column = hashedShinglesUdf(text)
+  /** Distinct ASCENDING 32-bit-hashed shingles (seed 0). Hash
+    * collisions can merge shingles with probability |sh|²/2³² —
+    * immaterial, and the oracle mirrors the same hashing so results
+    * stay exact. Native codegen expression since r14 (see
+    * [[positionalHashedShingles]]); [[shingleStrings]] remains the
+    * sequential reference the parity spec replays. */
+  def hashedShingles(text: Column): Column =
+    graft.plans.ShingleHash.hashedShingles(text)
 
   /** docs → (doc_id, lang, n_chars, sh) with hashed shingle sets. */
   def withHashedShingles(docs: DataFrame): DataFrame =
@@ -583,29 +568,10 @@ object Dedup {
     * hash as the 3-shingle family, so the oracle mirrors the exact
     * formula (hash collisions replay identically — the d10 rule). A
     * doc shorter than k tokens emits NO anchors: it cannot contain a
-    * ≥ k-token duplicate. JVM UDF by the measured heavy-per-element
-    * decision (Dedup.scala:51-58). */
-  private val positionalKgramsUdf = udf((text: String, k: Int) => {
-    val norm = wsPattern.matcher(text.toLowerCase).replaceAll(" ").trim
-    val tks = wsPattern.split(norm)
-    val n = tks.length - k + 1
-    if (n <= 0) Array.empty[Long]
-    else {
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        val sb = new StringBuilder(tks(i))
-        var j = 1
-        while (j < k) { sb.append(' ').append(tks(i + j)); j += 1 }
-        out(i) = h32jvm(0, sb.toString)
-        i += 1
-      }
-      out
-    }
-  })
-
+    * ≥ k-token duplicate. Native codegen expression (see
+    * [[hashedShingles]] — the same r14 switch). */
   def positionalHashedKgrams(text: Column, k: Int): Column =
-    positionalKgramsUdf(text, lit(k))
+    graft.plans.ShingleHash.positionalKgrams(text, k)
 
   /** Exact-substring duplicate SPANS (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better"
