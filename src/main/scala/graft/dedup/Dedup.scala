@@ -610,6 +610,81 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /** The d28 span source: maximal runs of NON-FIRST covered anchor
+    * positions — [[exactSubstringSpans]] restricted to occurrences
+    * that are not the corpus-global first of their k-gram
+    * (lexicographic (doc_id, pos) minimum, a deterministic total
+    * order both engines replay). The first occurrence of every
+    * duplicated substring survives; every later occurrence becomes
+    * a strip span. Same scale shape as d26 plus one min-struct
+    * aggregate riding the existing g-keyed count shuffle. */
+  def substringStripSpans(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"),
+        positionalHashedKgrams(col("text"), k).as("gs"))
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val firsts = ex.groupBy("g")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+      .select("g", "first")
+    val later = ex.join(firsts, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id")
+        && col("pos") === col("first.pos")))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    later
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + k).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Exact-substring dedup REWRITE (d28) — the step Lee et al. 2022
+    * actually ship (d26 DETECTS spans; this strips them): every
+    * duplicated run of ≥ `minLen` tokens keeps its corpus-global
+    * FIRST occurrence and is cut from every later one, documents
+    * reassembled from their surviving tokens. Output text is in the
+    * anchor normalization (lower + collapsed whitespace) so token
+    * positions align exactly with the span source. The per-token
+    * keep probe is a light HOF over the doc's own (small) span
+    * array — the ta2/ta3 carve-out — with `tks` projected to a
+    * column first (the x25 outer-expression rule). Scale: d26's
+    * shape + one doc-keyed span collect (bounded per doc); the
+    * rewrite pass is map-only. */
+  def stripSubstringDups(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
+    val spans = substringStripSpans(docs, k, minLen)
+    stripSpans(docs, spans)
+  }
+
+  /** The d28 rewrite half: cut `spans` (doc_id, span_start,
+    * span_len — token-disjoint per doc) out of each document's
+    * normalized token stream. Shared by the batch query and the
+    * streaming gate so the two can never drift on the cut. */
+  def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("sp"))
+    val toks = docs.select(col("doc_id"),
+      split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+        .as("tks"))
+    toks.join(sp, Seq("doc_id"), "left")
+      .withColumn("spn", coalesce(col("sp"),
+        array().cast("array<struct<span_start:bigint,span_len:bigint>>")))
+      .select(col("doc_id"),
+        size(col("tks")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("spn"), lit(0L),
+          (a, s) => a + s.getField("span_len")), lit(0L)).as("n_stripped"),
+        array_join(filter(
+          transform(sequence(lit(0), size(col("tks")) - 1), i =>
+            when(exists(col("spn"), s =>
+              i >= s.getField("span_start")
+                && i < s.getField("span_start") + s.getField("span_len")),
+              lit(null)).otherwise(element_at(col("tks"), i + 1))),
+          x => x.isNotNull), " ").as("clean_text"))
+  }
+
   /** Within-document repetition REWRITE (d27) — the intra-doc
     * complement of [[boilerplateStrip]]: ta17 only MEASURES the
     * Gopher repetition signals, and d25's hot set is corpus-level;

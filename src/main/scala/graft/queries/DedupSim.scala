@@ -187,7 +187,9 @@ object DedupSim {
     * docs; natural repeats extend spans identically in both engines —
     * the oracle replays the same h32 anchor hashing, so even hash
     * collisions replay). ALL-INTEGER output. */
-  def d26SubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** The d26/d28 planted corpus: documents plus an offset-7 40-token
+    * copy twin for every %10 doc (see d26's scaladoc). */
+  private def substringBase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val planted = docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -197,9 +199,28 @@ object DedupSim {
           concat(lit("zs"), col("doc_id")),
           array_join(slice(split(trim(col("text")), "\\s+"), 8, 40), " "))
           .as("text"))
-    Dedup.exactSubstringSpans(docs.unionByName(planted), k = 10, minLen = 20)
-      .orderBy("doc_id", "span_start")
+    docs.unionByName(planted)
   }
+
+  def d26SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(substringBase(spark, dir), k = 10, minLen = 20)
+      .orderBy("doc_id", "span_start")
+
+  /** d28: the exact-substring dedup REWRITE (d26 detects, this
+    * ships the cut — the Lee et al. 2022 step itself): every
+    * duplicated ≥20-token run keeps its corpus-global FIRST
+    * occurrence ((doc_id, pos)-lexicographic, replayed by a
+    * row_number in the oracle) and is stripped from every later
+    * one; documents reassemble from surviving tokens in the anchor
+    * normalization. On the planted corpus each %10 original keeps
+    * its text intact (it IS the first occurrence) while its twin
+    * sheds the whole copied run down to its three unique tokens —
+    * and natural duplicates exercise the strip on unplanted docs
+    * too. The cleaned STRING is hash-compared (the ta8/d25
+    * posture); counts ALL-INTEGER. */
+  def d28SubstringStrip(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripSubstringDups(substringBase(spark, dir), k = 10, minLen = 20)
+      .orderBy("doc_id")
 
   /** d27: within-doc repetition rewrite — the intra-document
     * complement of d25 (ta17 measures the Gopher repetition signals;
@@ -847,6 +868,7 @@ object DedupSim {
     "d25_boilerplate" -> (d25BoilerplateStrip _),
     "d26_substring_spans" -> (d26SubstringSpans _),
     "d27_internal_repeats" -> (d27InternalRepeats _),
+    "d28_substring_strip" -> (d28SubstringStrip _),
     "d2_ngram_jaccard" -> (d2NgramJaccard _),
     "d14_containment" -> (d14Containment _),
     "d3_minhash_lsh" -> (d3MinhashLsh _),
@@ -1088,6 +1110,55 @@ object DedupSim {
            CAST(sum(occ - 1) AS BIGINT) AS n_removed,
            coalesce(string_agg(chunk, ' ' ORDER BY pos), '') AS clean_text
          FROM k GROUP BY doc_id ORDER BY doc_id""",
+    // d28: d26's anchor pipeline, occurrences ranked per gram by
+    // (doc_id, pos) — rn = 1 is the kept first occurrence, every
+    // rn > 1 position feeds the strip islands; the rewrite is a
+    // token-level anti-join against the span set
+    "d28_substring_strip" ->
+      s"""WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+             concat('zq', doc_id, ' zr', doc_id, ' zs', doc_id, ' ',
+               array_to_string(list_slice(
+                 regexp_split_to_array(trim(text), '\\s+'), 8, 47), ' '))
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tks
+           FROM base),
+         p AS (SELECT doc_id, unnest(range(1, greatest(len(tks) - 9, 0) + 1)) AS i, tks
+           FROM t),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ${h32sql(0, "array_to_string(tks[i:i+9], ' ')")} AS gh
+           FROM p),
+         r AS (SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gh) AS occ,
+             row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
+           FROM g),
+         cov AS (SELECT doc_id, pos FROM r WHERE occ >= 2 AND rn > 1),
+         isl AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM cov),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 10 AS l
+           FROM isl GROUP BY doc_id, grp
+           HAVING max(pos) - min(pos) + 10 >= 20),
+         spagg AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS n_stripped
+           FROM sp GROUP BY doc_id),
+         tok AS (SELECT doc_id, unnest(range(0, len(tks))) AS i, tks FROM t),
+         tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+             tks[CAST(i + 1 AS INT)] AS tk FROM tok),
+         kept AS (SELECT k.doc_id, k.i, k.tk FROM tok2 k
+           LEFT JOIN sp ON k.doc_id = sp.doc_id
+             AND k.i >= sp.s AND k.i < sp.s + sp.l
+           WHERE sp.s IS NULL),
+         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sa.n_stripped, 0) AS BIGINT) AS n_stripped,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM t LEFT JOIN spagg sa USING (doc_id)
+           LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
     // d24: the oracle states each crawl-variant shape's EXPECTED
     // canonical form directly (independent ground truth — the r6
     // pattern), then groups; the Spark side must reach the same

@@ -143,6 +143,64 @@ class Round14OpsSpec extends AnyFunSuite {
     ()
   }
 
+  // ---- d28: exact-substring dedup rewrite ----
+
+  test("d28 strips the copy, keeps the first occurrence, id-breaks ties") {
+    import spark.implicits._
+    val aTks = (0 until 60).map(i => s"a$i")
+    val bTks = Seq("p0", "p1", "p2") ++ aTks.slice(7, 47)
+    val blk = (0 until 22).map(i => s"w$i")
+    val jTks = blk ++ (0 until 13).map(i => s"x$i") ++ blk
+    val yTks = (0 until 24).map(i => s"y$i") // NON-periodic twin pair
+    val perTks = ("same doc twice " * 8).trim // periodic: self-dedups
+    val docs = Seq(
+      (1L, aTks.mkString(" ")),      // first occurrence: untouched
+      (2L, bTks.mkString(" ")),      // later copy: run stripped
+      (5L, yTks.mkString(" ")),      // identical twin pair: lower id
+      (6L, yTks.mkString(" ")),      //   keeps, higher id empties
+      (7L, jTks.mkString(" ")),      // within-doc: 2nd block cut
+      (8L, perTks))                  // periodic doc: one period survives
+      .toDF("doc_id", "text")
+    val got = Dedup.stripSubstringDups(docs, k = 10, minLen = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got(0) == ((1L, 60L, 0L, aTks.mkString(" "))),
+      "the first occurrence survives byte-identical")
+    assert(got(1) == ((2L, 43L, 40L, "p0 p1 p2")),
+      "the later copy sheds the whole duplicated run")
+    assert(got(2) == ((5L, 24L, 0L, yTks.mkString(" "))),
+      "lower id of an identical pair keeps its text")
+    assert(got(3)._1 == 6L && got(3)._3 == 24L && got(3)._4 == "",
+      "higher id of an identical pair strips to empty")
+    assert(got(4) == ((7L, 57L, 22L, (blk ++ (0 until 13).map(i => s"x$i")).mkString(" "))),
+      "within-doc repeat keeps the first block only")
+    // the suffix-array posture on periodicity: every window past the
+    // first period duplicates an earlier one, so a periodic doc
+    // self-deduplicates down to its period
+    assert(got(5) == ((8L, 24L, 21L, "same doc twice")),
+      "a periodic doc collapses to one period")
+  }
+
+  test("d28 registered query: stripped twins are FULL cuts; untouched branch live") {
+    val got = SparkEntry.queries("d28_substring_strip")(spark, sf).cache()
+    val twins = got.filter(col("doc_id") >= 3000000L).cache()
+    val cut = twins.filter(col("n_stripped") > 0)
+    assert(cut.count() > 0, "planted twins must strip")
+    assert(cut.filter(col("n_stripped") =!= col("n_tokens") - 3).count() == 0,
+      "a stripped twin keeps exactly its three unique tokens")
+    assert(cut.filter(!col("clean_text").rlike("^zq\\d+ zr\\d+ zs\\d+$"))
+      .count() == 0, "the surviving text IS the unique prefix")
+    assert(got.filter(col("n_stripped") === 0).count() > 0,
+      "the untouched branch stays live")
+    // conservation: clean token count == n_tokens - n_stripped
+    assert(got.filter(
+      size(split(col("clean_text"), " ")) =!= col("n_tokens") - col("n_stripped"))
+      .filter(col("clean_text") =!= "").count() == 0)
+    twins.unpersist(); got.unpersist()
+    ()
+  }
+
   // ---- d27: within-doc repetition rewrite ----
 
   test("d27 hand-built: repeated chunk keeps first occurrence, order preserved") {

@@ -1,0 +1,103 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.{BoilerplateStream, SubstringStream}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SubstringStream: d28's exact-substring strip run at the door —
+  * single-batch parity with the batch operator, arrival-ordered
+  * first-occurrence semantics across batches (a doc already emitted
+  * is never retroactively re-stripped), and marker-skipped replay of
+  * the per-batch gram state. */
+class SubstringStreamSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def stage(dir: String, name: String, df: DataFrame): Unit = {
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_ss_s").toString + "/out"
+    df.coalesce(1).write.parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, s"$name.parquet"))
+    ()
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def drive(inDir: String, stateDir: String,
+      lineage: String): Unit = {
+    val q = SubstringStream.substringGate(
+      BoilerplateStream.readDocs(spark, inDir), stateDir,
+      k = 10, minLen = 20, lineage = lineage)
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("single-batch drive reproduces batch d28 exactly") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss1").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss1s").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "n_chars")
+    stage(inDir, "all", docs)
+    drive(inDir, stateDir, "ss_one")
+    val got = SubstringStream.cleaned(spark, stateDir)
+    val want = Dedup.stripSubstringDups(
+      docs.select("doc_id", "text"), k = 10, minLen = 20)
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+    assert(want.filter(col("n_stripped") > 0).count() > 0,
+      "the parity corpus must carry live strips")
+  }
+
+  test("door semantics: arrival order wins, earlier docs never re-strip") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss2").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss2s").toString
+    val run = (0 until 30).map(i => s"r$i")
+    // batch 1: doc 5 carries the run FIRST (arrival order)
+    stage(inDir, "b1", docsDf(Seq(
+      (5L, run.mkString(" ")))))
+    // batch 2: doc 1 (SMALLER id) brings the same run — arrival
+    // order, not id order, decides: doc 1 strips, doc 5 stands;
+    // docs 8/9 share a fresh run within batch 2 — (doc_id, pos)
+    // order inside the batch keeps 8, strips 9
+    val run2 = (0 until 25).map(i => s"q$i")
+    stage(inDir, "b2", docsDf(Seq(
+      (1L, ("z1 z2 " + run.mkString(" ")).trim),
+      (8L, run2.mkString(" ")),
+      (9L, run2.mkString(" ")))))
+    drive(inDir, stateDir, "ss_door")
+    val got = SubstringStream.cleaned(spark, stateDir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 30L, "z1 z2"),             // later arrival strips despite smaller id
+      (5L, 0L, run.mkString(" ")),    // first arrival stands
+      (8L, 0L, run2.mkString(" ")),   // in-batch first keeps
+      (9L, 25L, "")),                 // in-batch later strips to empty
+      s"got $got")
+  }
+
+  test("fresh-checkpoint replay is marker-skipped: no double-count") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss3").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss3s").toString
+    val run = (0 until 24).map(i => s"m$i")
+    stage(inDir, "b1", docsDf(Seq((1L, run.mkString(" "))))) // occ 1 each gram
+    drive(inDir, stateDir, "ss_replay")
+    val once = SubstringStream.gramState(spark, stateDir)
+      .agg(sum("occ")).head.getLong(0)
+    drive(inDir, stateDir, "ss_replay") // fresh checkpoint, same lineage
+    val twice = SubstringStream.gramState(spark, stateDir)
+      .agg(sum("occ")).head.getLong(0)
+    assert(once == twice, s"replay double-added gram state: $once -> $twice")
+    // a single lone doc never strips against itself
+    val got = SubstringStream.cleaned(spark, stateDir).head
+    assert(got.getLong(2) == 0L && got.getString(3) == run.mkString(" "))
+  }
+}
