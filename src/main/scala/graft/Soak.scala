@@ -267,6 +267,16 @@ object Soak {
     val (tSubstr, nSubstr) = time(dedup.Dedup.exactSubstringSpans(
       corpus, k = 10, minLen = 20).count())
 
+    // --- d28 strip rewrite at 10×: d26's covered set PLUS the
+    // first-occurrence min and the map-only token cut — the wall
+    // must stay within ~2× of d26's detection-only pass (the extra
+    // work is one min-struct on the existing shuffle + the rewrite
+    // scan). Replicas make most later-replica tokens strippable, so
+    // the stripped-token count is the volume receipt.
+    val (tStrip28, nStrip28) = time(dedup.Dedup.stripSubstringDups(
+      corpus, k = 10, minLen = 20)
+      .agg(sum("n_stripped")).head.getLong(0))
+
     // --- d27 within-doc repeats at 10×: the zero-corpus-state
     // rewrite — both shuffles bounded per doc; the receipt is the
     // flat linear wall next to d26's corpus-keyed shape.
@@ -926,7 +936,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
