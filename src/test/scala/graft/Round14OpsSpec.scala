@@ -8,10 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Round-14 contracts: the d25 broadcast-hint removal (the r13
   * verdict's one scale finding — stripAgainstHot must genuinely
   * degrade to a shuffled equi-join when the hot set cannot
-  * broadcast, instead of honoring a hint until the driver wall) and
-  * the harvestWindows→OAI inclusive-bounds conversion (half-open
-  * plan slices fed verbatim to OAI double-harvest every boundary
-  * day). */
+  * broadcast, instead of honoring a hint until the driver wall);
+  * d26/d27/d28 — exact-substring span detection (the unaligned
+  * duplicates d13's grid provably misses), the within-doc
+  * repetition rewrite, and the first-occurrence-keeps strip rewrite
+  * (incl. periodic-doc self-dedup); the wired GapStream/
+  * TransitionStream watermark (late-straggler drop, on/off parity,
+  * event-time-TTL session cut); and the harvestWindows→OAI
+  * inclusive-bounds conversion (half-open plan slices fed verbatim
+  * to OAI double-harvest every boundary day). */
 class Round14OpsSpec extends AnyFunSuite {
   import TestSession._
 
