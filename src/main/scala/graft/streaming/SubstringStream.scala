@@ -30,9 +30,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * deterministic `batch=<lineage>-<batchId>` partition per
   * micro-batch — a replayed batch OVERWRITES its own partition
   * (exactly-once without tagged versions, the BoilerplateStream
-  * trick); totals are one g-keyed sum + min over state rows:
-  * distinct grams, metadata-sized relative to the corpus. Per-batch
-  * cost: O(|batch| tokens) fan-out + one aggregate over state. */
+  * trick); totals are one g-keyed sum + min over state rows.
+  *
+  * State size, stated honestly: distinct grams ≈ corpus tokens (most
+  * k-grams are unique), so the state is CORPUS-PROPORTIONAL — that is
+  * the inherent lower bound of exact cross-history substring dedup
+  * (a suffix array carries the same information). It is disk-backed
+  * parquet, never driver- or executor-resident, and the per-batch
+  * aggregate is one g-keyed shuffle over it; the scale posture past
+  * that is (a) periodic partition compaction — cnt is associative
+  * and min(first) is associative, so any fold of old partitions is
+  * safe, exactly the BoilerplateStream cadence — and (b) a
+  * d9-pattern Bloom front on the batch's grams to thin the state
+  * probe to likely-duplicates. Per-batch cost: O(|batch| tokens)
+  * fan-out + that bounded-shape aggregate. */
 object SubstringStream {
 
   /** Batch anchor fan-out: (doc_id, pos, g) — shared shape with
