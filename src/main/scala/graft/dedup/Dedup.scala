@@ -660,9 +660,16 @@ object Dedup {
   }
 
   /** The d28 rewrite half: cut `spans` (doc_id, span_start,
-    * span_len — token-disjoint per doc) out of each document's
-    * normalized token stream. Shared by the batch query and the
-    * streaming gate so the two can never drift on the cut. */
+    * span_len) out of each document's normalized token stream.
+    * Spans need NOT be token-disjoint: [[substringStripSpans]]
+    * islands are only anchor-disjoint, so two islands bridged by
+    * fewer than k−1 uncovered anchors (a global-first or unique
+    * gram between two later-copy runs) overlap in token space. The
+    * exists probe handles overlap naturally, and `n_stripped` is
+    * derived from the ACTUAL cut (n_tokens minus surviving tokens),
+    * never by summing span_len — summing would double-bill the
+    * overlap. Shared by the batch query and the streaming gate so
+    * the two can never drift on the cut. */
   def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
     val sp = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_len"))).as("sp"))
@@ -672,17 +679,17 @@ object Dedup {
     toks.join(sp, Seq("doc_id"), "left")
       .withColumn("spn", coalesce(col("sp"),
         array().cast("array<struct<span_start:bigint,span_len:bigint>>")))
+      .withColumn("kept", filter(
+        transform(sequence(lit(0), size(col("tks")) - 1), i =>
+          when(exists(col("spn"), s =>
+            i >= s.getField("span_start")
+              && i < s.getField("span_start") + s.getField("span_len")),
+            lit(null)).otherwise(element_at(col("tks"), i + 1))),
+        x => x.isNotNull))
       .select(col("doc_id"),
         size(col("tks")).cast("long").as("n_tokens"),
-        coalesce(aggregate(col("spn"), lit(0L),
-          (a, s) => a + s.getField("span_len")), lit(0L)).as("n_stripped"),
-        array_join(filter(
-          transform(sequence(lit(0), size(col("tks")) - 1), i =>
-            when(exists(col("spn"), s =>
-              i >= s.getField("span_start")
-                && i < s.getField("span_start") + s.getField("span_len")),
-              lit(null)).otherwise(element_at(col("tks"), i + 1))),
-          x => x.isNotNull), " ").as("clean_text"))
+        (size(col("tks")) - size(col("kept"))).cast("long").as("n_stripped"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   /** Within-document repetition REWRITE (d27) — the intra-doc

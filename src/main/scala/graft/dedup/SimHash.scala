@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * SimHash folds a document's shingle set into one 64-bit signature
   * whose Hamming distance approximates set dissimilarity. The fold
   * (per-bit vote counting) is not expressible as a flat Column
-  * formula, so it is a custom typed `Aggregator` — a single-pass,
-  * map-side-combining aggregate with a 64-int buffer (256 B/group),
-  * exactly the shape Spark distributes well at 100 TB.
+  * formula; the default per-document path is the native codegen
+  * [[graft.plans.SimHashFold]] expression (r15 — no ScalaUDF
+  * boundary), and the row-stream form is a custom typed
+  * `Aggregator` — a single-pass, map-side-combining aggregate with
+  * a 64-int buffer (256 B/group), exactly the shape Spark
+  * distributes well at 100 TB. Both share one mix+vote definition.
   *
   * Cost structure: the 64-bit shingle hash is computed once per
   * *unique* shingle (distinct vocabulary, broadcast back), and the
@@ -23,31 +26,10 @@ object SimHash {
 
   /** 64-bit shingle hash: splitmix64 finalizer over the 32-bit
     * seed-0 shingle hash the dedup pipeline already carries — no
-    * per-shingle string digest. */
-  def mix64(h: Long): Long = {
-    var z = h + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private def foldVotes(hashes: Iterator[Long]): Long = {
-    val votes = new Array[Int](64)
-    hashes.foreach { h0 =>
-      val h = mix64(h0)
-      var j = 0
-      while (j < 64) {
-        votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
-        j += 1
-      }
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
-    out
-  }
-
-  private val simhashUdf = udf((sh: Seq[Long]) => foldVotes(sh.iterator))
+    * per-shingle string digest. Canonical implementation lives with
+    * the codegen fold ([[graft.plans.SimHashFold.mix64]]) so the
+    * map-pass and the Aggregator can never drift. */
+  def mix64(h: Long): Long = graft.plans.SimHashFold.mix64(h)
 
   /** Aggregator: pre-hashed shingles in, per-bit ±1 votes, signed
     * majority sign-vector out as a packed Long. */
@@ -85,10 +67,14 @@ object SimHash {
   def simhashAgg(hashedShingle: Column): Column = udaf(SimHashAgg).apply(hashedShingle)
 
   /** doc_id -> 64-bit simhash, single map pass over the hashed
-    * shingle arrays (the default path). */
+    * shingle arrays (the default path). The fold is the native
+    * codegen [[graft.plans.SimHashFold]] since r15 — the interpreted
+    * simhashUdf it replaces crossed the ScalaUDF converter boundary
+    * per document on d4's hot path (the ShingleHash playbook). */
   def signatures(docs: DataFrame): DataFrame =
     Dedup.withHashedShingles(docs)
-      .select(col("doc_id"), simhashUdf(col("sh")).as("simhash"))
+      .select(col("doc_id"),
+        graft.plans.SimHashFold.simhashFold(col("sh")).as("simhash"))
 
   /** Same signature via the typed Aggregator over exploded shingle
     * hashes — the distributed-aggregate form for inputs that arrive

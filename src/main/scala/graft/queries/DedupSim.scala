@@ -1113,7 +1113,11 @@ object DedupSim {
     // d28: d26's anchor pipeline, occurrences ranked per gram by
     // (doc_id, pos) — rn = 1 is the kept first occurrence, every
     // rn > 1 position feeds the strip islands; the rewrite is a
-    // token-level anti-join against the span set
+    // token-level anti-join against the span set. n_stripped is
+    // derived from the ACTUAL cut (n_tokens - kept count) because
+    // islands are only anchor-disjoint: token extents may overlap
+    // and summing span_len would double-bill the overlap (r15 fix,
+    // mirrored in Dedup.stripSpans)
     "d28_substring_strip" ->
       s"""WITH base AS (
            SELECT doc_id, text FROM documents
@@ -1142,8 +1146,6 @@ object DedupSim {
          sp AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 10 AS l
            FROM isl GROUP BY doc_id, grp
            HAVING max(pos) - min(pos) + 10 >= 20),
-         spagg AS (SELECT doc_id, CAST(sum(l) AS BIGINT) AS n_stripped
-           FROM sp GROUP BY doc_id),
          tok AS (SELECT doc_id, unnest(range(0, len(tks))) AS i, tks FROM t),
          tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
              tks[CAST(i + 1 AS INT)] AS tk FROM tok),
@@ -1151,13 +1153,13 @@ object DedupSim {
            LEFT JOIN sp ON k.doc_id = sp.doc_id
              AND k.i >= sp.s AND k.i < sp.s + sp.l
            WHERE sp.s IS NULL),
-         agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tk, ' ' ORDER BY i) AS clean_text
            FROM kept GROUP BY doc_id)
          SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
-           CAST(coalesce(sa.n_stripped, 0) AS BIGINT) AS n_stripped,
+           CAST(len(tks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_stripped,
            coalesce(a.clean_text, '') AS clean_text
-         FROM t LEFT JOIN spagg sa USING (doc_id)
-           LEFT JOIN agg a USING (doc_id)
+         FROM t LEFT JOIN agg a USING (doc_id)
          ORDER BY t.doc_id""",
     // d24: the oracle states each crawl-variant shape's EXPECTED
     // canonical form directly (independent ground truth — the r6

@@ -148,14 +148,15 @@ object Multi {
     * generation is an inverted index on EXACT frame hashes with a df
     * cap (the d14/d17 discriminative-index posture: a frame in more
     * than maxDf=3 videos is boilerplate — intros, black frames — and
-    * is dropped BEFORE the self-join, bounding pair fanout by
+    * is dropped BEFORE pair generation, bounding pair fanout by
     * maxDf·Σdf, never |videos|²; the cap bites at every SF: 4/3/3
     * hashes dropped). Fixture plants near-dup videos: docs 0–49
     * re-uploaded (id+1,000,000) with ONE byte changed, which
     * perturbs frame 0 only — the planted pairs share every other
     * sampled frame. Pairs with ≥2 shared distinct frames survive;
-    * ALL-INTEGER scores, (a_id, b_id) a total order. One frame scan
-    * feeds the df and both join branches of ONE plan. */
+    * ALL-INTEGER scores, (a_id, b_id) a total order. One frame scan,
+    * one fh-keyed aggregate, pairs generated inside each capped id
+    * list — no self-join, no checkpoint. */
   def m7VideoNeardup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("n_chars") >= 64)
     val base = docs.select(col("doc_id").as("id"), col("text"))
@@ -168,18 +169,28 @@ object Multi {
       .withColumn("n_frames",
         floor(length(col("payload")) / 100).cast("int"))
       .filter(col("n_frames") >= 1)
-    val frames = Multimodal
+    // Single-plan shape (r15, the d26 pattern): ONE fh-keyed
+    // collect_set aggregation replaces the former distinct + df-count
+    // + semi-join + self-join chain and its hot-path localCheckpoint
+    // (the block-manager materialization a cold driver run paid —
+    // flagged r13+r14). collect_set dedups (id, fh) map-side, its
+    // size IS the df, and pairs come from within each ≤ maxDf id
+    // list — pair fanout stays bounded by maxDf·Σdf, never |videos|².
+    // `sids` is projected to a column BEFORE the pair lambda (the
+    // x25 outer-expression rule); per-element work on a ≤3 array is
+    // the light-HOF carve-out.
+    val byFrame = Multimodal
       .sampleFrames(vids, "n_frames", stride = 1, maxFrames = 5)
       .select(col("id"),
         md5(expr("substring(payload, frame_idx * 100 + 1, 100)")).as("fh"))
-      .distinct()
-      .localCheckpoint(false) // feeds df + both join sides of ONE plan
-    val keep = frames.groupBy("fh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 3).select("fh")
-    val kept = frames.join(keep, Seq("fh"), "left_semi")
-    kept.select(col("id").as("a_id"), col("fh"))
-      .join(kept.select(col("id").as("b_id"), col("fh")), "fh")
-      .filter(col("a_id") < col("b_id"))
+      .groupBy("fh").agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, 3))
+    byFrame
+      .withColumn("sids", array_sort(col("ids")))
+      .select(explode(flatten(transform(col("sids"), (x, i) =>
+        transform(slice(col("sids"), i + 2, size(col("sids"))), y =>
+          struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared_frames"))
       .filter(col("n_shared_frames") >= 2)

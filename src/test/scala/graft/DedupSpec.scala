@@ -235,7 +235,7 @@ class DedupSpec extends AnyFunSuite {
     assert(one.subsetOf(t0Pairs), "1-table survivors must come from t0 pairs")
   }
 
-  test("simhash UDF and Aggregator paths produce identical signatures") {
+  test("simhash codegen fold and Aggregator paths produce identical signatures") {
     val docs = graft.dedup.Dedup.augmentedDocs(spark, sf)
     val a = graft.dedup.SimHash.signatures(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
