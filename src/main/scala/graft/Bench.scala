@@ -80,7 +80,8 @@ object Bench {
     val indexedQueries = Set("x7_bm25", "x8_seg_search",
       "x18_suggest_serving", "d15_persisted_rep", "s4_knn_ivf",
       "p13_cluster_balanced", "d22_dedup_funnel", "s10_pq", "s11_ivfpq",
-      "s12_ivfpq_residual", "x21_boosted_search", "x23_elevation")
+      "s12_ivfpq_residual", "x21_boosted_search", "x23_elevation",
+      "d26_substring_spans", "d28_substring_strip")
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       if (indexedQueries(name)) {

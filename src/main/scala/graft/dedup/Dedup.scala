@@ -593,13 +593,25 @@ object Dedup {
     * fits); islands are one per-doc window (bounded per key). Never
     * pairwise, no driver-side data. */
   def exactSubstringSpans(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"),
-        positionalHashedKgrams(col("text"), k).as("gs"))
-      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val ex = substringAnchors(docs, k)
     val dup = ex.groupBy("g").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("g")
-    val covered = ex.join(dup, Seq("g")).select("doc_id", "pos")
+    coveredToSpans(ex.join(dup, Seq("g")).select("doc_id", "pos"), k, minLen)
+  }
+
+  /** Anchor fan-out (doc_id, pos, g) shared by the whole exact-
+    * substring family (d26/d27's detect, d28's strip, the stream
+    * gate, the indexed forms). Map-only: O(tokens) rows, no shuffle. */
+  def substringAnchors(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        positionalHashedKgrams(col("text"), k).as("gs"))
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+
+  /** Covered anchor positions → maximal consecutive islands → spans
+    * of token length run + k − 1, kept at ≥ minLen. One per-doc
+    * window (bounded per key) + one (doc, grp) aggregate. */
+  private def coveredToSpans(covered: DataFrame, k: Int,
+      minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -610,6 +622,74 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /** BUMP whenever the gram-index layout or anchor semantics change:
+    * persisted indexes under java.io.tmpdir otherwise keep serving
+    * output built by OLD code (the ClusterLabelsAlgoVersion rule). */
+  private val GramIndexAlgoVersion = 1
+
+  /** The persisted duplicated-gram table d26 and d28 SHARE (the
+    * FingerprintCache build-if-absent pattern): one g-keyed
+    * occurrence count + first-occurrence min over the anchor
+    * fan-out, kept ONLY where occ ≥ 2 — unique grams (the vast
+    * majority of a real corpus) never persist, so the index is
+    * duplicate-proportional, not corpus-proportional. Schema
+    * (g, occ, first{doc_id, pos}); `first` is the corpus-global
+    * lexicographic (doc_id, pos) minimum d28's keep rule reads.
+    * Build cost is the single shuffle both queries used to pay
+    * independently per run; probes pay only their own map-side
+    * fan-out + one equi-join against this table. */
+  def writeGramIndex(docs: DataFrame, dir: String, k: Int): Long = {
+    val g = substringAnchors(docs, k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("occ") >= 2)
+    graft.sources.VersionedTable.write(g, dir)
+  }
+
+  /** Build-if-absent for the shared substring gram index, keyed by
+    * the data directory's documents.parquet fingerprint + k +
+    * [[GramIndexAlgoVersion]] (the ensureClusterLabels lifecycle). */
+  def ensureGramIndex(docs: DataFrame, dataDir: String, k: Int): String =
+    synchronized {
+      val f = new java.io.File(s"$dataDir/documents.parquet")
+      val live = s":substr-gram:v$GramIndexAlgoVersion:"
+      val key = graft.operators.Retrieval.corpusFingerprintKey(f) +
+        s"$live$k"
+      val dir = graft.sources.FingerprintCache.prepare(
+        "graft_grams", key, live)
+      if (graft.sources.VersionedTable.latestVersion(dir).isEmpty)
+        writeGramIndex(docs, dir, k)
+      dir
+    }
+
+  /** [[exactSubstringSpans]] over a pre-built gram index: the
+    * g-keyed occurrence count is a table read instead of a shuffle;
+    * spec-pinned identical to the self-contained form. */
+  def exactSubstringSpansIndexed(docs: DataFrame, grams: DataFrame,
+      k: Int, minLen: Int): DataFrame =
+    coveredToSpans(
+      substringAnchors(docs, k).join(grams.select("g"), Seq("g"))
+        .select("doc_id", "pos"),
+      k, minLen)
+
+  /** [[substringStripSpans]] over a pre-built gram index (same
+    * first-occurrence keep rule, read from the index's `first`). */
+  def substringStripSpansIndexed(docs: DataFrame, grams: DataFrame,
+      k: Int, minLen: Int): DataFrame = {
+    val later = substringAnchors(docs, k)
+      .join(grams.select(col("g"), col("first")), Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id")
+        && col("pos") === col("first.pos")))
+      .select("doc_id", "pos")
+    coveredToSpans(later, k, minLen)
+  }
+
+  /** [[stripSubstringDups]] over a pre-built gram index. */
+  def stripSubstringDupsIndexed(docs: DataFrame, grams: DataFrame,
+      k: Int, minLen: Int): DataFrame =
+    stripSpans(docs, substringStripSpansIndexed(docs, grams, k, minLen))
+
   /** The d28 span source: maximal runs of NON-FIRST covered anchor
     * positions — [[exactSubstringSpans]] restricted to occurrences
     * that are not the corpus-global first of their k-gram
@@ -619,10 +699,7 @@ object Dedup {
     * a strip span. Same scale shape as d26 plus one min-struct
     * aggregate riding the existing g-keyed count shuffle. */
   def substringStripSpans(docs: DataFrame, k: Int, minLen: Int): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"),
-        positionalHashedKgrams(col("text"), k).as("gs"))
-      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val ex = substringAnchors(docs, k)
     val firsts = ex.groupBy("g")
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -632,14 +709,7 @@ object Dedup {
       .filter(!(col("doc_id") === col("first.doc_id")
         && col("pos") === col("first.pos")))
       .select("doc_id", "pos")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    later
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min("pos").cast("long").as("span_start"),
-        (max("pos") - min("pos") + k).cast("long").as("span_len"))
-      .filter(col("span_len") >= minLen)
-      .select("doc_id", "span_start", "span_len")
+    coveredToSpans(later, k, minLen)
   }
 
   /** Exact-substring dedup REWRITE (d28) — the step Lee et al. 2022

@@ -202,8 +202,22 @@ object DedupSim {
     docs.unionByName(planted)
   }
 
+  /** The shared persisted gram index d26 and d28 both probe (the
+    * FingerprintCache build-if-absent lifecycle, r15): both queries
+    * used to rebuild the identical anchor fan-out + g-keyed
+    * occurrence count per run; the duplicated-gram table now builds
+    * once per (data fingerprint, k) and each query pays only its
+    * map-side fan-out + one equi-join. Listed in
+    * Bench.indexedQueries so driver runs report build-if-absent
+    * separately from the probe. */
+  private def gramIndex(spark: SparkSession, dir: String): DataFrame = {
+    val gdir = Dedup.ensureGramIndex(substringBase(spark, dir), dir, k = 10)
+    graft.sources.VersionedTable.readLatest(spark, gdir)
+  }
+
   def d26SubstringSpans(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactSubstringSpans(substringBase(spark, dir), k = 10, minLen = 20)
+    Dedup.exactSubstringSpansIndexed(substringBase(spark, dir),
+        gramIndex(spark, dir), k = 10, minLen = 20)
       .orderBy("doc_id", "span_start")
 
   /** d28: the exact-substring dedup REWRITE (d26 detects, this
@@ -219,7 +233,8 @@ object DedupSim {
     * too. The cleaned STRING is hash-compared (the ta8/d25
     * posture); counts ALL-INTEGER. */
   def d28SubstringStrip(spark: SparkSession, dir: String): DataFrame =
-    Dedup.stripSubstringDups(substringBase(spark, dir), k = 10, minLen = 20)
+    Dedup.stripSubstringDupsIndexed(substringBase(spark, dir),
+        gramIndex(spark, dir), k = 10, minLen = 20)
       .orderBy("doc_id")
 
   /** d27: within-doc repetition rewrite — the intra-document
