@@ -609,8 +609,10 @@ object Dedup {
 
   /** Covered anchor positions → maximal consecutive islands → spans
     * of token length run + k − 1, kept at ≥ minLen. One per-doc
-    * window (bounded per key) + one (doc, grp) aggregate. */
-  private def coveredToSpans(covered: DataFrame, k: Int,
+    * window (bounded per key) + one (doc, grp) aggregate. Public so
+    * the streaming gate rides the SAME islands arithmetic as the
+    * batch forms (the no-drift rule). */
+  def coveredToSpans(covered: DataFrame, k: Int,
       minLen: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered

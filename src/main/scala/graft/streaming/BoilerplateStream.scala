@@ -25,14 +25,18 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `batch=<lineage>-<batchId>` partition per micro-batch: a replayed
   * batch OVERWRITES its own partition instead of double-adding, so
   * the non-idempotent additive merge is exactly-once without tagged
-  * versions (the QualityStream subdir trick applied to state).
-  * Totals are one (chunk)-keyed sum over the state table — distinct
-  * chunks, metadata-sized relative to the corpus; long-lived streams
-  * compact the partition tree periodically (counts are associative,
-  * any fold of old partitions is safe).
+  * versions (the QualityStream subdir trick applied to state) —
+  * COMPACTED every `compactEvery` batches by the crash-safe manifest
+  * fold in [[StatePartitions]] (counts are associative), so live
+  * partitions stay bounded by the cadence, not the stream lifetime.
   *
-  * Per-batch cost: O(|batch| tokens) fan-out + one sum over
-  * O(|distinct chunks|) state rows — never the corpus. */
+  * Per-batch cost: O(|batch| tokens) fan-out + one sum over the
+  * Bloom-thinned state rows — since r15 the hot-set probe carries
+  * the d9 Bloom front (filter over the batch's own distinct chunks
+  * BEFORE the chunk-keyed sum), so only state rows whose chunk
+  * (probably) recurs in the batch shuffle; a surviving chunk keeps
+  * ALL its state rows, so its occ is exact, and false positives are
+  * harmless in [[Dedup.stripAgainstHot]]'s left join. */
 object BoilerplateStream {
 
   def readDocs(spark: SparkSession, dir: String): DataFrame =
@@ -40,9 +44,9 @@ object BoilerplateStream {
       .option("maxFilesPerTrigger", 1).load(dir)
 
   /** Accumulated chunk occurrences (chunk, occ), summed across the
-    * per-batch partitions. */
+    * LIVE per-batch partitions (compaction-aware read). */
   def chunkOcc(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/chunk_occ")
+    StatePartitions.read(spark, s"$stateDir/chunk_occ")
       .groupBy("chunk").agg(sum("occ").as("occ"))
 
   /** Cleaned output rows (doc_id, n_chunks, n_removed, clean_text). */
@@ -51,11 +55,13 @@ object BoilerplateStream {
 
   def boilerplateGate(docs: DataFrame, stateDir: String,
       width: Int = 3, minOcc: Long = 3L,
-      lineage: String = "run0"): StreamingQuery =
+      lineage: String = "run0", compactEvery: Int = 8,
+      bloomFpp: Double = 0.01): StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         import java.nio.file.{Files, Paths}
         Files.createDirectories(Paths.get(stateDir))
+        StatePartitions.requireLineage(stateDir, lineage)
         val marker = Paths.get(stateDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           val spark = batch.sparkSession
@@ -66,11 +72,29 @@ object BoilerplateStream {
           // crosses-executions rule — a lazy plan replayed at write
           // time would re-list the mutated directory)
           val ex = Dedup.docChunks(batch.toDF(), width).localCheckpoint()
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            StatePartitions.compact(spark, s"$stateDir/chunk_occ",
+              s"$lineage-$batchId", sub,
+              st => st.groupBy("chunk").agg(sum("occ").as("occ")))
           ex.groupBy("chunk").agg(count(lit(1)).as("occ"))
             .write.mode("overwrite").parquet(s"$stateDir/chunk_occ/$sub")
-          val hot = chunkOcc(spark, stateDir)
-            .filter(col("occ") >= minOcc)
-            .select(col("chunk"), lit(true).as("hot"))
+          val bc = ex.select("chunk").distinct()
+          val nBc = bc.count()
+          val hot =
+            if (nBc == 0) ex.select(col("chunk"), lit(true).as("hot")).limit(0)
+            else {
+              // the d9 Bloom front (see scaladoc): thin the state
+              // scan to the batch's probable chunks pre-aggregate
+              val bloom = bc.stat.bloomFilter("chunk", nBc, bloomFpp)
+              val bloomBc = spark.sparkContext.broadcast(bloom)
+              val mightContain =
+                udf((c: String) => bloomBc.value.mightContainString(c))
+              StatePartitions.read(spark, s"$stateDir/chunk_occ")
+                .filter(mightContain(col("chunk")))
+                .groupBy("chunk").agg(sum("occ").as("occ"))
+                .filter(col("occ") >= minOcc)
+                .select(col("chunk"), lit(true).as("hot"))
+            }
           Dedup.stripAgainstHot(ex, hot)
             .write.mode("overwrite").parquet(s"$stateDir/clean/$sub")
           val tmp = Paths.get(stateDir, s"_batch-$lineage-$batchId.tmp")

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -14,7 +13,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * spec-pinned, because the batch-id component of the first-
   * occurrence order is constant). Anchoring, span construction and
   * the token cut are the SAME operators as the batch query
-  * ([[Dedup.positionalHashedKgrams]] via the shared anchor fan-out,
+  * ([[Dedup.substringAnchors]], [[Dedup.coveredToSpans]],
   * [[Dedup.stripSpans]]), so stream and batch can never drift on
   * the definition.
   *
@@ -24,38 +23,44 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * occurrence even when a later batch brings a smaller doc_id, and
   * an already-emitted document is never retroactively re-stripped
   * when its runs become duplicated later; the periodic batch d28
-  * sweep is the retroactive complement.
+  * sweep is the retroactive complement. Batch-id ordering is only
+  * monotone within one lineage, so a stateDir is LOCKED to its
+  * first lineage ([[StatePartitions.requireLineage]] throws on a
+  * foreign marker).
   *
   * State is the per-gram occurrence table (g, cnt, first) with one
   * deterministic `batch=<lineage>-<batchId>` partition per
   * micro-batch — a replayed batch OVERWRITES its own partition
   * (exactly-once without tagged versions, the BoilerplateStream
-  * trick); totals are one g-keyed sum + min over state rows.
+  * trick) — COMPACTED every `compactEvery` batches by the
+  * crash-safe manifest fold in [[StatePartitions]] (cnt and
+  * min(first) are associative), so the live partition count is
+  * bounded by the cadence, not the stream lifetime.
   *
   * State size, stated honestly: distinct grams ≈ corpus tokens (most
   * k-grams are unique), so the state is CORPUS-PROPORTIONAL — that is
   * the inherent lower bound of exact cross-history substring dedup
   * (a suffix array carries the same information). It is disk-backed
-  * parquet, never driver- or executor-resident, and the per-batch
-  * aggregate is one g-keyed shuffle over it; the scale posture past
-  * that is (a) periodic partition compaction — cnt is associative
-  * and min(first) is associative, so any fold of old partitions is
-  * safe, exactly the BoilerplateStream cadence — and (b) a
-  * d9-pattern Bloom front on the batch's grams to thin the state
-  * probe to likely-duplicates. Per-batch cost: O(|batch| tokens)
-  * fan-out + that bounded-shape aggregate. */
+  * parquet, never driver- or executor-resident. Per-batch COST is
+  * O(batch), not O(history), since r15: a Bloom filter built over
+  * the batch's distinct grams (the d9 decontaminateBloom pattern)
+  * thins the state scan BEFORE the g-keyed sum/min aggregate, so
+  * only state rows whose gram (probably) recurs in the batch ever
+  * shuffle — |batch grams ∩ state| + fpp·|state| rows instead of
+  * the full history; Bloom false positives die in the subsequent
+  * anchor equi-join, and a batch gram's surviving rows always carry
+  * its FULL history count, so occ and first are exact. */
 object SubstringStream {
 
-  /** Batch anchor fan-out: (doc_id, pos, g) — shared shape with
-    * [[Dedup.exactSubstringSpans]]. */
+  /** Batch anchor fan-out: (doc_id, pos, g) — the shared operator
+    * ([[Dedup.substringAnchors]]). */
   private def anchors(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        Dedup.positionalHashedKgrams(col("text"), k).as("gs"))
-      .select(col("doc_id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    Dedup.substringAnchors(docs, k)
 
-  /** Accumulated per-gram state: (g, occ, first{bid, doc_id, pos}). */
+  /** Accumulated per-gram state: (g, occ, first{bid, doc_id, pos}),
+    * aggregated over the LIVE partitions (compaction-aware read). */
   def gramState(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/grams")
+    StatePartitions.read(spark, s"$stateDir/grams")
       .groupBy("g").agg(sum("cnt").as("occ"), min("first").as("first"))
 
   /** Cleaned output rows (doc_id, n_tokens, n_stripped, clean_text). */
@@ -64,11 +69,13 @@ object SubstringStream {
 
   def substringGate(docs: DataFrame, stateDir: String,
       k: Int = 10, minLen: Int = 20,
-      lineage: String = "run0"): StreamingQuery =
+      lineage: String = "run0", compactEvery: Int = 8,
+      bloomFpp: Double = 0.01): StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         import java.nio.file.{Files, Paths}
         Files.createDirectories(Paths.get(stateDir))
+        StatePartitions.requireLineage(stateDir, lineage)
         val marker = Paths.get(stateDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           val spark = batch.sparkSession
@@ -77,25 +84,47 @@ object SubstringStream {
           // the strip join that reads the directory this batch
           // appends to (the CLAUDE.md crosses-executions rule)
           val ex = anchors(batch.toDF(), k).localCheckpoint()
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            StatePartitions.compact(spark, s"$stateDir/grams",
+              s"$lineage-$batchId", sub,
+              st => st.groupBy("g")
+                .agg(sum("cnt").as("cnt"), min("first").as("first")))
           ex.groupBy("g")
             .agg(count(lit(1)).as("cnt"),
               min(struct(lit(batchId).as("bid"), col("doc_id"),
                 col("pos"))).as("first"))
             .write.mode("overwrite").parquet(s"$stateDir/grams/$sub")
-          val st = gramState(spark, stateDir).filter(col("occ") >= 2)
-          val later = ex.join(st, Seq("g"))
-            .filter(!(col("first.bid") === batchId
-              && col("first.doc_id") === col("doc_id")
-              && col("first.pos") === col("pos")))
-            .select("doc_id", "pos")
-          val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          val spans = later
-            .withColumn("grp", col("pos") - row_number().over(w))
-            .groupBy(col("doc_id"), col("grp"))
-            .agg(min("pos").cast("long").as("span_start"),
-              (max("pos") - min("pos") + k).cast("long").as("span_len"))
-            .filter(col("span_len") >= minLen)
-            .select("doc_id", "span_start", "span_len")
+          val bg = ex.select("g").distinct()
+          val nBg = bg.count()
+          val spans =
+            if (nBg == 0)
+              // every doc shorter than k tokens: nothing can strip
+              ex.select(col("doc_id"), col("pos").cast("long")
+                .as("span_start"), col("pos").cast("long").as("span_len"))
+                .limit(0)
+            else {
+              // the d9 Bloom front: thin the state scan to the
+              // batch's (probable) grams BEFORE the aggregate —
+              // per-batch shuffle is O(batch + fpp·history), and
+              // exactness survives because a bloom-positive gram
+              // keeps ALL its state rows (full occ/first) while
+              // false positives die in the anchor join below
+              val bloom = bg.stat.bloomFilter("g", nBg, bloomFpp)
+              val bloomBc = spark.sparkContext.broadcast(bloom)
+              val mightContain =
+                udf((g: Long) => bloomBc.value.mightContainLong(g))
+              val st = StatePartitions.read(spark, s"$stateDir/grams")
+                .filter(mightContain(col("g")))
+                .groupBy("g")
+                .agg(sum("cnt").as("occ"), min("first").as("first"))
+                .filter(col("occ") >= 2)
+              val later = ex.join(st, Seq("g"))
+                .filter(!(col("first.bid") === batchId
+                  && col("first.doc_id") === col("doc_id")
+                  && col("first.pos") === col("pos")))
+                .select("doc_id", "pos")
+              Dedup.coveredToSpans(later, k, minLen)
+            }
           Dedup.stripSpans(batch.toDF(), spans)
             .write.mode("overwrite").parquet(s"$stateDir/clean/$sub")
           val tmp = Paths.get(stateDir, s"_batch-$lineage-$batchId.tmp")

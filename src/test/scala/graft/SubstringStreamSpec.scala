@@ -32,12 +32,13 @@ class SubstringStreamSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("long"))
 
   private def drive(inDir: String, stateDir: String,
-      lineage: String): Unit = {
+      lineage: String, compactEvery: Int = 8): Unit = {
     val q = SubstringStream.substringGate(
       BoilerplateStream.readDocs(spark, inDir), stateDir,
-      k = 10, minLen = 20, lineage = lineage)
-    q.processAllAvailable()
-    q.stop()
+      k = 10, minLen = 20, lineage = lineage,
+      compactEvery = compactEvery)
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   test("single-batch drive reproduces batch d28 exactly") {
@@ -99,5 +100,78 @@ class SubstringStreamSpec extends AnyFunSuite {
     // a single lone doc never strips against itself
     val got = SubstringStream.cleaned(spark, stateDir).head
     assert(got.getLong(2) == 0L && got.getString(3) == run.mkString(" "))
+  }
+
+  test("compaction preserves outputs and state, bounds live partitions") {
+    val runA = (0 until 30).map(i => s"ca$i").mkString(" ")
+    val runB = (0 until 25).map(i => s"cb$i").mkString(" ")
+    val batches = Seq(
+      Seq((1L, runA)), Seq((2L, runB)), Seq((3L, runA)),   // 3 strips vs b0
+      Seq((4L, runB)), Seq((5L, runA + " " + runB)),
+      Seq((6L, "u1 u2 u3 u4 u5")))
+    def driveAll(compactEvery: Int): (String, String) = {
+      val inDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ss4_$compactEvery").toString
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ss4s_$compactEvery").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        stage(inDir, f"b$i%03d", docsDf(b))
+        drive(inDir, stateDir, "ss_cpt", compactEvery)
+      }
+      (inDir, stateDir)
+    }
+    val (_, plain) = driveAll(compactEvery = 0)     // compaction off
+    val (_, compacted) = driveAll(compactEvery = 2) // compact every 2nd batch
+    // outputs and aggregated gram state are bit-identical
+    val a = SubstringStream.cleaned(spark, plain)
+    val b = SubstringStream.cleaned(spark, compacted)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val sa = SubstringStream.gramState(spark, plain).orderBy("g")
+    val sb = SubstringStream.gramState(spark, compacted).orderBy("g")
+    assert(sa.exceptAll(sb).count() == 0 && sb.exceptAll(sa).count() == 0)
+    // compaction actually fired and bounded the live partition tree
+    val livePlain = graft.streaming.StatePartitions.liveDirs(s"$plain/grams")
+    val liveCpt = graft.streaming.StatePartitions.liveDirs(s"$compacted/grams")
+    assert(livePlain.size == batches.size)
+    assert(liveCpt.exists(_.contains("compact=")), s"no compact dir: $liveCpt")
+    assert(liveCpt.size < livePlain.size,
+      s"compaction did not shrink live partitions: ${liveCpt.size}")
+    // and the parity corpus carried live strips
+    assert(a.filter(col("n_stripped") > 0).count() >= 2)
+  }
+
+  test("a stateDir is locked to its first lineage") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss5").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss5s").toString
+    stage(inDir, "b1", docsDf(Seq((1L, (0 until 24).map(i => s"l$i").mkString(" ")))))
+    drive(inDir, stateDir, "lineageA")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drive(inDir, stateDir, "lineageB")
+    }
+    assert(ex.getMessage.contains("lineage")
+      || Option(ex.getCause).exists(_.getMessage.contains("lineage")))
+  }
+
+  test("StatePartitions: unpublished compaction is invisible, manifest flips it") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_sp").toString
+    Seq(("batch=t-0", 1L), ("batch=t-1", 2L)).foreach { case (sub, v) =>
+      Seq((v, v)).toDF("g", "cnt").write.parquet(s"$root/$sub")
+    }
+    // a compact dir WITHOUT its manifest = crashed mid-compaction:
+    // reads must ignore it and keep the inputs live
+    Seq((1L, 1L), (2L, 2L)).toDF("g", "cnt")
+      .write.parquet(s"$root/compact=t-9")
+    assert(graft.streaming.StatePartitions.liveDirs(root)
+      .map(d => Paths.get(d).getFileName.toString).toSet ==
+      Set("batch=t-0", "batch=t-1"))
+    // publish the manifest: the fold becomes the single truth even
+    // before the physical deletes run
+    Files.writeString(Paths.get(root, "_folded-t-9"), "batch=t-0\nbatch=t-1")
+    assert(graft.streaming.StatePartitions.liveDirs(root)
+      .map(d => Paths.get(d).getFileName.toString) == Seq("compact=t-9"))
+    val total = graft.streaming.StatePartitions.read(spark, root)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(total == 3L)
   }
 }
