@@ -48,14 +48,13 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct 3-token shingles of normalized text, JVM-side.
-    * Semantics identical to the declarative form
-    * `transform(sequence(...), i -> concat_ws(' ', tks[i..i+2]))` the
-    * oracle uses — but Spark's higher-order-function lambdas are
-    * *interpreted* (no codegen), which made shingling the dominant
-    * cost of every dedup operator. One tight UDF call per document
-    * is ~50× cheaper and the UDF boundary sits at a map-only stage,
-    * so nothing downstream loses codegen. */
+  /** Distinct 3-token shingles of normalized text — the SEQUENTIAL
+    * REFERENCE the ShingleHash parity spec replays; NOT a query
+    * entry point. The query-side forms are the codegen expressions
+    * ([[hashedShingles]] / [[positionalHashedShingles]], and
+    * graft.plans.TokenGrams for string grams) — the legacy
+    * `shinglesUdf` ScalaUDF was retired r15 (the r14 verdict's
+    * item 10): every remaining caller rides the expression path. */
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   private[graft] def shingleStrings(text: String): Array[String] = {
@@ -74,8 +73,6 @@ object Dedup {
     out.distinct
   }
 
-  private val shinglesUdf = udf((text: String) => shingleStrings(text))
-
   /** 32-bit seeded shingle hash, JVM-side: first 8 hex chars of
     * md5("<seed>:<s>") — the exact formula of
     * graft.functions.Hashing.h32, which the oracle mirrors. */
@@ -90,9 +87,6 @@ object Dedup {
     * boundary and no codegen fence on the hottest dedup stage. */
   def positionalHashedShingles(text: Column): Column =
     graft.plans.ShingleHash.positionalHashedShingles(text)
-
-  /** Column forms. */
-  def shingles(text: Column): Column = shinglesUdf(text)
 
   /** Distinct ASCENDING 32-bit-hashed shingles (seed 0). Hash
     * collisions can merge shingles with probability |sh|²/2³² —

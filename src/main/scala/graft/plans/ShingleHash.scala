@@ -59,14 +59,22 @@ object ShingleHash {
 
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** THE tokenization every gram operator shares (lower → collapse
+    * whitespace → trim → split) — [[TokenGrams]] consumes the same
+    * array, so string grams and hashed grams cannot drift (the d25
+    * lesson: two tokenizations is a parity bug waiting to land). */
+  def tokens(s: UTF8String): Array[String] = {
+    val norm = wsPattern.matcher(s.toString.toLowerCase).replaceAll(" ").trim
+    wsPattern.split(norm)
+  }
+
   /** Shared by interpreted eval and generated code. Normalization
     * and hashing are byte-for-byte the legacy UDF chain:
     * lower → collapse whitespace → trim → split → k-token windows
     * (short-tail unless fullOnly) → h32(seed 0). */
   def compute(s: UTF8String, k: Int, positional: Boolean,
       fullOnly: Boolean): Array[Long] = {
-    val norm = wsPattern.matcher(s.toString.toLowerCase).replaceAll(" ").trim
-    val tks = wsPattern.split(norm)
+    val tks = tokens(s)
     val n0 = tks.length - k + 1
     val n = if (fullOnly) n0 else math.max(n0, 1)
     if (n <= 0) return Array.emptyLongArray

@@ -87,7 +87,11 @@ object Bpe {
       merges: Seq[(String, String)]): DataFrame = {
     val ms = merges // stable local for the closure
     val enc = udf { (text: String) =>
-      val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // strip the separator char from word content (the Unigram
+      // guard): a word containing the literal '␠' would decode
+      // ambiguously — losslessness is over separator-free text
+      val words = text.trim.toLowerCase.split("\\s+").iterator
+        .map(_.replace("␠", "")).filter(_.nonEmpty).toArray
       val out = Seq.newBuilder[String]
       var first = true
       words.foreach { w =>

@@ -27,19 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
-  /** Consecutive token pairs ("w1 w2"), non-distinct, order-free.
-    * JVM-side for the same reason as Dedup.shingleStrings: Spark's
-    * higher-order-function lambdas are interpreted, a tight UDF runs
-    * at scan speed and the boundary is map-only. Mirrors the oracle's
-    * list_transform(range(1, len), i -> concat(tks[i],' ',tks[i+1])). */
+  /** Consecutive token pairs ("w1 w2"), non-distinct, in document
+    * order. Since r15 this is the codegen [[graft.plans.TokenGrams]]
+    * expression with k=2 over the gram family's SHARED tokenizer
+    * (ShingleHash.tokens) — one tokenization codepath for hashed and
+    * string grams, no ScalaUDF boundary on ta11's input stage.
+    * Mirrors the oracle's
+    * list_transform(range(1, len), i -> concat(tks[i],' ',tks[i+1])).
+    * [[bigramStrings]] stays as the sequential reference the parity
+    * spec (TokenGramsSpec) replays. */
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
-  private[text] def bigramStrings(text: String): Array[String] = {
+  private[graft] def bigramStrings(text: String): Array[String] = {
     val tks = wsPattern.split(text.toLowerCase.trim)
     if (tks.length < 2) Array.empty
     else Array.tabulate(tks.length - 1)(i => tks(i) + " " + tks(i + 1))
   }
-  private val bigramsUdf = udf((text: String) => bigramStrings(text))
-  def bigrams(text: Column): Column = bigramsUdf(text)
+  def bigrams(text: Column): Column =
+    graft.plans.TokenGrams.tokenGrams(text, 2)
 
   /** (doc_id, n_bigrams, avg_logprob) for every document with at
     * least one bigram. avg_logprob = Σ ln(C(w1,w2)/C(w1·)) / n,

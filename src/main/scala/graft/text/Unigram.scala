@@ -171,7 +171,13 @@ object Unigram {
       vocab: Vocab): DataFrame = {
     val v = vocab
     val enc = udf { (text: String) =>
-      val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // the separator char is STRIPPED during word normalization:
+      // a corpus word containing the literal '␠' would otherwise
+      // decode ambiguously (split-on-separator can't tell word
+      // boundary from word content) — losslessness is over the
+      // separator-free normalized text
+      val ws = text.trim.toLowerCase.split("\\s+").iterator
+        .map(_.replace("␠", "")).filter(_.nonEmpty).toArray
       val out = Seq.newBuilder[String]
       var first = true
       ws.foreach { w =>

@@ -114,4 +114,29 @@ class UnigramSpec extends AnyFunSuite {
       assert(words.mkString(" ") == norm(id), s"corpus round-trip: doc $id")
     }
   }
+
+  test("a corpus word containing the separator char still decodes losslessly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // '␠' INSIDE a word would make split-on-separator ambiguous; the
+    // encoder strips it during word normalization, so the round-trip
+    // target is the separator-free normalized text
+    val docs = Seq((1L, "plain a␠b words"), (2L, "␠ only"), (3L, "x ␠␠ y"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text").localCheckpoint(true)
+    val v = Unigram.train(wc, vocabSize = 50, rounds = 1,
+      maxPieceLen = 4, maxSeed = 100)
+    val enc = Unigram.encodeCorpus(docs, col("doc_id"), col("text"), v).collect()
+    val expect = Map(1L -> "plain ab words", 2L -> "only", 3L -> "x y")
+    enc.foreach { r =>
+      val toks = r.getSeq[String](1)
+      assert(!toks.exists(t => t != "␠" && t.contains("␠")),
+        "no content token may carry the separator char")
+      val words = toks.foldLeft(Vector("")) { (acc, t) =>
+        if (t == "␠") acc :+ "" else acc.updated(acc.length - 1, acc.last + t)
+      }
+      assert(words.mkString(" ") == expect(r.getLong(0)),
+        s"separator round-trip: doc ${r.getLong(0)}")
+    }
+  }
 }
