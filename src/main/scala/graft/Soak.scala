@@ -283,6 +283,63 @@ object Soak {
     val (tIntRep, nIntRep) = time(dedup.Dedup.stripInternalRepeats(corpus, 3)
       .agg(sum("n_removed")).head.getLong(0))
 
+    // --- substring-rung scale tier (r14 verdict item 9): the
+    // dedup→ANN composition's 30×/100× treatment applied to
+    // d26/d28. Three receipts per tier: d26 span count + wall
+    // (linearity), d28 stripped-token volume + wall (the rewrite
+    // stays within ~2× detection), and GRAM STATE — the distinct
+    // duplicated (occ ≥ 2) 10-grams that writeGramIndex persists and
+    // SubstringStream holds, the honest corpus-proportional bound.
+    // Char-shifted replicas are the worst case (most positions
+    // covered, per-replica grams distinct), so state growth here is
+    // the CEILING of the documented bound.
+    def substrCorpus(nRep: Int) =
+      if (nRep == nReplicas) corpus
+      else (0 until nRep).map { i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          substring(col("text"), (i % 40) + 1, Int.MaxValue).as("text"))
+      }.reduce(_ unionByName _)
+    def gramStateCount(c: org.apache.spark.sql.DataFrame): Long =
+      c.select(explode(
+          plans.ShingleHash.positionalKgrams(col("text"), 10)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2L).count()
+    def substrTier(nRep: Int): (Double, Long, Double, Long, Long) = {
+      val c = substrCorpus(nRep)
+      val (t26, spans) = time(
+        dedup.Dedup.exactSubstringSpans(c, k = 10, minLen = 20).count())
+      val (t28, struck) = time(dedup.Dedup.stripSubstringDups(c, 10, 20)
+        .agg(sum("n_stripped")).head.getLong(0))
+      (t26, spans, t28, struck, gramStateCount(c))
+    }
+    val gram1 = gramStateCount(substrCorpus(1))
+    val gram10 = gramStateCount(corpus)
+    val (t26_30, spans30, t28_30, struck30, gram30) = substrTier(30)
+    val (t26_100, spans100, t28_100, struck100, gram100) = substrTier(100)
+
+    // --- phash width-knob receipt (r14 verdict item 6): the
+    // "widen the HASH, not the blocking" claim measured — raw
+    // pigeonhole CANDIDATE volume (the pre-filter join size) at
+    // 60-bit (10-bit chunks) vs 120-bit (20-bit chunks) on the same
+    // replica corpus. The wide hash must shrink candidates by orders
+    // of magnitude while keeping the verified near-dup pairs.
+    def phashWidthCell(bits: Int): (Long, Long) = {
+      val h = corpus.select(col("doc_id").as("id"),
+        multimodal.Multimodal.blockHash(col("text").cast("binary"), bits)
+          .as("ph"))
+      val ch = multimodal.Multimodal.phashChunksWide(h, "id", "ph", bits, 5)
+        .localCheckpoint(false) // single-plan, both join branches
+      val cands = ch.as("a").join(ch.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.id") < col("b.id")).count()
+      val pairs = multimodal.Multimodal
+        .phashNearDupPairsWide(h, "id", "ph", bits, 5).count()
+      (cands, pairs)
+    }
+    val (cand60, pairsW60) = phashWidthCell(60)
+    val (cand120, pairsW120) = phashWidthCell(120)
+
     // --- d25 hot-set GROWTH curve (r13 verdict: the broadcast-hint
     // removal needs the hot set's corpus-proportionality measured,
     // not asserted): |{chunk : occ ≥ 3}| at 1×/10×/30× replicas.
@@ -365,11 +422,15 @@ object Soak {
           count(lit(1))).head.getLong(1))
         // listener events drain async — settle before reading
         Thread.sleep(1000)
-        spark.sparkContext.removeSparkListener(skewListener)
         (t, n, maxTask.get())
-      } finally saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None)    => conf.unset(k)
+      } finally {
+        // remove in finally (r14 advice): a throwing frame must not
+        // leave the listener polluting later cells' maxTask
+        spark.sparkContext.removeSparkListener(skewListener)
+        saved.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None)    => conf.unset(k)
+        }
       }
     }
     val plainJoin = skewBig.join(skewSmall, col("k") === col("k2"))
@@ -936,7 +997,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

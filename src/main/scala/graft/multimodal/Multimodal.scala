@@ -89,6 +89,32 @@ object Multimodal {
     }.reduce(_ + _)
   }
 
+  /** WIDTH-GENERIC block hash — the 100-TB knob the blockHash60
+    * scaladoc promises ("widen the HASH, not the blocking"), as code
+    * since r15 (the r14 verdict's item 6). `bits` must be a multiple
+    * of 60; the hash rides as array<long> of bits/60 words, word w
+    * holding FULL-hash bits [60w, 60w+60) in its low 60 bits. Bit j
+    * of the full hash reads the byte at ⌊j·n/bits⌋ with the same
+    * fixed threshold as blockHash60, so blockHash(p, 60)[0] IS
+    * blockHash60(p) bit-for-bit (spec-pinned). Wider bits → more
+    * sampled positions → sparser pigeonhole buckets downstream
+    * (density n/2^chunkBits per chunk) — the knob that keeps
+    * candidate volume flat as the corpus grows 100×. */
+  def blockHash(payload: Column, bits: Int): Column = {
+    require(bits >= 60 && bits % 60 == 0,
+      s"bits must be a positive multiple of 60, got $bits")
+    val s = payload.cast("string")
+    val n = length(s)
+    array((0 until bits / 60).map { w =>
+      (0 until 60).map { b =>
+        val j = w * 60 + b
+        when(ascii(s.substr(
+            floor(lit(j) * n / bits.toDouble).cast("int") + 1, lit(1))) > 96,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
   /** Near-duplicate payload pairs by perceptual-hash Hamming distance
     * ≤ maxHamming — the multimodal twin of d4's SimHash dedup, same
     * pigeonhole scheme: split the 60-bit hash into maxHamming+1
@@ -99,10 +125,10 @@ object Multimodal {
     *
     * Scale knob: bucket density is n / 2^chunkBits per chunk, so at
     * 100 TB widen the HASH, not the corpus blocking — a 120-bit
-    * blockHash with maxHamming=5 gives 20-bit chunks (1M buckets
-    * each); this banding code is width-generic, only the hash column
-    * changes (the soak measures the 60-bit density: 69k pairs from
-    * 50k docs). */
+    * [[blockHash]] with maxHamming=5 gives 20-bit chunks (1M buckets
+    * each) through [[phashNearDupPairsWide]], the same banding over
+    * the array<long> word form; the soak meters candidate volume at
+    * 60 vs 120 bits on the replica corpus. */
   def phashNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && 60 % (maxHamming + 1) == 0,
@@ -124,6 +150,61 @@ object Multimodal {
       // candidates map-side keeps the distinct's shuffle at
       // matched-pair volume instead of chunk-collision-candidate
       // volume
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (id, ph, chunk_idx, chunk_val) fan-out for the WIDE hash — the
+    * pigeonhole front of [[phashNearDupPairsWide]], exposed so the
+    * soak can meter raw candidate volume (the pre-filter join size
+    * the width knob exists to shrink). Chunk c covers full-hash bits
+    * [c·chunkBits, (c+1)·chunkBits); a chunk spanning two 60-bit
+    * words is reassembled with two shifts and a mask. */
+  private[graft] def phashChunksWide(hashed: DataFrame, idCol: String,
+      hashCol: String, bits: Int, maxHamming: Int): DataFrame = {
+    require(bits >= 60 && bits % 60 == 0,
+      s"bits must be a positive multiple of 60, got $bits")
+    val nChunks = maxHamming + 1
+    require(maxHamming >= 0 && bits % nChunks == 0,
+      s"maxHamming+1 must divide bits=$bits, got $maxHamming")
+    val chunkBits = bits / nChunks
+    require(chunkBits <= 60, s"chunk width $chunkBits exceeds a word")
+    val mask = if (chunkBits == 60) (1L << 60) - 1 else (1L << chunkBits) - 1
+    def chunkVal(ph: Column, c: Int): Column = {
+      val lo = c * chunkBits
+      val hi = (c + 1) * chunkBits - 1
+      val wlo = lo / 60
+      val off = lo % 60
+      if (hi / 60 == wlo)
+        shiftrightunsigned(element_at(ph, wlo + 1), off).bitwiseAND(lit(mask))
+      else
+        // spans two words: low 60-off bits from word wlo, the rest
+        // from the next word's low bits; over-shifted garbage dies
+        // in the mask
+        shiftrightunsigned(element_at(ph, wlo + 1), off)
+          .bitwiseOR(shiftleft(element_at(ph, wlo + 2), 60 - off))
+          .bitwiseAND(lit(mask))
+    }
+    hashed.select(col(idCol).as("id"), col(hashCol).as("ph"),
+      posexplode(array((0 until nChunks).map(chunkVal(col(hashCol), _)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+  }
+
+  /** [[phashNearDupPairs]] for the width-generic array<long> hash
+    * (same pigeonhole guarantee: within-bound pairs agree exactly on
+    * ≥1 chunk). Hamming over the word array is a light per-element
+    * HOF (2 words at 120-bit) — the r6-measured fast shape. */
+  def phashNearDupPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int): DataFrame = {
+    val chunks = phashChunksWide(hashed, idCol, hashCol, bits, maxHamming)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        aggregate(zip_with(col("a.ph"), col("b.ph"),
+            (x, y) => bit_count(x.bitwiseXOR(y))),
+          lit(0), (s, v) => s + v).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -41,6 +41,56 @@ object StreamConfig {
       case TriggerPolicy.Eager => w
     }
 
+  /** State-store provider selection — the 100-TB KEYED-STATE posture
+    * (the r14 verdict's hardening item 2). The default HDFS-backed
+    * provider holds every key's state on the executor HEAP, so total
+    * keyed state is bounded by executor memory; the RocksDB provider
+    * (bundled with Spark) spills keyed state to executor-local disk
+    * with changelog checkpointing, which is what an open-world key
+    * population (sessions, gaps, crawl frontier) needs at scale.
+    * Spark reads the provider class from the session conf AT QUERY
+    * START and pins it for the query's lifetime, so scope-setting via
+    * [[withStateStore]] is the whole wiring — no per-operator code
+    * changes, and outputs are provider-independent (spec-pinned on
+    * all four flatMapGroupsWithState gates). */
+  sealed trait StateStore
+  object StateStore {
+    /** HDFSBackedStateStoreProvider — heap-resident, the default. */
+    case object DefaultHeap extends StateStore
+    /** RocksDBStateStoreProvider with changelog checkpointing —
+      * per-batch deltas to the checkpoint instead of full SST
+      * snapshot uploads, the large-state operating mode. */
+    case object RocksDb extends StateStore
+  }
+
+  /** The session-conf entries a provider choice means. */
+  def stateStoreConf(s: StateStore): Map[String, String] = s match {
+    case StateStore.DefaultHeap => Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    case StateStore.RocksDb => Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+  }
+
+  /** Run `body` with the provider set, restoring the prior conf
+    * after. The provider binds at query start: every stream STARTED
+    * inside `body` carries it for its whole lifetime, even past the
+    * restore. */
+  def withStateStore[T](spark: SparkSession, s: StateStore)(body: => T): T = {
+    val conf = spark.conf
+    val kvs = stateStoreConf(s)
+    val saved = kvs.keys.map(k =>
+      k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    kvs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   /** Kafka source parameters. `maxOffsetsPerTrigger` is the
     * micro-batch size governor — at 100 TB/day it is what keeps a
     * batch's shuffle within executor memory; bound it to

@@ -1,0 +1,100 @@
+package graft
+
+import graft.streaming.{FrontierStream, GapStream, SessionStream,
+  StreamConfig, TransitionStream}
+import graft.streaming.StreamConfig.StateStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r14 verdict's keyed-state hardening item: the RocksDB state
+  * store is a TESTED config, not a default — all four
+  * flatMapGroupsWithState gates run under the RocksDB provider
+  * (changelog checkpointing on) and must emit byte-identical rows to
+  * the default heap provider, and the provider actually engages
+  * (progress metrics name it). The conf scope helper must restore
+  * prior values on exit and on throw. */
+class RocksDbStateSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def eventsDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf/events.parquet"))
+    dir.toString
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("all four keyed-state gates emit identical rows under RocksDB") {
+    val dir = eventsDir()
+    val urlDir = java.nio.file.Files.createTempDirectory("graft_rocks_u").toString
+    locally {
+      import spark.implicits._
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_rocks_us").toString + "/out"
+      Seq((1L, "http://www.A.com:80/p?utm_source=f"), (2L, "http://a.com/p/"),
+        (3L, "http://a.com/q"), (4L, "http://a.com/p#frag"),
+        (5L, "http://a.com/r"))
+        .toDF("id", "url").coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(urlDir, "b1.parquet"))
+    }
+    def driveAll(tag: String): Map[String, Set[Seq[Any]]] = Map(
+      "session" -> rows(SessionStream.runOnce(spark, dir, s"rx_sess_$tag",
+        gapSeconds = 1800L)),
+      "gap" -> rows(GapStream.runOnce(spark, dir, s"rx_gap_$tag")),
+      "transition" -> rows(TransitionStream.runOnce(spark, dir, s"rx_tr_$tag")),
+      "frontier" -> rows(FrontierStream.runOnce(spark, urlDir, s"rx_fr_$tag")))
+    val heap = driveAll("heap")
+    assert(heap("session").nonEmpty && heap("gap").nonEmpty
+      && heap("transition").nonEmpty && heap("frontier").nonEmpty)
+    val rocks = StreamConfig.withStateStore(spark, StateStore.RocksDb) {
+      driveAll("rocks")
+    }
+    heap.keys.foreach { k =>
+      assert(heap(k) == rocks(k),
+        s"$k gate output differs under RocksDB: " +
+          s"missing ${(heap(k) -- rocks(k)).take(3)}, " +
+          s"extra ${(rocks(k) -- heap(k)).take(3)}")
+    }
+  }
+
+  test("the RocksDB provider actually engages (named in query progress)") {
+    val dir = eventsDir()
+    val got = StreamConfig.withStateStore(spark, StateStore.RocksDb) {
+      val q = SessionStream
+        .sessionize(graft.streaming.EventsStream.readEvents(spark, dir), 1800L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rx_engage").start()
+      q.processAllAvailable()
+      val provider = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption)
+        .map(_.customMetrics.toString)
+      q.stop()
+      provider
+    }
+    // RocksDB publishes provider-specific custom metrics (sst/memtable
+    // families) the heap provider doesn't have
+    assert(got.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb custom metrics in progress: $got")
+  }
+
+  test("withStateStore restores prior conf on exit and on throw") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = scala.util.Try(spark.conf.get(key)).toOption
+    StreamConfig.withStateStore(spark, StateStore.RocksDb) {
+      assert(spark.conf.get(key).contains("RocksDB"))
+    }
+    assert(scala.util.Try(spark.conf.get(key)).toOption == before)
+    intercept[RuntimeException] {
+      StreamConfig.withStateStore(spark, StateStore.RocksDb) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(scala.util.Try(spark.conf.get(key)).toOption == before)
+  }
+}
