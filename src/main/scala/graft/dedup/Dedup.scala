@@ -409,6 +409,43 @@ object Dedup {
       .filter(col("n_shared") >= minSharedShingles)
   }
 
+  /** Cross-corpus exact-substring DECONTAMINATION rewrite (d29) —
+    * the Lee et al. 2022 strip applied against an EVAL set: every
+    * maximal ≥ minLen-token run in a corpus document whose k-grams
+    * all occur somewhere in the benchmark is cut, and the document
+    * reassembled from surviving tokens. Completes the
+    * decontamination ladder: [[decontaminate]]/[[decontaminateBloom]]
+    * give a DOC verdict (drop wholesale), [[contaminationSpans]]
+    * gives audit provenance (a coarse [first, last] bound per pair),
+    * this ships the SURGICAL cut — the remediation that keeps the
+    * un-leaked 95% of a lightly-contaminated document instead of
+    * dropping it.
+    *
+    * Covered ⟺ the position's k-gram occurs in the eval set —
+    * exactly d26's covered-position rule with "occurs ≥ 2 corpus-
+    * wide" swapped for "occurs in eval", so islands, the ≥ minLen
+    * cut and the token strip are the SAME shared operators
+    * ([[substringAnchors]], [[coveredToSpans]], [[stripSpans]]) and
+    * cannot drift from the within-corpus rungs.
+    *
+    * Scale shape: the eval side is small by contract (the d7/d23
+    * posture) — its distinct gram set broadcasts; the corpus side is
+    * one map-only anchor fan-out + the broadcast semi-join + the
+    * per-doc islands window. Nothing corpus-proportional shuffles on
+    * the eval key, nothing is pairwise. For an eval set too large to
+    * broadcast, drop the hint — the same un-hinted posture as d26's
+    * covered join. */
+  def stripEvalSubstrings(corpus: DataFrame, benchmark: DataFrame,
+      k: Int, minLen: Int): DataFrame = {
+    val evalGrams = benchmark
+      .select(explode(positionalHashedKgrams(col("text"), k)).as("g"))
+      .distinct()
+    val covered = substringAnchors(corpus, k)
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id", "pos")
+    stripSpans(corpus, coveredToSpans(covered, k, minLen))
+  }
+
   /** Bloom-prefiltered decontamination: same output contract as
     * [[decontaminate]] — EXACTLY, because the Bloom pass is only a
     * prefilter — but the exploded corpus shingle stream is thinned

@@ -121,6 +121,39 @@ object DedupSim {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** d29: cross-corpus exact-substring DECONTAMINATION rewrite —
+    * the Lee et al. 2022 strip applied against the eval set (the
+    * d7/d23 convention: docs < 10 are the benchmark, the rest the
+    * corpus). d7 drops whole contaminated docs, d23 reports coarse
+    * [first, last] audit bounds; this SURGICALLY cuts every maximal
+    * ≥ 20-token run whose 10-grams occur in the eval set and keeps
+    * the rest of the document. Planted positives (the d24 synthesis
+    * pattern, both HAVING branches live at every SF): each eval doc
+    * gets a LONG corpus twin (+4,000,000: three vocab-disjoint
+    * tokens then eval tokens 8..47 — a 40-token verbatim leak that
+    * strips to the three unique tokens) and a SHORT twin
+    * (+4,100,000: eval tokens 8..22, a 15-token covered island
+    * UNDER minLen that must survive untouched — the cut's drop
+    * branch, deterministic at every SF). The cleaned STRING is
+    * hash-compared (the ta8/d25/d28 posture); counts ALL-INTEGER. */
+  def d29DecontamStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val eval = docs.filter(col("doc_id") < 10)
+    def twin(offset: Long, pfx: String, from: Int, len: Int) =
+      eval.select((col("doc_id") + offset).as("doc_id"),
+        concat_ws(" ",
+          concat(lit(pfx + "q"), col("doc_id")),
+          concat(lit(pfx + "r"), col("doc_id")),
+          concat(lit(pfx + "s"), col("doc_id")),
+          array_join(slice(split(trim(col("text")), "\\s+"), from, len), " "))
+          .as("text"))
+    val corpus = docs.filter(col("doc_id") >= 10)
+      .unionByName(twin(4000000L, "zt", 8, 40))
+      .unionByName(twin(4100000L, "zu", 8, 15))
+    Dedup.stripEvalSubstrings(corpus, eval, k = 10, minLen = 20)
+      .orderBy("doc_id")
+  }
+
   /** d9: Bloom-prefiltered decontamination — the map-side-thinned
     * twin of d7 (exact same output contract by the no-false-negative
     * argument in Dedup.decontaminateBloom; run here at threshold 2
@@ -892,6 +925,7 @@ object DedupSim {
     "d6_editdist" -> (d6EditDist _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d23_contam_spans" -> (d23ContamSpans _),
+    "d29_decontam_strip" -> (d29DecontamStrip _),
     "d8_cluster" -> (d8Cluster _),
     "d9_bloom" -> (d9Bloom _),
     "d10_dupspans" -> (d10DupSpans _),
@@ -1155,6 +1189,63 @@ object DedupSim {
              row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn
            FROM g),
          cov AS (SELECT doc_id, pos FROM r WHERE occ >= 2 AND rn > 1),
+         isl AS (SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM cov),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 10 AS l
+           FROM isl GROUP BY doc_id, grp
+           HAVING max(pos) - min(pos) + 10 >= 20),
+         tok AS (SELECT doc_id, unnest(range(0, len(tks))) AS i, tks FROM t),
+         tok2 AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+             tks[CAST(i + 1 AS INT)] AS tk FROM tok),
+         kept AS (SELECT k.doc_id, k.i, k.tk FROM tok2 k
+           LEFT JOIN sp ON k.doc_id = sp.doc_id
+             AND k.i >= sp.s AND k.i < sp.s + sp.l
+           WHERE sp.s IS NULL),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tk, ' ' ORDER BY i) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+           CAST(len(tks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_stripped,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+    // d29: the d28 strip replay with the covered rule swapped —
+    // a position is covered iff its 10-gram occurs in the EVAL set
+    // (docs < 10); islands/minLen/strip identical to d28's CTEs
+    "d29_decontam_strip" ->
+      s"""WITH ev AS (SELECT text FROM documents WHERE doc_id < 10),
+         corpus AS (
+           SELECT doc_id, text FROM documents WHERE doc_id >= 10
+           UNION ALL
+           SELECT doc_id + 4000000,
+             concat('ztq', doc_id, ' ztr', doc_id, ' zts', doc_id, ' ',
+               array_to_string(list_slice(
+                 regexp_split_to_array(trim(text), '\\s+'), 8, 47), ' '))
+           FROM documents WHERE doc_id < 10
+           UNION ALL
+           SELECT doc_id + 4100000,
+             concat('zuq', doc_id, ' zur', doc_id, ' zus', doc_id, ' ',
+               array_to_string(list_slice(
+                 regexp_split_to_array(trim(text), '\\s+'), 8, 22), ' '))
+           FROM documents WHERE doc_id < 10),
+         evt AS (SELECT
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tks
+           FROM ev),
+         evp AS (SELECT unnest(range(1, greatest(len(tks) - 9, 0) + 1)) AS i, tks
+           FROM evt),
+         evg AS (SELECT DISTINCT
+             ${h32sql(0, "array_to_string(tks[i:i+9], ' ')")} AS gh
+           FROM evp),
+         t AS (SELECT doc_id,
+             regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS tks
+           FROM corpus),
+         p AS (SELECT doc_id, unnest(range(1, greatest(len(tks) - 9, 0) + 1)) AS i, tks
+           FROM t),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ${h32sql(0, "array_to_string(tks[i:i+9], ' ')")} AS gh
+           FROM p),
+         cov AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM evg)),
          isl AS (SELECT doc_id, pos,
              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
            FROM cov),

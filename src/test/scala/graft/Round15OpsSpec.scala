@@ -76,6 +76,54 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(grams.columns.toSet == Set("g", "occ", "first"))
   }
 
+  // ---- d29: cross-corpus exact-substring decontamination ----
+
+  test("d29 strips the long planted leak to its unique tokens, keeps the short one") {
+    val out = SparkEntry.queries("d29_decontam_strip")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // eval docs (0..9) are NOT part of the corpus output
+    assert(!out.keys.exists(_ < 10L), "eval docs must not be stripped rows")
+    val longTwins = out.keys.filter(id => id >= 4000000L && id < 4100000L)
+    assert(longTwins.nonEmpty)
+    longTwins.foreach { id =>
+      val (n, s, t) = out(id)
+      val evId = id - 4000000L
+      // a long-enough eval doc leaks 40 tokens; the twin keeps only
+      // its three vocab-disjoint tokens (shorter eval docs leak
+      // sub-minLen runs and strip nothing — both exact)
+      if (n >= 23L) {
+        assert(t == s"ztq$evId ztr$evId zts$evId", s"twin $id kept: $t")
+        assert(s == n - 3)
+      } else assert(s == 0L, s"short-leak twin $id must not strip")
+    }
+    val shortTwins = out.keys.filter(_ >= 4100000L)
+    assert(shortTwins.nonEmpty)
+    shortTwins.foreach { id =>
+      val (n, s, t) = out(id)
+      assert(s == 0L, s"sub-minLen covered island must survive: twin $id")
+      assert(t.startsWith(s"zuq${id - 4100000L} "))
+    }
+    // the no-contamination branch is live: most corpus docs untouched
+    val natural = out.filter { case (id, _) => id >= 10L && id < 4000000L }
+    assert(natural.count { case (_, (_, s, _)) => s == 0L } > natural.size / 2)
+  }
+
+  test("d29 rides the shared span machinery: covered rule is eval-occurrence") {
+    import spark.implicits._
+    // corpus doc copies eval tokens 5..34 at offset 2 (unaligned);
+    // exactly that 30-token run must strip
+    val evalDoc = (0 until 40).map(i => s"e$i").mkString(" ")
+    val corpusText = "x0 x1 " + (5 until 35).map(i => s"e$i").mkString(" ") + " x2"
+    val eval = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val row = Dedup.stripEvalSubstrings(corpus, eval, k = 10, minLen = 20)
+      .collect().head
+    assert(row.getAs[Long]("n_tokens") == 33L)
+    assert(row.getAs[Long]("n_stripped") == 30L)
+    assert(row.getAs[String]("clean_text") == "x0 x1 x2")
+  }
+
   // ---- SimHashFold codegen vs reference fold ----
 
   test("SimHashFold matches a reference per-bit majority fold") {
