@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.installNullCheckSimplifier(spark)
     // warmup: tiny jobs exercising the scan, window, broadcast-join
     // and native vector codegen paths, so JIT/codegen init isn't
     // charged to whichever query happens to run first

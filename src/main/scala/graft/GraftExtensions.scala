@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.quantilesEntry)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    e.injectOptimizerRule(_ => graft.plans.SimplifyBothWaysNullChecks)
   }
 }
 
@@ -103,8 +104,20 @@ object GraftExtensions {
           "array<double> of the value at each integer-percent probe"),
       quantilesBuilder)
 
+  /** Live-session route for the null-check simplifier (a pure
+    * expression rewrite, safe without any planner strategy —
+    * unlike TopKRewriteRule, whose logical node needs the injected
+    * strategy and therefore stays builder-route only). Idempotent. */
+  def installNullCheckSimplifier(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.SimplifyBothWaysNullChecks))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.SimplifyBothWaysNullChecks
+  }
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
+    installNullCheckSimplifier(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", binary("graft_dot")(DotProduct), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

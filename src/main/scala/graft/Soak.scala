@@ -16,6 +16,7 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.installNullCheckSimplifier(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val nReplicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt

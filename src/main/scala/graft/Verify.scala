@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.installNullCheckSimplifier(spark)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for isolating queries while
     // iterating locally (oracle json restricted to match so check.py

@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   * IntersectCount for jaccard-threshold joins.
   */
 case class IntersectAtLeast(left: Expression, right: Expression,
-    needed: Expression) extends TernaryExpression {
+    needed: Expression) extends TernaryExpression with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def first: Expression = left
   override def second: Expression = right

@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * arrays ascending and duplicate-free.
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = IntegerType
 

@@ -37,7 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    trailing short window standing in for tiny docs.
   */
 case class ShingleHash(child: Expression, k: Int, positional: Boolean,
-    fullOnly: Boolean) extends UnaryExpression {
+    fullOnly: Boolean) extends UnaryExpression with NullBothWays {
+
+  // null in => null out (nullSafeEval): lets the optimizer infer
+  // isnotnull(child) instead of re-evaluating this chain in a filter
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

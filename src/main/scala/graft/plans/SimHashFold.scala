@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * The mix+vote loop is the single source of truth for the fold —
   * graft.dedup.SimHash delegates both its map-pass and its
   * Aggregator to [[mix64]]. */
-case class SimHashFold(child: Expression) extends UnaryExpression {
+case class SimHashFold(child: Expression) extends UnaryExpression
+    with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = LongType
 

@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the replace-length identity (a–z and space are ASCII, so their
   * counts are loop-safe).
   */
-case class CharClassCounts(child: Expression) extends UnaryExpression {
+case class CharClassCounts(child: Expression) extends UnaryExpression
+    with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated code calls one static helper, keeping the tokenize
   * stage inside the WholeStageCodegen span.
   */
-case class TokenGrams(child: Expression, k: Int) extends UnaryExpression {
+case class TokenGrams(child: Expression, k: Int) extends UnaryExpression
+    with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * composable form and the DuckDB oracle exactly.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = DoubleType
 

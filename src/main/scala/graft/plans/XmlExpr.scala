@@ -193,8 +193,12 @@ object XmlSlots {
 
 /** `array<array<string>>` of every slot's result from ONE parse of
   * the child XML string. See [[XmlSlots]]. */
+// NOT NullBothWays: empty-string (non-null) XML evaluates to null,
+// so isnotnull(xpath_slots(x)) must NOT rewrite to isnotnull(x)
 case class XPathSlots(child: Expression, slots: XmlSlots)
     extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType =
     ArrayType(ArrayType(StringType, containsNull = true), containsNull = true)
@@ -251,7 +255,9 @@ final class XmlProbe extends Serializable {
   * quarantine split can branch on — unlike the `xpath_*` family,
   * which THROWS on malformed input and would fail the whole task. */
 case class XmlWellFormed(child: Expression, probe: XmlProbe = new XmlProbe)
-    extends UnaryExpression {
+    extends UnaryExpression with NullBothWays {
+
+  override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 

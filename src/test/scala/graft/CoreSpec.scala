@@ -11,6 +11,7 @@ object TestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.installNullCheckSimplifier(s)
     s
   }
   val sf = "/root/testdata/sf0.001"
