@@ -75,6 +75,56 @@ object DecontamStream {
       spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  private val cleanSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_tokens", LongType),
+    StructField("n_stripped", LongType),
+    StructField("clean_text", StringType)))
+
+  /** Stripped documents from [[stripGate]]:
+    * (doc_id, n_tokens, n_stripped, clean_text). */
+  def cleaned(spark: SparkSession, outDir: String): DataFrame =
+    readSink(spark, s"$outDir/clean", cleanSchema)
+
+  /** d29's door twin — the SURGICAL decontamination gate next to the
+    * drop gate above: every arriving document is stripped of
+    * eval-leaked ≥ minLen-token runs with EXACTLY the batch operator
+    * ([[Dedup.stripEvalSubstrings]] — same covered rule, islands and
+    * token cut as the oracled d29 query, so stream and batch can
+    * never drift), keeping the un-leaked rest of the document where
+    * [[decontamGate]] would quarantine it wholesale.
+    *
+    * NO streaming state at all: the eval gram universe is fixed at
+    * gate start (pinned once, same eager rule as the drop gate) and
+    * the strip is per-document — so unlike the
+    * SubstringStream/BoilerplateStream door twins there is no
+    * arrival-order deviation to state: the union of per-batch
+    * outputs over ANY batching of a corpus equals batch d29 on that
+    * corpus EXACTLY (spec-pinned on a two-batch drive). Per-batch
+    * cost O(|batch| tokens) forever. Exactly-once via the
+    * QualityStream marker protocol with overwrite-own-partition. */
+  def stripGate(docs: DataFrame, benchmark: DataFrame, outDir: String,
+      k: Int = 10, minLen: Int = 20, lineage: String = "run0",
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val bench = benchmark.select("doc_id", "text").localCheckpoint()
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import java.nio.file.{Files, Paths}
+        Files.createDirectories(Paths.get(outDir))
+        val marker = Paths.get(outDir, s"_batch-$lineage-$batchId")
+        if (!Files.exists(marker)) {
+          val sub = s"batch=$lineage-$batchId"
+          Dedup.stripEvalSubstrings(batch.toDF(), bench, k, minLen)
+            .write.mode("overwrite").parquet(s"$outDir/clean/$sub")
+          Files.createFile(marker)
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$outDir/_checkpoint"))
+      .start()
+  }
+
   /** Start the gate: `docs` (streaming frame with doc_id/text/lang/
     * n_chars) probed against the static `benchmark` (doc_id, text)
     * eval set. */

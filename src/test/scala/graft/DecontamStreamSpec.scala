@@ -94,4 +94,57 @@ class DecontamStreamSpec extends AnyFunSuite {
     assert(quar.columns.toSeq == Seq("doc_id", "n_hits", "bench_id",
       "n_shared", "first_pos", "last_pos"))
   }
+
+  test("strip gate: multi-batch union equals batch d29 EXACTLY (stateless twin)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 10).select("doc_id", "text")
+    // corpus with planted leaks (the d29 fixture shape): each eval
+    // doc's tokens 8..47 appear verbatim inside a corpus doc
+    val planted = bench.select((col("doc_id") + 7000000L).as("doc_id"),
+      concat_ws(" ", lit("uq"), lit("ur"), lit("us"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 8, 40), " "))
+        .as("text"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val corpus = docs.filter(col("doc_id") >= 10 && col("doc_id") < 200)
+      .select("doc_id", "text", "lang", "n_chars")
+      .unionByName(planted)
+      .localCheckpoint(true)
+    val src = java.nio.file.Files.createTempDirectory("graft_ds_src")
+    Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1))
+      .zipWithIndex.foreach { case (p, i) =>
+        p.coalesce(1)
+          .write.mode("overwrite").parquet(src.resolve(s"w$i").toString)
+        val part = java.nio.file.Files.list(src.resolve(s"w$i"))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, src.resolve(s"b$i.parquet"))
+      }
+    val out = java.nio.file.Files.createTempDirectory("graft_ds_out").toString
+    val q = DecontamStream.stripGate(
+      DecontamStream.readDocs(spark, src.toString), bench, out)
+    q.processAllAvailable(); q.stop()
+    val got = DecontamStream.cleaned(spark, out)
+      .collect().map(_.toSeq).toSet
+    val want = graft.dedup.Dedup
+      .stripEvalSubstrings(corpus, bench, k = 10, minLen = 20)
+      .collect().map(_.toSeq).toSet
+    assert(got == want,
+      s"strip gate != batch d29: missing ${(want -- got).take(2)}, " +
+        s"extra ${(got -- want).take(2)}")
+    // the fixture genuinely strips: every long-enough planted doc cut
+    val struck = DecontamStream.cleaned(spark, out)
+      .filter(col("doc_id") >= 7000000L && col("n_stripped") > 0).count()
+    assert(struck > 0, "no planted strip fired")
+    // replay with a fresh checkpoint: markers skip, outputs unchanged
+    val q2 = DecontamStream.stripGate(
+      DecontamStream.readDocs(spark, src.toString), bench, out,
+      checkpointDir = Some(
+        java.nio.file.Files.createTempDirectory("graft_ds_cp2").toString))
+    q2.processAllAvailable(); q2.stop()
+    assert(DecontamStream.cleaned(spark, out)
+      .collect().map(_.toSeq).toSet == want, "replay changed the sink")
+  }
 }
