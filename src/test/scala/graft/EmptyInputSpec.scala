@@ -48,6 +48,16 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(graft.dedup.SimHash.nearDupPairs(emptyDocs, maxHamming = 6).count() == 0)
   }
 
+  test("r15 eval-substring strip: empty eval strips nothing, empty corpus is empty") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").filter(col("doc_id") < 50)
+    val stripped = Dedup.stripEvalSubstrings(docs, emptyDocs, k = 10, minLen = 20)
+    assert(stripped.filter(col("n_stripped") =!= 0L).count() == 0,
+      "an empty eval set must strip nothing")
+    assert(stripped.count() == docs.count())
+    assert(Dedup.stripEvalSubstrings(emptyDocs, docs, 10, 20).count() == 0)
+  }
+
   test("decontamination against an empty benchmark keeps everything") {
     val docs = Tables.documents(spark, sf).limit(20)
       .select("doc_id", "text").localCheckpoint(true)
