@@ -100,9 +100,20 @@ object SimHash {
     val sig = signatures(docs)
     val chunks = (0 until 7).map(c => struct(lit(c).as("c"),
       shiftrightunsigned(col("simhash"), c * 10).bitwiseAND(lit(1023L)).as("v")))
+    // shuffle_hash, deliberately: BOTH sides of the self-join are the
+    // corpus-proportional banded frame, so a broadcast is a
+    // small-corpus artifact that (a) cannot exist at 100 TB and
+    // (b) double-computes the scan→shingle→fold→explode map stage —
+    // the broadcast build side re-derives the frame instead of
+    // reading the other side's shuffle. The hinted shuffle join IS
+    // the at-scale plan, and measured 1.6 → 1.0 s on d4 at sf0.1
+    // (r15): the identical per-side exchanges let the map stage be
+    // paid once per side of ONE shuffle, not once per side plus a
+    // driver-collected broadcast of the same data.
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array(chunks: _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .hint("shuffle_hash")
     val cands = banded.as("x").join(banded.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v")
           && col("x.doc_id") < col("y.doc_id"))

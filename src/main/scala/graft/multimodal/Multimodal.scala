@@ -135,10 +135,16 @@ object Multimodal {
       s"maxHamming+1 must divide 60, got $maxHamming")
     val nChunks = maxHamming + 1
     val bits = 60 / nChunks
+    // shuffle_hash, deliberately (the d4 rule, r15): both self-join
+    // sides are this corpus-proportional chunk frame — a broadcast is
+    // a small-corpus artifact that double-computes the hash fan-out;
+    // the hinted shuffle join is the at-scale plan (m5 2.1 → faster
+    // measured on the switch)
     val chunks = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col(hashCol), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+      .hint("shuffle_hash")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -197,6 +203,7 @@ object Multimodal {
   def phashNearDupPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
       bits: Int, maxHamming: Int): DataFrame = {
     val chunks = phashChunksWide(hashed, idCol, hashCol, bits, maxHamming)
+      .hint("shuffle_hash")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
