@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Size-capped distinct collector: `collect_set` whose aggregation
+  * buffer can never exceed `cap` elements — the bounded-memory form
+  * of the d14/d17 df-cap posture for consumers that need the id LIST
+  * (m7's shared-frame inverted index), not just the count.
+  *
+  * Contract: for a key with ≤ `cap` distinct inputs the result is the
+  * EXACT distinct set (order unspecified — merge order is
+  * nondeterministic, so sort before comparing or emitting); for a key
+  * with more, the buffer saturates at `cap` elements (an arbitrary
+  * distinct subset) and `size(result) == cap` is the overflow
+  * sentinel a downstream `size(...) <= maxDf` filter kills. Callers
+  * enforcing a df cap of `maxDf` pass `cap = maxDf + 1`: every kept
+  * key's set is exact, every over-cap key is detectable, and no
+  * aggregation buffer ever holds more than `maxDf + 1` ids — a
+  * boilerplate frame hash shared by millions of videos at 100 TB
+  * costs (maxDf+1)·8 bytes of buffer, not a multi-million-element
+  * array (the r15 verdict's one unbounded-memory shape, closed).
+  *
+  * Buffer rides the primitive-array encoder (UnsafeArrayData, no
+  * Java serialization); the linear `contains` scan is O(cap) with
+  * cap single-digit in every caller. */
+object CappedCollectSet {
+
+  private final case class Agg(cap: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], x: Long): Array[Long] = add(buf, x)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var r = a
+      var i = 0
+      while (i < b.length && r.length < cap) { r = add(r, b(i)); i += 1 }
+      r
+    }
+    private def add(buf: Array[Long], x: Long): Array[Long] = {
+      if (buf.length >= cap) buf
+      else {
+        var i = 0
+        while (i < buf.length) {
+          if (buf(i) == x) return buf
+          i += 1
+        }
+        val out = java.util.Arrays.copyOf(buf, buf.length + 1)
+        out(buf.length) = x
+        out
+      }
+    }
+    def finish(buf: Array[Long]): Array[Long] = buf
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: distinct `values` per group, buffer-capped at
+    * `cap` elements (see object scaladoc for the exact-vs-sentinel
+    * contract). */
+  def cappedCollectSet(values: Column, cap: Int): Column =
+    udaf(Agg(cap)).apply(values)
+}

@@ -170,20 +170,29 @@ object Multi {
         floor(length(col("payload")) / 100).cast("int"))
       .filter(col("n_frames") >= 1)
     // Single-plan shape (r15, the d26 pattern): ONE fh-keyed
-    // collect_set aggregation replaces the former distinct + df-count
+    // capped-set aggregation replaces the former distinct + df-count
     // + semi-join + self-join chain and its hot-path localCheckpoint
     // (the block-manager materialization a cold driver run paid —
-    // flagged r13+r14). collect_set dedups (id, fh) map-side, its
-    // size IS the df, and pairs come from within each ≤ maxDf id
-    // list — pair fanout stays bounded by maxDf·Σdf, never |videos|².
-    // `sids` is projected to a column BEFORE the pair lambda (the
-    // x25 outer-expression rule); per-element work on a ≤3 array is
-    // the light-HOF carve-out.
+    // flagged r13+r14). Since r16 the collector is the size-capped
+    // CappedCollectSet at maxDf+1 (the r15 verdict's item 1): an
+    // uncapped collect_set would build a multi-million-element id
+    // array for a boilerplate frame (intro card, black frame) shared
+    // corpus-wide BEFORE the size filter dropped it; the capped
+    // buffer saturates at 4 ids, keeps exact sets for every kept key
+    // (df ≤ 3), and the between(2, 3) filter kills the saturation
+    // sentinel — byte-identical output, bounded memory
+    // (Round16OpsSpec pins both on a planted df≫maxDf hash). It
+    // dedups (id, fh) map-side, its size IS the df, and pairs come
+    // from within each ≤ maxDf id list — pair fanout stays bounded
+    // by maxDf·Σdf, never |videos|². `sids` is projected to a column
+    // BEFORE the pair lambda (the x25 outer-expression rule);
+    // per-element work on a ≤3 array is the light-HOF carve-out.
     val byFrame = Multimodal
       .sampleFrames(vids, "n_frames", stride = 1, maxFrames = 5)
       .select(col("id"),
         md5(expr("substring(payload, frame_idx * 100 + 1, 100)")).as("fh"))
-      .groupBy("fh").agg(collect_set(col("id")).as("ids"))
+      .groupBy("fh").agg(graft.plans.CappedCollectSet
+        .cappedCollectSet(col("id"), cap = 4).as("ids"))
       .filter(size(col("ids")).between(2, 3))
     byFrame
       .withColumn("sids", array_sort(col("ids")))

@@ -154,6 +154,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n\n"))
   }
 
+  // Exchange-reuse tier (r15 VERDICT #3): the shuffle_hash-hinted
+  // banded self-joins (d4/m5) put IDENTICAL exchanges on both join
+  // branches; AQE's stage materialization must collapse them to ONE —
+  // otherwise the whole scan→shingle/hash→explode map stage is paid
+  // twice (the builder's r15 A/B read ~2× of d4's wall there). Reuse
+  // is decided at execution, so the assertion runs the query and
+  // reads the FINAL adaptive plan.
+  test("banded self-joins reuse one exchange for both sides (d4/m5)") {
+    val failures = Seq("d4_simhash", "m5_phash_dedup").flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // materializes stages; AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      if (!plan.contains("isFinalPlan=true"))
+        Some(s"$name: adaptive plan did not finalize")
+      else if (!plan.contains("ReusedExchange"))
+        Some(s"$name: second banded join branch recomputes the map " +
+          s"stage (no ReusedExchange) in:\n${plan.take(3000)}")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n\n"))
+  }
+
+  // Inferred-null-check tier (r15 VERDICT #9): a graft native
+  // expression feeding a join key earns an isnotnull(<whole chain>)
+  // filter from InferFiltersFromConstraints that re-evaluates the
+  // chain per row (the d4 1.3→2.4 s regression class). The
+  // SimplifyBothWaysNullChecks rule collapses those to input checks —
+  // but only when the session wired GraftExtensions /
+  // extraOptimizations. This guard fails the suite if any registry
+  // query's optimized plan still carries an IsNotNull/IsNull over a
+  // NullBothWays expression, so the rewrite's win cannot silently
+  // evaporate under a future raw-SparkSession wiring. (XPathSlots is
+  // exempt by construction: it is deliberately NOT NullBothWays —
+  // it can return null on non-null input — so it never matches.)
+  test("no optimized plan keeps a null-check over a NullBothWays expression") {
+    import org.apache.spark.sql.catalyst.expressions.{IsNotNull, IsNull}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect { case p =>
+          p.expressions.flatMap(_.collect {
+            case IsNotNull(c: graft.plans.NullBothWays) =>
+              s"isnotnull(${c.getClass.getSimpleName})"
+            case IsNull(c: graft.plans.NullBothWays) =>
+              s"isnull(${c.getClass.getSimpleName})"
+          })
+        }.flatten
+        if (bad.nonEmpty) Some(s"$name: ${bad.distinct.mkString(", ")}")
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"un-collapsed null checks over native expressions (is the " +
+        s"SimplifyBothWaysNullChecks wiring installed?): $offenders")
+  }
+
   test("single-partition exchanges only on tiny final reductions") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
