@@ -59,6 +59,34 @@ object Soak {
     val ccRoute = dedup.Dedup.ccRouteForCount(nLsh)
     lshPairs.unpersist()
     val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
+    // --- d4 bucket-cap skew guard (r16, r15 verdict item 4): plant a
+    // boilerplate-saturated bucket — identical templated docs hash to
+    // ONE simhash, so each of its 7 chunk buckets holds every copy
+    // and uncapped pair generation is O(nTpl²) per chunk. Receipts:
+    // raw banded-join candidate volume with and without the cap (the
+    // bound), and capped genuine-pair recall vs the uncapped corpus
+    // run above (the metered cost — planted docs can't form genuine
+    // pairs, so nSim IS the genuine truth set).
+    val nTpl = 2000L
+    val tplDocs = spark.range(nTpl).select(
+      (col("id") + 900000000L).as("doc_id"),
+      lit("common boilerplate navigation header licence footer terms"
+        + " of use all rights reserved subscribe newsletter cookie"
+        + " policy privacy contact about sitemap rss feed").as("text"),
+      lit("en").as("lang"), lit(150L).as("n_chars"))
+    val skewCorpus = corpus.unionByName(tplDocs)
+    def bandCands(cap: Option[Int]): Long = {
+      val b0 = dedup.SimHash.banded(skewCorpus)
+      val b = cap.fold(b0)(dedup.SimHash.capBuckets(b0, _)).hint("shuffle_hash")
+      b.as("x").join(b.as("y"),
+          col("x.c") === col("y.c") && col("x.v") === col("y.v")
+            && col("x.doc_id") < col("y.doc_id")).count()
+    }
+    val (tCandU, candUncapped) = time(bandCands(None))
+    val (tCandC, candCapped) = time(bandCands(Some(64)))
+    val (tSimCap, simCapGenuine) = time(
+      dedup.SimHash.nearDupPairs(skewCorpus, maxHamming = 6, maxBucket = Some(64))
+        .filter(col("a_id") < 900000000L && col("b_id") < 900000000L).count())
     // Bloom-prefiltered decontamination at 10x: the corpus side (the
     // exploded shingle stream the Bloom thins map-side) is what grows;
     // the eval set stays fixed — runtime should track corpus scan, not
@@ -998,7 +1026,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

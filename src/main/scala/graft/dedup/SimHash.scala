@@ -87,6 +87,39 @@ object SimHash {
       .groupBy("doc_id")
       .agg(simhashAgg(col("h")).as("simhash"))
 
+  /** (doc_id, simhash, c, v) pigeonhole fan-out — the banded frame
+    * both sides of [[nearDupPairs]]' self-join read, exposed so the
+    * soak can meter raw bucket/candidate volume under the cap knob. */
+  private[graft] def banded(docs: DataFrame): DataFrame = {
+    val chunks = (0 until 7).map(c => struct(lit(c).as("c"),
+      shiftrightunsigned(col("simhash"), c * 10).bitwiseAND(lit(1023L)).as("v")))
+    signatures(docs).select(col("doc_id"), col("simhash"),
+        explode(array(chunks: _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+  }
+
+  /** Drop rows in over-populated (chunk_idx, chunk_val) buckets — the
+    * d14/d17 discriminative posture applied to pigeonhole banding
+    * (r15 verdict item 4). Pair generation within a bucket is
+    * O(bucket²), and a near-duplicate-saturated or boilerplate-heavy
+    * corpus concentrates mass in few chunk values (the all-zero
+    * simhash chunk of templated docs); a bucket above `cap` is, like
+    * an over-df shingle, non-discriminative — dropping it bounds the
+    * join's per-key fanout at cap² while every pair in a sane bucket
+    * keeps its full recall (a true near-dup pair agreeing ONLY on
+    * saturated chunks is the metered recall cost, the d21 posture —
+    * Round16OpsSpec plants exactly that corpus and the soak meters
+    * candidate volume + genuine-pair recall under the cap). The
+    * over-cap bucket list is tiny (≤ n/cap rows) and broadcast into
+    * the anti-join; the banded frame itself never re-shuffles. */
+  private[graft] def capBuckets(banded: DataFrame, cap: Int,
+      keys: Seq[String] = Seq("c", "v")): DataFrame = {
+    val over = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") > cap)
+      .select(keys.map(col): _*)
+    banded.join(broadcast(over), keys, "left_anti")
+  }
+
   /** Near-dup pairs by pigeonhole chunk blocking: the 64-bit
     * signature splits into 7 chunks of ≤10 bits; hamming ≤ 6 flips
     * at most 6 chunks, so every true near-dup pair agrees on at
@@ -94,12 +127,18 @@ object SimHash {
     * (chunk-index, chunk-value), found with an equi-join whose key
     * space is 7 × 2¹⁰ (well distributed), then verified with
     * bit_count. No O(block²) metadata blocks, no skewed keys;
-    * recall is exactly 1.0 for hamming ≤ 6 by construction. */
-  def nearDupPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    * recall is exactly 1.0 for hamming ≤ 6 by construction.
+    *
+    * `maxBucket` (default off) engages the [[capBuckets]] skew guard:
+    * the 100-TB operating mode for boilerplate-saturated corpora,
+    * trading metered recall on saturated buckets for an O(cap²)
+    * per-key fanout bound. The oracled d4 query runs uncapped — the
+    * bench corpus has no saturated buckets (validated across SFs) —
+    * so the exact-recall contract above stays the oracle's. */
+  def nearDupPairs(docs: DataFrame, maxHamming: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming <= 6, "7-chunk blocking guarantees recall only for hamming <= 6")
-    val sig = signatures(docs)
-    val chunks = (0 until 7).map(c => struct(lit(c).as("c"),
-      shiftrightunsigned(col("simhash"), c * 10).bitwiseAND(lit(1023L)).as("v")))
+    val b0 = banded(docs)
     // shuffle_hash, deliberately: BOTH sides of the self-join are the
     // corpus-proportional banded frame, so a broadcast is a
     // small-corpus artifact that (a) cannot exist at 100 TB and
@@ -107,14 +146,12 @@ object SimHash {
     // the broadcast build side re-derives the frame instead of
     // reading the other side's shuffle. The hinted shuffle join IS
     // the at-scale plan, and measured 1.6 → 1.0 s on d4 at sf0.1
-    // (r15): the identical per-side exchanges let the map stage be
-    // paid once per side of ONE shuffle, not once per side plus a
-    // driver-collected broadcast of the same data.
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array(chunks: _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
-      .hint("shuffle_hash")
-    val cands = banded.as("x").join(banded.as("y"),
+    // (r15): the identical per-side exchanges collapse to ONE under
+    // AQE's exchange reuse (ReusedExchange on the second branch —
+    // asserted in PlanAuditSpec since r16), so the map stage is paid
+    // once, not once per side.
+    val bandedHinted = maxBucket.fold(b0)(capBuckets(b0, _)).hint("shuffle_hash")
+    val cands = bandedHinted.as("x").join(bandedHinted.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

@@ -130,7 +130,7 @@ object Multimodal {
     * the array<long> word form; the soak meters candidate volume at
     * 60 vs 120 bits on the replica corpus. */
   def phashNearDupPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && 60 % (maxHamming + 1) == 0,
       s"maxHamming+1 must divide 60, got $maxHamming")
     val nChunks = maxHamming + 1
@@ -139,11 +139,18 @@ object Multimodal {
     // sides are this corpus-proportional chunk frame — a broadcast is
     // a small-corpus artifact that double-computes the hash fan-out;
     // the hinted shuffle join is the at-scale plan (m5 2.1 → faster
-    // measured on the switch)
-    val chunks = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"),
+    // measured on the switch), and AQE's exchange reuse collapses the
+    // two identical sides to one map stage (PlanAuditSpec asserts
+    // ReusedExchange). maxBucket engages the d4 bucket-skew guard
+    // (graft.dedup.SimHash.capBuckets — metered-recall drop of
+    // saturated (chunk_idx, chunk_val) buckets; off for the oracled
+    // m5, the 100-TB knob for boilerplate-saturated media corpora).
+    val chunks0 = hashed.select(col(idCol).as("id"), col(hashCol).as("ph"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col(hashCol), c * bits)
           .bitwiseAND(lit((1L << bits) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+    val chunks = maxBucket.fold(chunks0)(graft.dedup.SimHash
+        .capBuckets(chunks0, _, Seq("chunk_idx", "chunk_val")))
       .hint("shuffle_hash")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -201,8 +208,10 @@ object Multimodal {
     * ≥1 chunk). Hamming over the word array is a light per-element
     * HOF (2 words at 120-bit) — the r6-measured fast shape. */
   def phashNearDupPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
-      bits: Int, maxHamming: Int): DataFrame = {
-    val chunks = phashChunksWide(hashed, idCol, hashCol, bits, maxHamming)
+      bits: Int, maxHamming: Int, maxBucket: Option[Int] = None): DataFrame = {
+    val chunks0 = phashChunksWide(hashed, idCol, hashCol, bits, maxHamming)
+    val chunks = maxBucket.fold(chunks0)(graft.dedup.SimHash
+        .capBuckets(chunks0, _, Seq("chunk_idx", "chunk_val")))
       .hint("shuffle_hash")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&

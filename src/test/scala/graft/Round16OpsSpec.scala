@@ -73,6 +73,69 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(capped.nonEmpty, "planted pairs must survive")
   }
 
+  // ---- pigeonhole bucket cap (d4/m5 skew guard, r15 verdict #4) ----
+
+  test("d4 bucket cap: drops only saturated-bucket pairs, keeps genuine recall") {
+    import spark.implicits._
+    // 120 IDENTICAL templated docs hash to ONE simhash, so every one
+    // of its 7 chunk buckets holds all 120 copies — the boilerplate
+    // saturation shape whose pair generation is O(bucket²). Genuine
+    // docs: two exact-dup pairs with distinctive text (bucket size 2).
+    val tpl = "common boilerplate navigation header licence footer " +
+      "terms of use all rights reserved subscribe newsletter cookie"
+    val g1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val g2 = "colorless green ideas sleep furiously while the archive harvest proceeds"
+    val docs = ((0 until 120).map(i => (10000L + i, tpl)) ++
+      Seq((1L, g1), (2L, g1), (3L, g2), (4L, g2)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairSet(graft.dedup.SimHash.nearDupPairs(docs, 6))
+    val capped = pairSet(graft.dedup.SimHash.nearDupPairs(docs, 6,
+      maxBucket = Some(40)))
+    val isTpl = (id: Long) => id >= 10000L
+    // precondition: the genuine pairs exist and are not template-keyed
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((3L, 4L)))
+    // exact semantics: capped = uncapped minus saturated-only pairs
+    assert(capped == uncapped.filterNot(p => isTpl(p._1) && isTpl(p._2)),
+      s"cap must drop exactly the template-template pairs: " +
+        s"capped=${capped.size} uncapped=${uncapped.size}")
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)),
+      "genuine pairs must survive the cap")
+    // the bound itself: no post-cap bucket exceeds the cap
+    val maxBucket = graft.dedup.SimHash.capBuckets(
+        graft.dedup.SimHash.banded(docs), 40)
+      .groupBy("c", "v").count().agg(max("count")).head.getLong(0)
+    assert(maxBucket <= 40L, s"post-cap bucket of $maxBucket")
+  }
+
+  test("m5 phash bucket cap: saturated payload bucket dropped, genuine pair kept") {
+    import spark.implicits._
+    val tplPay = ("zqzq" * 40) // identical payloads → one phash
+    val gPay = "The Archive Quarterly Report volume nine covers harvest statistics " +
+      "and validation outcomes for the year with appendices"
+    val rows = (0 until 100).map(i => (5000L + i, tplPay)) ++
+      Seq((1L, gPay), (2L, gPay))
+    val hashed = rows.toDF("id", "text")
+      .select(col("id"), graft.multimodal.Multimodal
+        .blockHash60(col("text").cast("binary")).as("ph"))
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(graft.multimodal.Multimodal
+      .phashNearDupPairs(hashed, "id", "ph", maxHamming = 5))
+    val capped = pairs(graft.multimodal.Multimodal
+      .phashNearDupPairs(hashed, "id", "ph", maxHamming = 5,
+        maxBucket = Some(40)))
+    assert(uncapped.contains((1L, 2L)))
+    assert(capped == uncapped.filterNot(p => p._1 >= 5000L && p._2 >= 5000L),
+      s"cap must drop exactly the template pairs: ${capped.size} vs ${uncapped.size}")
+    assert(capped.contains((1L, 2L)), "genuine pair must survive")
+  }
+
   test("m7 query is live and all-pairs-free on the real corpus") {
     val df = SparkEntry.queries("m7_video_neardup")(spark, sf)
     val rows = df.collect()
