@@ -82,9 +82,14 @@ object Multimodal {
     * codec-independent. */
   def blockHash60(payload: Column): Column = {
     val s = payload.cast("string")
-    val n = length(s)
+    // LONG multiply (r15 advice): int j·n overflows past ~2^31/60
+    // chars (~36M — multi-MB payloads are plausible at 100 TB, and
+    // ANSI mode turns the wrap into a throw); j·n ≤ 60·2^31 is exact
+    // in the double division, so positions (and hashes) are
+    // bit-identical to the int form wherever it didn't overflow
+    val n = length(s).cast("long")
     (0 until 60).map { j =>
-      when(ascii(s.substr(floor(lit(j) * n / 60.0).cast("int") + 1, lit(1))) > 96,
+      when(ascii(s.substr(floor(lit(j.toLong) * n / 60.0).cast("int") + 1, lit(1))) > 96,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -104,12 +109,13 @@ object Multimodal {
     require(bits >= 60 && bits % 60 == 0,
       s"bits must be a positive multiple of 60, got $bits")
     val s = payload.cast("string")
-    val n = length(s)
+    // LONG multiply — same overflow guard as blockHash60
+    val n = length(s).cast("long")
     array((0 until bits / 60).map { w =>
       (0 until 60).map { b =>
         val j = w * 60 + b
         when(ascii(s.substr(
-            floor(lit(j) * n / bits.toDouble).cast("int") + 1, lit(1))) > 96,
+            floor(lit(j.toLong) * n / bits.toDouble).cast("int") + 1, lit(1))) > 96,
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
