@@ -322,11 +322,19 @@ object Soak {
     // Char-shifted replicas are the worst case (most positions
     // covered, per-replica grams distinct), so state growth here is
     // the CEILING of the documented bound.
+    // shift period 101 (r15 advice): with the corpus's mod-40 shift,
+    // 100× replicas i and i+40 were EXACT text duplicates — only ~40
+    // distinct gram sets existed, so the 30×→100× gram-state curve
+    // flattened for a fixture-saturation reason while claiming to be
+    // the state-growth ceiling. i % 101 keeps every replica's gram
+    // set distinct at all tiers (i < 101 ⇒ i % 101 = i); the whole
+    // growth curve, including its 1×/10× points, is built here so
+    // the tiers are shift-consistent (docs shorter than the shift
+    // degrade to empty text and simply contribute no grams).
     def substrCorpus(nRep: Int) =
-      if (nRep == nReplicas) corpus
-      else (0 until nRep).map { i =>
+      (0 until nRep).map { i =>
         base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-          substring(col("text"), (i % 40) + 1, Int.MaxValue).as("text"))
+          substring(col("text"), (i % 101) + 1, Int.MaxValue).as("text"))
       }.reduce(_ unionByName _)
     def gramStateCount(c: org.apache.spark.sql.DataFrame): Long =
       c.select(explode(
@@ -342,7 +350,7 @@ object Soak {
       (t26, spans, t28, struck, gramStateCount(c))
     }
     val gram1 = gramStateCount(substrCorpus(1))
-    val gram10 = gramStateCount(corpus)
+    val gram10 = gramStateCount(substrCorpus(10))
     val (t26_30, spans30, t28_30, struck30, gram30) = substrTier(30)
     val (t26_100, spans100, t28_100, struck100, gram100) = substrTier(100)
 
@@ -824,6 +832,42 @@ object Soak {
       }
     }
 
+    // --- SubstringStream growth cell (r15 verdict items 5/7): drive
+    // the gate over constant-size batches while gram state grows
+    // ~12×; with the r16 native Bloom front and state-scaled fpp the
+    // per-batch wall must stay FLAT (the leak term is pinned at
+    // ≤ |batch grams|, not fpp·|history|). Each step stages one new
+    // file and re-drives with a fresh checkpoint — earlier batches
+    // are marker-skipped no-ops (the SubstringStreamSpec replay
+    // contract), so the step wall is startup + the ONE real batch.
+    val ssSoakIn = java.nio.file.Files
+      .createTempDirectory("graft_soak_ssin").toString
+    val ssSoakState = java.nio.file.Files
+      .createTempDirectory("graft_soak_ssstate").toString
+    val ssBatchDocs = base.count() / 4
+    val ssTimes = (0 until nMaintBatches).map { i =>
+      val b = substrCorpus(nMaintBatches)
+        .filter(pmod(col("doc_id"), lit(nMaintBatches.toLong)) === i)
+        .limit(ssBatchDocs.toInt)
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_soak_ss_s").toString + "/out"
+      b.coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(ssSoakIn, f"b$i%03d.parquet"))
+      timeS {
+        val q = streaming.SubstringStream.substringGate(
+          streaming.BoilerplateStream.readDocs(spark, ssSoakIn),
+          ssSoakState, k = 10, minLen = 20, lineage = "soak")
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val ssGramState = streaming.SubstringStream
+      .gramState(spark, ssSoakState).count()
+
     // --- XSLT transform soak (r12 verdict item): the one operator
     // family with no replica-scale measurement before r12. A
     // temple-shaped module (11 field templates: dispatch guards,
@@ -1026,7 +1070,7 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
