@@ -83,14 +83,19 @@ object BoilerplateStream {
           val hot =
             if (nBc == 0) ex.select(col("chunk"), lit(true).as("hot")).limit(0)
             else {
-              // the d9 Bloom front (see scaladoc): thin the state
-              // scan to the batch's probable chunks pre-aggregate
-              val bloom = bc.stat.bloomFilter("chunk", nBc, bloomFpp)
-              val bloomBc = spark.sparkContext.broadcast(bloom)
-              val mightContain =
-                udf((c: String) => bloomBc.value.mightContainString(c))
+              // the d9 Bloom front, NATIVE since r16 (the
+              // SubstringStream twin): bloom_filter_agg over
+              // xxhash64(chunk) — string keys ride as their 64-bit
+              // hash; a hash collision only adds a false positive,
+              // which the chunk-keyed left join downstream ignores —
+              // probed in codegen, fpp scaled with state size so the
+              // leak stays ≤ |batch chunks| rows as history grows
+              val stateRows =
+                StatePartitions.read(spark, s"$stateDir/chunk_occ").count()
+              val fpp = BloomFront.scaledFpp(bloomFpp, nBc, stateRows)
+              val bf = BloomFront.build(bc, xxhash64(col("chunk")), nBc, fpp)
               StatePartitions.read(spark, s"$stateDir/chunk_occ")
-                .filter(mightContain(col("chunk")))
+                .filter(BloomFront.probe(bf, xxhash64(col("chunk"))))
                 .groupBy("chunk").agg(sum("occ").as("occ"))
                 .filter(col("occ") >= minOcc)
                 .select(col("chunk"), lit(true).as("hot"))

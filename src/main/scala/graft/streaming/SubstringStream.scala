@@ -46,10 +46,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the batch's distinct grams (the d9 decontaminateBloom pattern)
   * thins the state scan BEFORE the g-keyed sum/min aggregate, so
   * only state rows whose gram (probably) recurs in the batch ever
-  * shuffle — |batch grams ∩ state| + fpp·|state| rows instead of
-  * the full history; Bloom false positives die in the subsequent
-  * anchor equi-join, and a batch gram's surviving rows always carry
-  * its FULL history count, so occ and first are exact. */
+  * shuffle — and since r16 the filter's fpp scales DOWN with state
+  * size ([[BloomFront]]), pinning the false-positive term at
+  * ≤ |batch grams| rows instead of fpp·|history|; Bloom false
+  * positives die in the subsequent anchor equi-join, and a batch
+  * gram's surviving rows always carry its FULL history count, so
+  * occ and first are exact. */
 object SubstringStream {
 
   /** Batch anchor fan-out: (doc_id, pos, g) — the shared operator
@@ -103,18 +105,23 @@ object SubstringStream {
                 .as("span_start"), col("pos").cast("long").as("span_len"))
                 .limit(0)
             else {
-              // the d9 Bloom front: thin the state scan to the
-              // batch's (probable) grams BEFORE the aggregate —
-              // per-batch shuffle is O(batch + fpp·history), and
-              // exactness survives because a bloom-positive gram
+              // the d9 Bloom front, NATIVE since r16: built with
+              // bloom_filter_agg, probed with might_contain over a
+              // binary literal (codegen, no ScalaUDF/broadcast), and
+              // fpp SCALED with state size so expected false
+              // positives stay ≤ |batch grams| — the per-batch
+              // shuffle is O(batch) regardless of history, not
+              // O(batch + fpp·history) (r15 verdict items 5/7).
+              // Exactness survives as before: a bloom-positive gram
               // keeps ALL its state rows (full occ/first) while
-              // false positives die in the anchor join below
-              val bloom = bg.stat.bloomFilter("g", nBg, bloomFpp)
-              val bloomBc = spark.sparkContext.broadcast(bloom)
-              val mightContain =
-                udf((g: Long) => bloomBc.value.mightContainLong(g))
+              // false positives die in the anchor join below. The
+              // state row count reads parquet footers only.
+              val stateRows =
+                StatePartitions.read(spark, s"$stateDir/grams").count()
+              val fpp = BloomFront.scaledFpp(bloomFpp, nBg, stateRows)
+              val bf = BloomFront.build(bg, col("g"), nBg, fpp)
               val st = StatePartitions.read(spark, s"$stateDir/grams")
-                .filter(mightContain(col("g")))
+                .filter(BloomFront.probe(bf, col("g")))
                 .groupBy("g")
                 .agg(sum("cnt").as("occ"), min("first").as("first"))
                 .filter(col("occ") >= 2)
