@@ -78,7 +78,9 @@ object FrontierStream {
     * returns the sighting rows (frontier state stays in the query —
     * one runOnce call is one frontier lifetime). */
   def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queryName: String, stateTtlMs: Long = 0L): DataFrame = {
+      queryName: String, stateTtlMs: Long = 0L,
+      stateStore: StreamConfig.StateStore =
+        StreamConfig.StateStore.RocksDb): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType),
@@ -86,11 +88,14 @@ object FrontierStream {
         org.apache.spark.sql.types.StringType)))
     val in = spark.readStream.schema(schema).format("parquet")
       .option("maxFilesPerTrigger", 1).load(dir)
-    val q = firstSeen(in, stateTtlMs)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    // RocksDb by default since r16 (see SessionStream.runOnce)
+    StreamConfig.withStateStore(spark, stateStore) {
+      val q = firstSeen(in, stateTtlMs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 }

@@ -70,15 +70,22 @@ object SessionStream {
     * sessions (each user's final open session remains in state,
     * exactly as a live deployment would hold it). */
   def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
-      queryName: String, gapSeconds: Long): DataFrame = {
-    val q = sessionize(EventsStream.readEvents(spark, dir), gapSeconds)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      queryName: String, gapSeconds: Long,
+      stateStore: StreamConfig.StateStore =
+        StreamConfig.StateStore.RocksDb): DataFrame = {
+    // RocksDb by default since r16 (the open-world keyed-state
+    // posture; heap retained as the option) — the provider binds at
+    // query start, so the scope wrapper is the whole wiring
+    StreamConfig.withStateStore(spark, stateStore) {
+      val q = sessionize(EventsStream.readEvents(spark, dir), gapSeconds)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 }

@@ -52,7 +52,10 @@ object StreamConfig {
     * START and pins it for the query's lifetime, so scope-setting via
     * [[withStateStore]] is the whole wiring — no per-operator code
     * changes, and outputs are provider-independent (spec-pinned on
-    * all four flatMapGroupsWithState gates). */
+    * all four flatMapGroupsWithState gates). Since r16 RocksDb IS the
+    * default for those four gates' run helpers (the open-world
+    * receipts re-ran under it in the soak — r15 verdict item 6), with
+    * the heap provider retained as the explicit option. */
   sealed trait StateStore
   object StateStore {
     /** HDFSBackedStateStoreProvider — heap-resident, the default. */

@@ -102,16 +102,21 @@ object TransitionStream {
     * pair rows (each user's last event remains in state). */
   def runOnce(spark: org.apache.spark.sql.SparkSession, dir: String,
       queryName: String, stateTtlMs: Long = 0L,
-      watermarkDelay: Option[String] = None): DataFrame = {
-    val q = transitions(EventsStream.readEvents(spark, dir), stateTtlMs,
-      watermarkDelay)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+      watermarkDelay: Option[String] = None,
+      stateStore: StreamConfig.StateStore =
+        StreamConfig.StateStore.RocksDb): DataFrame = {
+    // RocksDb by default since r16 (see SessionStream.runOnce)
+    StreamConfig.withStateStore(spark, stateStore) {
+      val q = transitions(EventsStream.readEvents(spark, dir), stateTtlMs,
+        watermarkDelay)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 }

@@ -43,18 +43,22 @@ class RocksDbStateSpec extends AnyFunSuite {
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(urlDir, "b1.parquet"))
     }
-    def driveAll(tag: String): Map[String, Set[Seq[Any]]] = Map(
+    // since r16 the gates DEFAULT to RocksDb — the heap drive passes
+    // the retained option explicitly, so this parity check now guards
+    // the flipped default against the legacy provider
+    def driveAll(tag: String, store: StateStore): Map[String, Set[Seq[Any]]] = Map(
       "session" -> rows(SessionStream.runOnce(spark, dir, s"rx_sess_$tag",
-        gapSeconds = 1800L)),
-      "gap" -> rows(GapStream.runOnce(spark, dir, s"rx_gap_$tag")),
-      "transition" -> rows(TransitionStream.runOnce(spark, dir, s"rx_tr_$tag")),
-      "frontier" -> rows(FrontierStream.runOnce(spark, urlDir, s"rx_fr_$tag")))
-    val heap = driveAll("heap")
+        gapSeconds = 1800L, stateStore = store)),
+      "gap" -> rows(GapStream.runOnce(spark, dir, s"rx_gap_$tag",
+        stateStore = store)),
+      "transition" -> rows(TransitionStream.runOnce(spark, dir, s"rx_tr_$tag",
+        stateStore = store)),
+      "frontier" -> rows(FrontierStream.runOnce(spark, urlDir, s"rx_fr_$tag",
+        stateStore = store)))
+    val heap = driveAll("heap", StateStore.DefaultHeap)
     assert(heap("session").nonEmpty && heap("gap").nonEmpty
       && heap("transition").nonEmpty && heap("frontier").nonEmpty)
-    val rocks = StreamConfig.withStateStore(spark, StateStore.RocksDb) {
-      driveAll("rocks")
-    }
+    val rocks = driveAll("rocks", StateStore.RocksDb)
     heap.keys.foreach { k =>
       assert(heap(k) == rocks(k),
         s"$k gate output differs under RocksDB: " +
