@@ -354,6 +354,53 @@ object Soak {
     val (t26_30, spans30, t28_30, struck30, gram30) = substrTier(30)
     val (t26_100, spans100, t28_100, struck100, gram100) = substrTier(100)
 
+    // --- d29 decontamination-strip tier (r15 verdict item 8): the
+    // d26/d28 treatment applied to the eval-strip rung — stripped
+    // token volume and wall at 10×/30× against a FIXED eval set (the
+    // d7/d23 posture: the eval side never grows, so the wall must
+    // track the corpus-side anchor fan-out, linear in corpus tokens).
+    def d29Tier(nRep: Int): (Double, Long) = {
+      val c = substrCorpus(nRep)
+      time(dedup.Dedup.stripEvalSubstrings(c, evalSet, k = 10, minLen = 20)
+        .agg(sum("n_stripped")).head.getLong(0))
+    }
+    val (t29_10, struck29_10) = d29Tier(10)
+    val (t29_30, struck29_30) = d29Tier(30)
+    // stripGate exact batch-parity at the 10× tier: the door twin is
+    // ZERO-STATE (fixed eval universe), so the union of per-batch
+    // outputs over ANY batching must equal batch d29 on the same
+    // corpus EXACTLY — here two arbitrary halves vs the one-shot run.
+    val sgIn = java.nio.file.Files
+      .createTempDirectory("graft_soak_sgin").toString
+    val sgOut = java.nio.file.Files
+      .createTempDirectory("graft_soak_sgout").toString
+    val sgCorpus = substrCorpus(10)
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    Seq(0, 1).foreach { h =>
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft_soak_sg_s").toString + "/out"
+      sgCorpus.filter(pmod(col("doc_id"), lit(2L)) === h)
+        .coalesce(1).write.parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(sgIn, s"b$h.parquet"))
+    }
+    val (tStripGate, _) = time {
+      val q = streaming.DecontamStream.stripGate(
+        streaming.BoilerplateStream.readDocs(spark, sgIn), evalSet,
+        sgOut, k = 10, minLen = 20, lineage = "soak")
+      try q.processAllAvailable() finally q.stop()
+      0L
+    }
+    val sgGot = streaming.DecontamStream.cleaned(spark, sgOut)
+    val sgWant = dedup.Dedup.stripEvalSubstrings(
+      sgCorpus.select("doc_id", "text"), evalSet, k = 10, minLen = 20)
+    val sgMismatch = sgGot.exceptAll(sgWant).count() +
+      sgWant.exceptAll(sgGot).count()
+    val sgRows = sgGot.count()
+
     // --- phash width-knob receipt (r14 verdict item 6): the
     // "widen the HASH, not the blocking" claim measured — raw
     // pigeonhole CANDIDATE volume (the pre-filter join size) at
@@ -1043,10 +1090,18 @@ object Soak {
       }
       stage(0) // the schema probe in readEvents needs on-disk data
       val sinkName = s"gap_soak_$tag"
-      val q = streaming.GapStream.gaps(
-          streaming.EventsStream.readEvents(spark, evDir), ttlMs)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(sinkName).start()
+      // under the RocksDB provider since r16 (r15 verdict item 6):
+      // the open-world state-bound receipts must hold on the
+      // disk-backed store that is now the gates' default — the
+      // provider binds at query START, so wrapping start() is the
+      // whole wiring
+      val q = streaming.StreamConfig.withStateStore(spark,
+          streaming.StreamConfig.StateStore.RocksDb) {
+        streaming.GapStream.gaps(
+            streaming.EventsStream.readEvents(spark, evDir), ttlMs)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sinkName).start()
+      }
       // each user contributes one in-batch gap; poll the sink (with a
       // TTL, processAllAvailable never latches — timeout batches run
       // continuously, see SourcesStreamSpec)
@@ -1070,7 +1125,66 @@ object Soak {
     val gapStateNoTtl = gapStateSoak(0L, "nottl")
     def fmtL(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    // --- FrontierStream open-world state soak under RocksDB (r15
+    // verdict item 6's second cell): every batch brings a DISJOINT
+    // canonical-url range — the crawl-frontier worst case where the
+    // seen-set grows with every URL ever. With TTL=0 numRowsTotal
+    // must grow monotonically (the honest unbounded default); with a
+    // TTL the idle windows evict and the reading stays bounded at
+    // ~one batch's population. Both on the disk-backed provider the
+    // gates now default to.
+    def frontierStateSoak(ttlMs: Long, tag: String): Seq[Long] = {
+      val urlDir = java.nio.file.Files
+        .createTempDirectory(s"graft_soak_fr$tag").toString
+      val nBatches = 6; val perBatch = 3000L
+      def stage(i: Int): Unit = {
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"graft_soak_fr${tag}_s").toString + "/out"
+        spark.range(i * perBatch, (i + 1) * perBatch).select(
+            col("id"), concat(lit("http://soak.example/page/"),
+              col("id"), lit("?utm_source=soak")).as("url"))
+          .coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(urlDir, f"b$i%03d.parquet"))
+        ()
+      }
+      stage(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType)))
+      val sinkName = s"frontier_soak_$tag"
+      val q = streaming.StreamConfig.withStateStore(spark,
+          streaming.StreamConfig.StateStore.RocksDb) {
+        streaming.FrontierStream.firstSeen(
+            spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", 1).load(urlDir), ttlMs)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(sinkName).start()
+      }
+      def awaitRows(target: Long): Unit = {
+        val deadline = System.nanoTime + 120L * 1000000000L
+        while (spark.table(sinkName).count() < target
+            && System.nanoTime < deadline) Thread.sleep(100)
+      }
+      val sizes = (0 until nBatches).map { i =>
+        if (i > 0) stage(i)
+        awaitRows((i + 1) * perBatch)
+        if (ttlMs > 0) Thread.sleep(ttlMs + 1000)
+        Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+          .getOrElse(-1L)
+      }
+      q.stop()
+      sizes
+    }
+    val frontierStateTtl = frontierStateSoak(gapTtlMs, "ttl")
+    val frontierStateNoTtl = frontierStateSoak(0L, "nottl")
+
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
