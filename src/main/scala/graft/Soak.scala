@@ -882,22 +882,35 @@ object Soak {
     // --- SubstringStream growth cell (r15 verdict items 5/7): drive
     // the gate over constant-size batches while gram state grows
     // ~12×; with the r16 native Bloom front and state-scaled fpp the
-    // per-batch wall must stay FLAT (the leak term is pinned at
-    // ≤ |batch grams|, not fpp·|history|). Each step stages one new
-    // file and re-drives with a fresh checkpoint — earlier batches
-    // are marker-skipped no-ops (the SubstringStreamSpec replay
-    // contract), so the step wall is startup + the ONE real batch.
+    // per-batch wall must stay FLAT and the Bloom's false-positive
+    // leak bounded at ≤ |batch grams| (the old fixed-fpp term grew as
+    // fpp·|history|). Batches are made GRAM-DISJOINT deliberately — a
+    // per-batch tag token spliced between every pair of corpus tokens
+    // puts the tag in every 10-gram, so no gram recurs across batches
+    // and every state row passing the Bloom is a FALSE POSITIVE: the
+    // cell isolates the leak term (a real corpus's true overlap is
+    // workload cost the exactness contract must pay, not leak;
+    // within-batch replica copies still share grams, keeping strips
+    // live). Each step stages one new file and re-drives with a fresh
+    // checkpoint — earlier batches are marker-skipped no-ops (the
+    // SubstringStreamSpec replay contract), so the step wall is
+    // startup + the ONE real batch. ss_bloom_fp replays the gate's
+    // own fpp rule post-hoc (same BloomFront code, no drift) and
+    // counts the state rows the batch's filter passes.
     val ssSoakIn = java.nio.file.Files
       .createTempDirectory("graft_soak_ssin").toString
     val ssSoakState = java.nio.file.Files
       .createTempDirectory("graft_soak_ssstate").toString
-    val ssBatchDocs = base.count() / 4
-    val ssTimes = (0 until nMaintBatches).map { i =>
-      val b = substrCorpus(nMaintBatches)
-        .filter(pmod(col("doc_id"), lit(nMaintBatches.toLong)) === i)
-        .limit(ssBatchDocs.toInt)
-        .withColumn("lang", lit("en"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+    val ssBatchDocs = (base.count() / 8).toInt
+    def ssBatch(i: Int) = substrCorpus(nMaintBatches)
+      .filter(pmod(col("doc_id"), lit(nMaintBatches.toLong)) === i)
+      .limit(ssBatchDocs)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " ", s" tg$i ").as("text"))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ssCells = (0 until nMaintBatches).map { i =>
+      val b = ssBatch(i)
       val scratch = java.nio.file.Files
         .createTempDirectory("graft_soak_ss_s").toString + "/out"
       b.coalesce(1).write.parquet(scratch)
@@ -905,13 +918,34 @@ object Soak {
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(part.toPath,
         java.nio.file.Paths.get(ssSoakIn, f"b$i%03d.parquet"))
-      timeS {
+      val t = timeS {
         val q = streaming.SubstringStream.substringGate(
           streaming.BoilerplateStream.readDocs(spark, ssSoakIn),
           ssSoakState, k = 10, minLen = 20, lineage = "soak")
         try q.processAllAvailable() finally q.stop()
       }
+      // leak receipt: rebuild this batch's Bloom by the gate's own
+      // rule and count state rows it passes — every cross-batch hit
+      // is a false positive by the disjoint-gram construction (the
+      // batch's own just-written partition is excluded from the count
+      // by matching its batch dir name)
+      val bg = dedup.Dedup.substringAnchors(
+        b.select("doc_id", "text"), 10).select("g").distinct()
+      val nBg = bg.count()
+      val dirsAll = streaming.StatePartitions.liveDirs(s"$ssSoakState/grams")
+      val dirsPrior = dirsAll.filterNot(_.endsWith(s"batch=soak-$i"))
+      val stateRows = spark.read.parquet(dirsAll: _*).count()
+      val fpp = streaming.BloomFront.scaledFpp(0.01, nBg, stateRows)
+      val bf = streaming.BloomFront.build(bg, col("g"), nBg, fpp)
+      val fpRows =
+        if (dirsPrior.isEmpty) 0L
+        else spark.read.parquet(dirsPrior: _*)
+          .filter(streaming.BloomFront.probe(bf, col("g"))).count()
+      (t, nBg, fpRows)
     }
+    val ssTimes = ssCells.map(_._1)
+    val ssBatchGrams = ssCells.map(_._2)
+    val ssBloomFp = ssCells.map(_._3)
     val ssGramState = streaming.SubstringStream
       .gramState(spark, ssSoakState).count()
 
@@ -1184,7 +1218,7 @@ object Soak {
     val frontierStateTtl = frontierStateSoak(gapTtlMs, "ttl")
     val frontierStateNoTtl = frontierStateSoak(0L, "nottl")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_batch_grams":${fmtL(ssBatchGrams)},"ss_bloom_fp":${fmtL(ssBloomFp)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }
