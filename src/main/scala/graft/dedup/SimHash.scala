@@ -120,6 +120,51 @@ object SimHash {
     banded.join(broadcast(over), keys, "left_anti")
   }
 
+  /** SELF-TUNING bucket cap — the x19 p99 posture applied to
+    * pigeonhole banding, so [[capBuckets]] needs no hand-picked
+    * constant per corpus: cap = max(floor, headroom × p`pct` of the
+    * banded frame's own bucket sizes). On a benign corpus the
+    * bucket-size distribution is tight (key space 7 × 2¹⁰,
+    * near-uniform hashes), so headroom × p99 sits safely above every
+    * genuine bucket and the cap never bites; a boilerplate-saturated
+    * bucket is an extreme outlier orders of magnitude above p99 and
+    * is exactly what gets dropped. One (c,v)-keyed count + one KLL
+    * sketch merge over the banded frame — derive it from the SAME
+    * frame the join reads (see [[nearDupPairsAuto]]) or from a
+    * corpus sample in a long-lived pipeline. */
+  def autoBucketCap(banded: DataFrame, keys: Seq[String] = Seq("c", "v"),
+      pct: Int = 99, headroom: Int = 4, floor: Int = 32): Int = {
+    val p = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .agg(graft.plans.QuantileSketch.quantiles(
+        col("bsz").cast("double"), 1 << 14, Seq(pct)).as("qs"))
+      .select(element_at(col("qs"), 1).cast("long"))
+      .first().getLong(0)
+    math.max(floor.toLong, math.min(Int.MaxValue.toLong, p * headroom)).toInt
+  }
+
+  /** [[nearDupPairs]] with the bucket cap DERIVED from the corpus
+    * itself (the 100-TB operating mode for boilerplate-saturated
+    * corpora when no hand cap is known). The banded frame is
+    * eagerly checkpointed because it crosses two executions — the
+    * cap-derivation action and the pair join (the CLAUDE.md
+    * crosses-executions rule) — which also means the
+    * scan→shingle→fold→explode map stage is paid ONCE for both. */
+  def nearDupPairsAuto(docs: DataFrame, maxHamming: Int,
+      pct: Int = 99, headroom: Int = 4, floor: Int = 32): DataFrame = {
+    require(maxHamming <= 6, "7-chunk blocking guarantees recall only for hamming <= 6")
+    val b = banded(docs).localCheckpoint()
+    val cap = autoBucketCap(b, Seq("c", "v"), pct, headroom, floor)
+    val bandedHinted = capBuckets(b, cap).hint("shuffle_hash")
+    bandedHinted.as("x").join(bandedHinted.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Near-dup pairs by pigeonhole chunk blocking: the 64-bit
     * signature splits into 7 chunks of ≤10 bits; hamming ≤ 6 flips
     * at most 6 chunks, so every true near-dup pair agrees on at

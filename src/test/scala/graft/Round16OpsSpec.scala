@@ -112,6 +112,40 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(maxBucket <= 40L, s"post-cap bucket of $maxBucket")
   }
 
+  test("autoBucketCap: self-tuned cap drops the saturated bucket, keeps genuine pairs") {
+    import spark.implicits._
+    // realistic mix: the sf0.01 corpus (its banded buckets are the
+    // tight near-uniform distribution the p99 derivation assumes) +
+    // one 120-copy template family (an extreme outlier far above
+    // p99) + a distinctive exact-dup genuine pair
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val tpl = "common boilerplate navigation header licence footer " +
+      "terms of use all rights reserved subscribe newsletter cookie"
+    val g = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val extra = ((0 until 120).map(i => (8000000L + i, tpl)) ++
+      Seq((9000001L, g), (9000002L, g))).toDF("doc_id", "text")
+    val docs = corpus.unionByName(extra)
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val banded = graft.dedup.SimHash.banded(docs).localCheckpoint()
+    val cap = graft.dedup.SimHash.autoBucketCap(banded)
+    assert(cap >= 32 && cap < 120,
+      s"derived cap $cap must sit between the floor and the 120-copy bucket")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = pairSet(graft.dedup.SimHash.nearDupPairsAuto(docs, 6))
+    val explicit = pairSet(graft.dedup.SimHash.nearDupPairs(docs, 6,
+      maxBucket = Some(cap)))
+    assert(auto == explicit,
+      "auto path must equal the explicit-cap path at the derived cap")
+    assert(auto.contains((9000001L, 9000002L)), "genuine pair must survive")
+    assert(!auto.exists(p => p._1 >= 8000000L && p._1 < 9000000L
+      && p._2 >= 8000000L && p._2 < 9000000L),
+      "template-template pairs must be dropped by the derived cap")
+  }
+
   test("m5 phash bucket cap: saturated payload bucket dropped, genuine pair kept") {
     import spark.implicits._
     val tplPay = ("zqzq" * 40) // identical payloads → one phash
