@@ -170,6 +170,30 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)), "genuine pair must survive")
   }
 
+  // ---- BloomFront: the native state-scan filter (r15 items 5/7) ----
+
+  test("BloomFront: fpp scales with state size, bits bounded, no false negatives") {
+    import graft.streaming.BloomFront
+    // fpp: base until state outgrows batch/base, then batch/state
+    assert(BloomFront.scaledFpp(0.01, 1000, 0) == 0.01)
+    assert(BloomFront.scaledFpp(0.01, 1000, 50000) == 0.01) // 1000/50k = 0.02 > base
+    assert(BloomFront.scaledFpp(0.01, 1000, 1000000) == 0.001) // leak pinned at <= batch
+    assert(BloomFront.scaledFpp(0.01, 1000, Long.MaxValue) == 1e-8) // floor
+    // bits: monotone in n and in -log fpp, capped at the 8 MB ceiling
+    assert(BloomFront.bits(1000, 0.01) < BloomFront.bits(10000, 0.01))
+    assert(BloomFront.bits(1000, 0.01) < BloomFront.bits(1000, 0.0001))
+    assert(BloomFront.bits(Long.MaxValue / 2, 1e-8) == BloomFront.maxBits)
+    // end-to-end: every inserted key passes (no false negatives — the
+    // exactness contract), and a disjoint probe set leaks ~fpp
+    import spark.implicits._
+    val keys = (0L until 5000L).toDF("g")
+    val bf = BloomFront.build(keys, col("g"), 5000L, 0.01)
+    assert(keys.filter(BloomFront.probe(bf, col("g"))).count() == 5000L)
+    val disjoint = (1000000L until 1100000L).toDF("g")
+    val fp = disjoint.filter(BloomFront.probe(bf, col("g"))).count()
+    assert(fp < 3000L, s"fpp blowout: $fp of 100k disjoint keys passed")
+  }
+
   test("m7 query is live and all-pairs-free on the real corpus") {
     val df = SparkEntry.queries("m7_video_neardup")(spark, sf)
     val rows = df.collect()
