@@ -57,6 +57,31 @@ object Soak {
     // which side the production adaptive router (d8/d18) would take
     // at this soaked edge count — star above the ~1M crossover
     val ccRoute = dedup.Dedup.ccRouteForCount(nLsh)
+    // --- adaptive-CC 100× tier (r16 verdict item 6): the star
+    // route's O(log²) claim gets its receipt at the edge count d8/d18
+    // would meet on a real crawl. Edges are synthesized DIRECTLY —
+    // graph structure is what CC costs, and LSH generation at 100×
+    // would dominate the cell with candidate-join work already
+    // receipted above: 10 id-shifted copies of the 10× LSH pair graph
+    // (≈100× the 1× bench edges, preserving the dense replica-clique
+    // shape) plus ONE planted 2M-node path, the adversarial-diameter
+    // component where min-label propagation needs O(diameter) rounds
+    // and star contraction's pointer doubling needs O(log) rounds.
+    // Receipts: router choice at this count, wall, and an exact
+    // cluster replay (disjoint copies × 10, + 1 for the path).
+    val ccChainN = 2000000L
+    val cc100Edges = (0 until 10).map(i => lshPairs.select(
+        (col("a_id") + lit(i * 1000000000L)).as("a_id"),
+        (col("b_id") + lit(i * 1000000000L)).as("b_id")))
+      .reduce(_ unionByName _)
+      .unionByName(spark.range(ccChainN - 1).select(
+        (col("id") + 20000000000L).as("a_id"),
+        (col("id") + 20000000001L).as("b_id")))
+    val nE100 = 10L * nLsh + (ccChainN - 1)
+    val cc100Route = dedup.Dedup.ccRouteForCount(nE100)
+    val (tCc100, nCc100) = time(
+      dedup.Dedup.connectedComponentsAdaptive(cc100Edges, "a_id", "b_id")
+        .agg(count_distinct(col("cluster_id"))).head.getLong(0))
     lshPairs.unpersist()
     val (tSim, nSim) = time(dedup.SimHash.nearDupPairs(corpus, maxHamming = 6).count())
     // --- d4 bucket-cap skew guard (r16, r15 verdict item 4): plant a
@@ -73,7 +98,8 @@ object Soak {
       lit("common boilerplate navigation header licence footer terms"
         + " of use all rights reserved subscribe newsletter cookie"
         + " policy privacy contact about sitemap rss feed").as("text"),
-      lit("en").as("lang"), lit(150L).as("n_chars"))
+      lit("en").as("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     val skewCorpus = corpus.unionByName(tplDocs)
     def bandCands(cap: Option[Int]): Long = {
       val b0 = dedup.SimHash.banded(skewCorpus)
@@ -926,9 +952,13 @@ object Soak {
       }
       // leak receipt: rebuild this batch's Bloom by the gate's own
       // rule and count state rows it passes — every cross-batch hit
-      // is a false positive by the disjoint-gram construction (the
-      // batch's own just-written partition is excluded from the count
-      // by matching its batch dir name)
+      // is a false positive by the disjoint-gram construction.
+      // stateRows deliberately INCLUDES the batch's just-written
+      // partition: the gate counts state AFTER its own write
+      // (SubstringStream.substringGate writes grams/$sub, THEN reads
+      // the directory), so dirsAll is the exact fpp/bits replay;
+      // only the FP count excludes the batch's own dir (its rows are
+      // true positives, not leak)
       val bg = dedup.Dedup.substringAnchors(
         b.select("doc_id", "text"), 10).select("g").distinct()
       val nBg = bg.count()
@@ -1218,7 +1248,7 @@ object Soak {
     val frontierStateTtl = frontierStateSoak(gapTtlMs, "ttl")
     val frontierStateNoTtl = frontierStateSoak(0L, "nottl")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_batch_grams":${fmtL(ssBatchGrams)},"ss_bloom_fp":${fmtL(ssBloomFp)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_batch_grams":${fmtL(ssBatchGrams)},"ss_bloom_fp":${fmtL(ssBloomFp)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"cc100_edges":$nE100,"cc100_route":"$cc100Route","cc100_chain_nodes":$ccChainN,"cc100_s":${BigDecimal(tCc100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"cc100_clusters":$nCc100,"cc100_clusters_match":${nCc100 == 10L * nCc + 1L},"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

@@ -471,19 +471,27 @@ object Dedup {
     val benchSh = benchmark
       .select(explode(hashedShingles(col("text"))).as("s")).distinct()
     val nBenchSh = benchSh.count()
-    // empty eval set: nothing can be contaminated — and Spark's
-    // stat.bloomFilter NPEs on a zero-row frame (readFrom on a null
-    // aggregation buffer), so this is a required short-circuit, not
-    // just a fast path
+    // empty eval set: nothing can be contaminated — and a Bloom
+    // aggregate over a zero-row frame yields a null filter (the
+    // probe would null out instead of passing), so this is a
+    // required short-circuit, not just a fast path
     if (nBenchSh == 0)
       return corpus.select(col("doc_id"), lit(0L).as("n_hits"),
         lit(false).as("contaminated"))
-    val bloom = benchSh.stat.bloomFilter("s", nBenchSh, fpp)
-    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: Long) => bloomBc.value.mightContainLong(s))
+    // NATIVE Bloom front since r17 (r16 verdict item 3): built with
+    // the engine's own bloom_filter_agg (distributed, map-side
+    // partial) and probed with might_contain over a binary LITERAL —
+    // the map-side filter stays inside whole-stage codegen, no
+    // ScalaUDF boundary, no broadcast-variable lifecycle (the
+    // ShingleHash/SimHashFold playbook; the streaming twin
+    // SubstringStream proved the machinery in r16). Same
+    // no-false-negative construction ⇒ output stays bit-identical
+    // to the exact path (RoundFourSpec) and to the old
+    // stat.bloomFilter build.
+    val bf = graft.streaming.BloomFront.build(benchSh, col("s"), nBenchSh, fpp)
     val corpusEx = corpus
       .select(col("doc_id"), explode(hashedShingles(col("text"))).as("s"))
-      .filter(mightContain(col("s")))
+      .filter(graft.streaming.BloomFront.probe(bf, col("s")))
     val hits = corpusEx.join(broadcast(benchSh), "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     corpus.select("doc_id")

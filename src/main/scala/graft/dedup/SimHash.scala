@@ -134,12 +134,16 @@ object SimHash {
     * corpus sample in a long-lived pipeline. */
   def autoBucketCap(banded: DataFrame, keys: Seq[String] = Seq("c", "v"),
       pct: Int = 99, headroom: Int = 4, floor: Int = 32): Int = {
-    val p = banded.groupBy(keys.map(col): _*)
+    // the sketch yields NULL on an empty banded frame (empty corpus,
+    // or every doc too short to shingle) — degenerate corpora fall
+    // back to the floor cap instead of NPE-ing the pair query
+    val row = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .agg(graft.plans.QuantileSketch.quantiles(
         col("bsz").cast("double"), 1 << 14, Seq(pct)).as("qs"))
       .select(element_at(col("qs"), 1).cast("long"))
-      .first().getLong(0)
+      .first()
+    val p = if (row.isNullAt(0)) 0L else row.getLong(0)
     math.max(floor.toLong, math.min(Int.MaxValue.toLong, p * headroom)).toInt
   }
 

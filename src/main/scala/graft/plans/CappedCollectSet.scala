@@ -25,7 +25,16 @@ import org.apache.spark.sql.functions.udaf
   *
   * Buffer rides the primitive-array encoder (UnsafeArrayData, no
   * Java serialization); the linear `contains` scan is O(cap) with
-  * cap single-digit in every caller. */
+  * cap single-digit in every caller.
+  *
+  * INPUT MUST BE NON-NULL (r16 ADVICE): the input type is primitive
+  * `Long`, so a null in the aggregated column fails at the input
+  * deserializer (AssertNotNull) instead of being silently skipped
+  * the way `collect_set` skips nulls — this is NOT a drop-in
+  * null-tolerant collect_set replacement. Callers aggregate
+  * hash/id columns that are non-null by construction (m7's frame
+  * hashes); a nullable column needs an explicit `isnotnull` filter
+  * first. */
 object CappedCollectSet {
 
   private final case class Agg(cap: Int)

@@ -53,11 +53,18 @@ import org.xml.sax.InputSource
   * row via codegen subexpression elimination — XsltOneParseSpec
   * asserts parses == rows through the parse counter.
   */
-final class XmlSlots(val paths: Array[String], val kinds: Array[Byte])
-    extends Serializable {
+final class XmlSlots(val paths: Array[String], val kinds: Array[Byte],
+    val nsBindings: Array[Array[String]]) extends Serializable {
   import XmlSlots._
 
+  /** The default (and engine-parity) form: namespace-UNAWARE, exactly
+    * Spark's xpath family. */
+  def this(paths: Array[String], kinds: Array[Byte]) =
+    this(paths, kinds, Array.empty[Array[String]])
+
   require(paths.length == kinds.length, "paths/kinds length mismatch")
+  require(nsBindings.forall(_.length == 2),
+    "nsBindings must be (prefix, uri) pairs")
 
   /** Per-thread parser + compiled expressions: DocumentBuilder and
     * XPathExpression are not thread-safe, and one expression
@@ -68,10 +75,28 @@ final class XmlSlots(val paths: Array[String], val kinds: Array[Byte])
     ThreadLocal.withInitial { () =>
       val dbf = DocumentBuilderFactory.newInstance()
       // the exact UDFXPathUtil configuration: namespace-unaware
-      // default parse, external entities off (no other features)
+      // default parse, external entities off (no other features) —
+      // UNLESS the caller opted into namespace bindings (r16 verdict
+      // item 5: lxml-parity mode), which flips the parse to
+      // namespace-aware and resolves XPath prefixes through the map
       dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
       dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
       val xp = XPathFactory.newInstance().newXPath()
+      if (nsBindings.nonEmpty) {
+        dbf.setNamespaceAware(true)
+        val m = nsBindings.map(kv => kv(0) -> kv(1)).toMap
+        xp.setNamespaceContext(new javax.xml.namespace.NamespaceContext {
+          override def getNamespaceURI(prefix: String): String =
+            m.getOrElse(prefix, javax.xml.XMLConstants.NULL_NS_URI)
+          override def getPrefix(uri: String): String =
+            m.collectFirst { case (p, u) if u == uri => p }.orNull
+          override def getPrefixes(uri: String): java.util.Iterator[String] = {
+            val l = new java.util.ArrayList[String]()
+            m.foreach { case (p, u) => if (u == uri) l.add(p) }
+            l.iterator()
+          }
+        })
+      }
       // a path UDFXPathUtil cannot compile yields null for that call,
       // not an error — mirror per-slot with a null expression
       val compiled = paths.map { p =>
@@ -164,18 +189,24 @@ final class XmlSlots(val paths: Array[String], val kinds: Array[Byte])
 
   // content equality so expression canonicalization and codegen
   // subexpression elimination see two identical slot tables as equal
+  // (nsBindings included: an aware and an unaware table over the
+  // same paths evaluate differently and must never unify)
   override def equals(other: Any): Boolean = other match {
     case o: XmlSlots =>
       java.util.Arrays.equals(paths.asInstanceOf[Array[AnyRef]],
         o.paths.asInstanceOf[Array[AnyRef]]) &&
-        java.util.Arrays.equals(kinds, o.kinds)
+        java.util.Arrays.equals(kinds, o.kinds) &&
+        java.util.Arrays.deepEquals(nsBindings.asInstanceOf[Array[AnyRef]],
+          o.nsBindings.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode: Int =
-    java.util.Arrays.hashCode(paths.asInstanceOf[Array[AnyRef]]) * 31 +
-      java.util.Arrays.hashCode(kinds)
+    (java.util.Arrays.hashCode(paths.asInstanceOf[Array[AnyRef]]) * 31 +
+      java.util.Arrays.hashCode(kinds)) * 31 +
+      java.util.Arrays.deepHashCode(nsBindings.asInstanceOf[Array[AnyRef]])
   override def toString: String =
-    s"XmlSlots(${paths.length} slots)"
+    s"XmlSlots(${paths.length} slots" +
+      (if (nsBindings.isEmpty) ")" else s", ${nsBindings.length} ns)")
 }
 
 object XmlSlots {
@@ -185,6 +216,25 @@ object XmlSlots {
   /** Document-order ordinals of a nodeset's matches (see
     * [[XmlSlots]]'s `documentOrder`). */
   val KindNodesPos: Byte = 3
+
+  /** NAMESPACE-AWARE slot table (r16 verdict item 5 — the opt-in
+    * that closes the documented local-name approximation): the
+    * document parses namespace-aware and XPath prefixes resolve
+    * through `ns` (prefix → namespace URI), i.e. lxml semantics —
+    * `validate.py:33-35` / `transform.py:20-76` pass exactly such a
+    * map to lxml. Semantics differ from the default table in the
+    * lxml-documented ways: a prefixed step matches by NAMESPACE
+    * (colliding local names across namespaces stay distinct), and an
+    * UNPREFIXED step matches only no-namespace nodes — a document
+    * under a default namespace needs a bound prefix, the classic
+    * lxml trap. Bindings are sorted so two tables over the same map
+    * canonicalize equal. Default-constructed tables stay
+    * namespace-unaware (bit-parity with Spark's xpath family) —
+    * nothing existing changes. */
+  def withNamespaces(paths: Array[String], kinds: Array[Byte],
+      ns: Map[String, String]): XmlSlots =
+    new XmlSlots(paths, kinds,
+      ns.toSeq.sortBy(_._1).map(kv => Array(kv._1, kv._2)).toArray)
 
   /** Global DOM-parse counter — the one-parse-per-row contract's
     * measurement hook (test/soak only; a single local-JVM counter). */

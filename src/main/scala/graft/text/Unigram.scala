@@ -166,7 +166,17 @@ object Unigram {
     * join with the explicit separator `"␠"` so the stream is
     * LOSSLESS (the Bpe.encodeCorpus contract — split on the
     * separator, concat subwords, rejoin with spaces = normalized
-    * text). Output: (id, tokens, n_tokens). */
+    * text). Output: (id, tokens, n_tokens).
+    *
+    * THE one deliberately-UDF corpus stage in the repo (r16 verdict
+    * note): Viterbi decoding over the broadcast piece table is a
+    * per-word dynamic program — not expressible as Columns/HOFs, and
+    * a native Expression would buy nothing (the cost IS the DP, not
+    * the ScalaUDF boundary; one converter crossing per document,
+    * amortized over the whole token stream). Do NOT "fix" this in a
+    * UDF sweep. The surface is ScalaTest-only (no driver oracle), and
+    * [[emRound]]'s segUdf is the same trade over DISTINCT WORDS —
+    * strictly smaller than any corpus pass. */
   def encodeCorpus(docs: DataFrame, idCol: Column, textCol: Column,
       vocab: Vocab): DataFrame = {
     val v = vocab

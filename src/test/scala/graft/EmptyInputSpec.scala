@@ -46,6 +46,9 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(Dedup.minhashLsh(emptyDocs, k = 8, bands = 4, threshold = 0.8).count() == 0)
     assert(Dedup.dupSpanStats(emptyDocs).count() == 0)
     assert(graft.dedup.SimHash.nearDupPairs(emptyDocs, maxHamming = 6).count() == 0)
+    // r16 ADVICE: the self-tuning cap's quantile read is null on an
+    // empty banded frame — must fall back to the floor, not NPE
+    assert(graft.dedup.SimHash.nearDupPairsAuto(emptyDocs, maxHamming = 6).count() == 0)
   }
 
   test("r15 eval-substring strip: empty eval strips nothing, empty corpus is empty") {

@@ -209,6 +209,28 @@ class PlanAuditSpec extends AnyFunSuite {
         s"SimplifyBothWaysNullChecks wiring installed?): $offenders")
   }
 
+  // Native-bloom tier (r16 VERDICT #3): d9's map-side decontamination
+  // prefilter was the last hot-path ScalaUDF (a broadcast
+  // bloom.mightContainLong closure over the exploded corpus); since
+  // r17 it rides the engine's own BloomFilterAggregate /
+  // BloomFilterMightContain pair (BloomFront), so the filter stays
+  // inside whole-stage codegen. This pins the plan: the native probe
+  // present, zero ScalaUDFs anywhere in the executed plan.
+  test("d9's bloom prefilter is native: might_contain, no ScalaUDF") {
+    val df = SparkEntry.queries("d9_bloom")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val udfs = plan.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF =>
+          u.udfName.getOrElse(u.function.getClass.getSimpleName)
+      })
+    }.flatten
+    assert(udfs.isEmpty, s"ScalaUDFs in d9's executed plan: $udfs")
+    assert(plan.toString.contains("might_contain"),
+      "native bloom probe missing from d9's executed plan")
+  }
+
   test("single-partition exchanges only on tiny final reductions") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -1,0 +1,115 @@
+package graft
+
+import graft.plans.{XmlExpr, XmlSlots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Namespace-aware XPath opt-in (r16 verdict item 5).
+  *
+  * graft's default XPath surface deliberately matches Spark's
+  * Hive-derived namespace-UNAWARE xpath family and rewrites QNames to
+  * local-name probes — the right call for OAI feeds where one
+  * namespace arrives under per-record prefixes. The documented gap: a
+  * corpus with COLLIDING local names across namespaces mis-matches,
+  * where the reference's lxml is namespace-aware (validate.py:33-35,
+  * transform.py:20-76 pass explicit prefix→URI maps). This spec pins
+  * the opt-in that closes it:
+  *
+  *  - with a namespace map, a prefixed step resolves by NAMESPACE
+  *    (colliding local names stay distinct), exactly lxml semantics;
+  *  - without the map, behavior is UNCHANGED (local-name matching,
+  *    the Spark-parity mode) — the 184 oracled queries never see the
+  *    new code path;
+  *  - the MARC21 default-namespace fixture (the reference's own
+  *    alma_bibs__new_1_ns.xml twin) resolves through a bound prefix,
+  *    and an unprefixed aware step matches nothing — the documented
+  *    lxml default-namespace trap, reproduced bit-for-bit.
+  */
+class XmlNamespaceSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def resourceText(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    require(in != null, s"missing $name")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def evalSlots(xml: String, slots: XmlSlots): Seq[Seq[String]] = {
+    import spark.implicits._
+    val r = Seq(xml).toDF("xml")
+      .select(XmlExpr.xpathSlots(col("xml"), slots).as("r"))
+      .head.getSeq[scala.collection.Seq[String]](0)
+    r.map(inner => if (inner == null) null else inner.toSeq).toSeq
+  }
+
+  // two namespaces, same local name — the case the local-name
+  // approximation cannot tell apart
+  private val colliding =
+    """<rec xmlns:a="urn:ns-a" xmlns:b="urn:ns-b">""" +
+      "<a:title>alpha</a:title><b:title>beta</b:title></rec>"
+
+  test("colliding local names resolve by namespace WITH the map") {
+    val aware = XmlSlots.withNamespaces(
+      Array("//t:title/text()", "//u:title/text()"),
+      Array(XmlSlots.KindNodes, XmlSlots.KindNodes),
+      Map("t" -> "urn:ns-a", "u" -> "urn:ns-b"))
+    val out = evalSlots(colliding, aware)
+    assert(out(0) == Seq("alpha"),
+      s"t: (urn:ns-a) must match ONLY the ns-a title, got ${out(0)}")
+    assert(out(1) == Seq("beta"),
+      s"u: (urn:ns-b) must match ONLY the ns-b title, got ${out(1)}")
+  }
+
+  test("WITHOUT the map the local-name probe matches both (unchanged default)") {
+    // the production QName rewrite: p:title -> local-name probe
+    val probe = graft.operators.Transform.rewriteQNames("//t:title") + "/text()"
+    val unaware = new XmlSlots(Array(probe), Array(XmlSlots.KindNodes))
+    assert(evalSlots(colliding, unaware).head == Seq("alpha", "beta"),
+      "the namespace-unaware default must keep matching by local name")
+  }
+
+  test("MARC21 default namespace: bound prefix resolves, unprefixed step does not (lxml semantics)") {
+    val xml = resourceText("alma_bibs_new1_ns.xml").strip()
+    val marc = "http://www.loc.gov/MARC21/slim"
+    val aware = XmlSlots.withNamespaces(
+      Array("/m:collection/m:record/m:controlfield[@tag='001']/text()",
+        "//controlfield[@tag='001']/text()"),
+      Array(XmlSlots.KindNodes, XmlSlots.KindNodes),
+      Map("m" -> marc))
+    val out = evalSlots(xml, aware)
+    // lxml with {'m': MARC21} sees both records' 001 in document order
+    assert(out(0) == Seq("991022063789703811", "991024063209703811"),
+      s"bound-prefix MARC21 probe, got ${out(0)}")
+    // the lxml default-namespace trap: an unprefixed step matches only
+    // NO-namespace nodes, and every element here is in MARC21
+    assert(out(1) == Seq.empty,
+      s"unprefixed step must match nothing under a default namespace, got ${out(1)}")
+    // ...while the namespace-unaware default keeps working on the same
+    // bytes (prefixless default-ns elements match by literal name)
+    val unaware = new XmlSlots(
+      Array("//controlfield[@tag='001']/text()"), Array(XmlSlots.KindNodes))
+    assert(evalSlots(xml, unaware).head ==
+      Seq("991022063789703811", "991024063209703811"))
+  }
+
+  test("unbound prefix in an aware table yields an empty slot, not a crash") {
+    val aware = XmlSlots.withNamespaces(
+      Array("//nope:title/text()"), Array(XmlSlots.KindNodes),
+      Map("t" -> "urn:ns-a"))
+    // javax.xml resolves the unbound prefix to NULL_NS_URI at
+    // evaluate time; the slot must surface empty/null, never throw
+    val out = evalSlots(colliding, aware)
+    assert(out.head == null || out.head.isEmpty)
+  }
+
+  test("aware and unaware tables over the same paths never canonicalize equal") {
+    val p = Array("//t:title/text()")
+    val k = Array(XmlSlots.KindNodes)
+    val aware = XmlSlots.withNamespaces(p, k, Map("t" -> "urn:ns-a"))
+    val unaware = new XmlSlots(p, k)
+    assert(aware != unaware,
+      "codegen subexpression elimination would unify them and flip semantics")
+    assert(aware == XmlSlots.withNamespaces(p, k, Map("t" -> "urn:ns-a")),
+      "same map must canonicalize equal (sorted bindings)")
+  }
+}
