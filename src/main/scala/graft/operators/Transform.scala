@@ -97,8 +97,12 @@ object Transform {
       ()
     }
     def index(path: String, kind: Byte): Int = idx((path, kind))
-    def toSlots: XmlSlots =
-      new XmlSlots(order.map(_._1).toArray, order.map(_._2).toArray)
+    def toSlots(ns: Map[String, String]): XmlSlots =
+      if (ns.isEmpty)
+        new XmlSlots(order.map(_._1).toArray, order.map(_._2).toArray)
+      else
+        XmlSlots.withNamespaces(
+          order.map(_._1).toArray, order.map(_._2).toArray, ns)
   }
 
   private def collectSlots(r: XRule, reg: SlotReg): Unit = r match {
@@ -142,14 +146,15 @@ object Transform {
     * and conditional branches (outputXml's dispatch decodes are all
     * such occurrences; the first cut measured 4 parses/row there). */
   private def withSlots(xml: Column, rules: Seq[XRule],
-      posPaths: Seq[String] = Seq.empty)(
+      posPaths: Seq[String] = Seq.empty,
+      ns: Map[String, String] = Map.empty)(
       body: SlotAccess => Column): Column = {
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.catalyst.expressions.With
     val reg = new SlotReg
     rules.foreach(collectSlots(_, reg))
     posPaths.foreach(reg.intern(_, XmlSlots.KindNodesPos))
-    val slots = reg.toSlots
+    val slots = reg.toSlots(ns)
     if (slots.paths.isEmpty)
       body(new SlotAccess(reg, lit(null)))
     else
@@ -196,8 +201,9 @@ object Transform {
     * form). The record's XML is parsed ONCE per row — every rule's
     * XPaths evaluate against the single DOM through
     * [[graft.plans.XPathSlots]]; XsltOneParseSpec pins parses==rows. */
-  def structuralCrosswalk(xml: Column, rules: Seq[XRule]): Column =
-    withSlots(xml, rules) { sx =>
+  def structuralCrosswalk(xml: Column, rules: Seq[XRule],
+      ns: Map[String, String] = Map.empty): Column =
+    withSlots(xml, rules, ns = ns) { sx =>
       struct(rules.map(compileRule(sx, _)): _*)
     }
 
@@ -661,21 +667,29 @@ object Transform {
     * codegen'd projection. */
   final case class XsltSheet(contextPath: String,
       exclusionPaths: Seq[String], rules: Seq[XRule],
-      wrapperName: String = "record") {
+      wrapperName: String = "record",
+      ns: Map[String, String] = Map.empty) {
     /** True for rows the stylesheet emits output for: the context
       * node matches (with its predicates) and no drop template
       * intercepts the record. Composed into ONE XPath boolean
       * expression — each `xpath_boolean` call re-parses the XML
       * string, so folding N+1 probes into one cuts the filter's
-      * parse cost to a single pass per row. */
+      * parse cost to a single pass per row. A namespace-aware sheet
+      * (nonEmpty `ns` — see compileXsltSheet's `nsAware`) evaluates
+      * the same composed expression through an aware [[XmlSlots]]
+      * bool slot instead (Spark's xpath_boolean cannot resolve
+      * prefixes); null XML evaluates null either way. */
     def keep(xml: Column): Column = {
       val expr = exclusionPaths.foldLeft(s"($contextPath)") {
         (acc, ex) => s"$acc and not(($ex))"
       }
-      xpath_boolean(xml, lit(expr))
+      if (ns.isEmpty) xpath_boolean(xml, lit(expr))
+      else element_at(element_at(XmlExpr.xpathSlots(xml,
+        XmlSlots.withNamespaces(Array(expr),
+          Array(XmlSlots.KindBool), ns)), 1), 1) === "true"
     }
     /** The compiled crosswalk output as one nested struct Column. */
-    def output(xml: Column): Column = structuralCrosswalk(xml, rules)
+    def output(xml: Column): Column = structuralCrosswalk(xml, rules, ns)
     /** The reference's ACTUAL wire form — serialized XML records,
       * what transform.py's Saxon run writes to the destination
       * prefix: every emission as a repeated `<name>text</name>`
@@ -697,7 +711,7 @@ object Transform {
         regexp_replace(regexp_replace(regexp_replace(x,
           "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
       if (!documentOrder) {
-        withSlots(xml, rules) { sx =>
+        withSlots(xml, rules, ns = ns) { sx =>
           val inner = rules.map { r =>
             val n = ruleName(r)
             val wire: Column => Column = r match {
@@ -726,7 +740,8 @@ object Transform {
             .replace(">", "&gt;")
           s"<$n>$ev</$n>"
         }.mkString
-        withSlots(xml, rules, posPaths = dispatches.map(_.nodesPath)) { sx =>
+        withSlots(xml, rules, posPaths = dispatches.map(_.nodesPath),
+            ns = ns) { sx =>
           val inner = dispatches.map(keptEmissions(sx, _, esc))
             .reduceOption(concat(_, _)) match {
             case Some(all) =>
@@ -828,9 +843,22 @@ object Transform {
     * splitter idiom, computational tests, nested apply-templates —
     * stays REFUSED: a compiler that silently mis-runs a stylesheet
     * is worse than one that refuses it. */
+  /** `nsAware = true` (r17, the r16 known-limits follow-on) compiles
+    * the sheet NAMESPACE-AWARE: XPath prefixes in match patterns
+    * resolve through the stylesheet's OWN xmlns declarations —
+    * exactly how Saxon/lxml resolve stylesheet XPath prefixes — so a
+    * corpus with colliding local names across namespaces dispatches
+    * correctly. The default (false) keeps the engine-parity
+    * local-name rewrite (the right approximation for OAI feeds with
+    * per-record prefixes; every oracled query rides it). In aware
+    * mode an UNPREFIXED match step binds to NO namespace (the XPath
+    * 1.0 rule — the lxml default-namespace trap applies to the data
+    * documents, so records under a default namespace need prefixed
+    * stylesheet patterns, as real OAI stylesheets have). */
   def compileXsltSheet(xslt: String,
-      includes: Map[String, String] = Map.empty): XsltSheet =
-    compileSheet(xslt, includes, externalContext = None)
+      includes: Map[String, String] = Map.empty,
+      nsAware: Boolean = false): XsltSheet =
+    compileSheet(xslt, includes, externalContext = None, nsAware = nsAware)
 
   /** MODULE compilation — the reference's shared-template layout
     * (tests/fixtures/temple.xsl: field + named templates only, no
@@ -841,9 +869,10 @@ object Transform {
     * [[compileXsltSheet]]. */
   def compileXsltModule(xslt: String, contextMatch: String,
       includes: Map[String, String] = Map.empty,
-      wrapperName: String = "record"): XsltSheet =
+      wrapperName: String = "record",
+      nsAware: Boolean = false): XsltSheet =
     compileSheet(xslt, includes, externalContext = Some(contextMatch),
-      moduleWrapper = wrapperName)
+      moduleWrapper = wrapperName, nsAware = nsAware)
 
   /** A recognized recursive delimiter-split named template
     * (see [[VSplit]]): output element, its two parameter names, and
@@ -853,7 +882,8 @@ object Transform {
 
   private def compileSheet(xslt: String, includes: Map[String, String],
       externalContext: Option[String],
-      moduleWrapper: String = "record"): XsltSheet = {
+      moduleWrapper: String = "record",
+      nsAware: Boolean = false): XsltSheet = {
     import org.w3c.dom.Element
     val XslNs = "http://www.w3.org/1999/XSL/Transform"
     def parse(src: String): org.w3c.dom.Document = {
@@ -884,8 +914,21 @@ object Transform {
     // document order wins (XSLT 1.0's recoverable-error resolution):
     // xsl-sample-complex.xsl includes temple.xsl ABOVE its own
     // templates, so its own dc:title/dc:type override temple's.
-    def poolTemplates(src: String, seen: Set[String]): Seq[Element] =
-      elems(parse(src).getDocumentElement).flatMap {
+    // stylesheet-root xmlns declarations, collected across the
+    // include pool (main sheet first, so its binding wins a prefix
+    // conflict) — the namespace context Saxon/lxml resolve stylesheet
+    // XPath prefixes against; the XSL namespace itself is excluded
+    // (xsl: never appears in a match pattern the subset compiles)
+    val nsDecls = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def poolTemplates(src: String, seen: Set[String]): Seq[Element] = {
+      val rootEl = parse(src).getDocumentElement
+      val atts = rootEl.getAttributes
+      (0 until atts.getLength).map(atts.item).foreach { a =>
+        if (a.getNodeName.startsWith("xmlns:") && a.getNodeValue != XslNs)
+          nsDecls.getOrElseUpdate(
+            a.getNodeName.stripPrefix("xmlns:"), a.getNodeValue)
+      }
+      elems(rootEl).flatMap {
         case e if isXsl(e, "include") || isXsl(e, "import") =>
           val href = e.getAttribute("href")
           require(includes.contains(href),
@@ -896,7 +939,12 @@ object Transform {
         case e if isXsl(e, "template") => Seq(e)
         case _ => Seq() // xsl:output etc.
       }
+    }
     val templates = poolTemplates(xslt, Set.empty)
+    // aware mode keeps QNames verbatim (prefixes resolve through the
+    // collected declarations); default mode rewrites to the
+    // local-name probe — ONE switch, every pattern site rides it
+    val rw: String => String = if (nsAware) identity else rewriteQNames
     require(templates.nonEmpty, "stylesheet has no xsl:template")
     val (drops, bodied) = templates.partition(t => elems(t).isEmpty
       && t.getTextContent.trim.isEmpty)
@@ -910,7 +958,7 @@ object Transform {
         require(m.startsWith("/") && m.endsWith("/*"),
           s"drop template match '$m' out of subset (only 'text() | @*' " +
             "and absolute patterns ending /* compile)")
-        Some(rewriteQNames(m.stripSuffix("/*")))
+        Some(rw(m.stripSuffix("/*")))
       }
     }
 
@@ -1051,7 +1099,7 @@ object Transform {
     }
     require(ctxRaw.startsWith("/"),
       s"base template match must be absolute, got '$ctxRaw'")
-    val ctx = rewriteQNames(ctxRaw)
+    val ctx = rw(ctxRaw)
 
     // ---- per-node tests -------------------------------------------
     def parseAtomic(t: String): XAtom = {
@@ -1271,7 +1319,7 @@ object Transform {
       require(m.nonEmpty && !m.startsWith("/") && !m.contains("/")
           && !m.contains("["),
         s"field template match must be one relative QName step, got '$m'")
-      val nodesPath = s"$ctx/${rewriteQNames(m)}/text()"
+      val nodesPath = s"$ctx/${rw(m)}/text()"
       val emissions = elems(t).flatMap(perNode(_, Nil))
       require(emissions.nonEmpty, s"field template '$m' emits nothing")
       // group by output name, first-appearance order, cases in order
@@ -1301,7 +1349,8 @@ object Transform {
     }
     val wrapper = bases.headOption.map(b => elems(b).head.getTagName)
       .getOrElse(moduleWrapper)
-    XsltSheet(ctx, exclusions, merged, wrapper)
+    XsltSheet(ctx, exclusions, merged, wrapper,
+      ns = if (nsAware) nsDecls.toMap else Map.empty)
   }
 
 

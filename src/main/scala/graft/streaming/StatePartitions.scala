@@ -67,6 +67,35 @@ object StatePartitions {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Total row count over the live partitions WITHOUT a Spark job
+    * (r17, the r16 known-limits item): the per-batch fpp scaling in
+    * [[SubstringStream]] needs only the accumulated state row count,
+    * and `read(...).count()` pays a full job (scheduler round-trip,
+    * task launch per file) for a number the parquet FOOTERS already
+    * carry. This reads each live file's footer metadata driver-side
+    * — O(live files) small reads, the same information Spark's own
+    * metadata-only count optimization uses. Exactly equals
+    * `read(spark, rootDir).count()` by parquet's row-count contract
+    * (spec-pinned, including across a compaction fold). */
+  def rowCount(spark: SparkSession, rootDir: String): Long = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    liveDirs(rootDir).iterator.flatMap { d =>
+      val p = new HPath(d)
+      val fs = FileSystem.get(p.toUri, conf)
+      fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map { s =>
+          scala.util.Using.resource(
+            ParquetFileReader.open(HadoopInputFile.fromStatus(s, conf))) {
+            r => r.getRecordCount
+          }
+        }
+    }.sum
+  }
+
   /** Fold every live partition EXCEPT `excludeName` (the in-flight
     * batch's own dir, which may exist from a crashed attempt and is
     * about to be overwritten) into `compact=<name>`, publish the

@@ -115,9 +115,11 @@ object SubstringStream {
               // Exactness survives as before: a bloom-positive gram
               // keeps ALL its state rows (full occ/first) while
               // false positives die in the anchor join below. The
-              // state row count reads parquet footers only.
+              // state row count reads parquet footers only —
+              // driver-side since r17, no Spark job (the r16
+              // known-limits item; StatePartitions.rowCount).
               val stateRows =
-                StatePartitions.read(spark, s"$stateDir/grams").count()
+                StatePartitions.rowCount(spark, s"$stateDir/grams")
               val fpp = BloomFront.scaledFpp(bloomFpp, nBg, stateRows)
               val bf = BloomFront.build(bg, col("g"), nBg, fpp)
               val st = StatePartitions.read(spark, s"$stateDir/grams")

@@ -138,6 +138,14 @@ class SubstringStreamSpec extends AnyFunSuite {
       s"compaction did not shrink live partitions: ${liveCpt.size}")
     // and the parity corpus carried live strips
     assert(a.filter(col("n_stripped") > 0).count() >= 2)
+    // r17: the footer-driver row count (no Spark job) equals the job
+    // count on BOTH trees — including the compacted one, whose live
+    // set crosses a fold (the gate's fpp scaling reads this number)
+    Seq(s"$plain/grams", s"$compacted/grams").foreach { r =>
+      assert(graft.streaming.StatePartitions.rowCount(spark, r) ==
+        graft.streaming.StatePartitions.read(spark, r).count(),
+        s"footer row count diverged from job count under $r")
+    }
   }
 
   test("a stateDir is locked to its first lineage") {

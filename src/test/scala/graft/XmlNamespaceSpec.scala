@@ -102,6 +102,82 @@ class XmlNamespaceSpec extends AnyFunSuite {
     assert(out.head == null || out.head.isEmpty)
   }
 
+  // --- the sheet-level wiring (r17 follow-on): nsAware compile -----
+
+  // two vocabularies share the local name `title`; the stylesheet
+  // binds BOTH prefixes on its root (the namespace context Saxon/lxml
+  // resolve stylesheet XPath prefixes against) and dispatches each
+  // into its own output field
+  private val nsSheet =
+    """<xsl:stylesheet version="1.0"
+      |  xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |  xmlns:a="urn:ns-a" xmlns:b="urn:ns-b">
+      |  <xsl:template match="text() | @*"/>
+      |  <xsl:template match="//a:rec">
+      |    <record><xsl:apply-templates/></record>
+      |  </xsl:template>
+      |  <xsl:template match="a:title">
+      |    <xsl:element name="a_title"><xsl:value-of select="."/></xsl:element>
+      |  </xsl:template>
+      |  <xsl:template match="b:title">
+      |    <xsl:element name="b_title"><xsl:value-of select="."/></xsl:element>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  private val nsRecord =
+    """<x:rec xmlns:x="urn:ns-a" xmlns:y="urn:ns-b">""" +
+      "<x:title>alpha</x:title><y:title>beta</y:title></x:rec>"
+
+  test("nsAware sheet dispatches colliding local names by namespace") {
+    import spark.implicits._
+    import graft.operators.Transform
+    val sheet = Transform.compileXsltSheet(nsSheet, nsAware = true)
+    assert(sheet.ns == Map("a" -> "urn:ns-a", "b" -> "urn:ns-b"))
+    val df = Seq(nsRecord).toDF("xml")
+    // keep: the aware context path resolves through the record's own
+    // x: prefix — by NAMESPACE, not prefix spelling
+    assert(df.filter(sheet.keep(col("xml"))).count() == 1)
+    val out = df.filter(sheet.keep(col("xml")))
+      .select(to_json(sheet.output(col("xml"))).as("rec"))
+      .head.getString(0)
+    assert(out.contains(""""a_title":["alpha"]"""),
+      s"a:title must capture ONLY the urn:ns-a title, got $out")
+    assert(out.contains(""""b_title":["beta"]"""),
+      s"b:title must capture ONLY the urn:ns-b title, got $out")
+    assert(!out.contains(""""a_title":["alpha","beta"]"""))
+    // the XML wire form rides the same aware slot table
+    val wire = df.select(sheet.outputXml(col("xml")).as("w")).head.getString(0)
+    assert(wire == "<record><a_title>alpha</a_title>" +
+      "<b_title>beta</b_title></record>", wire)
+  }
+
+  test("the DEFAULT (unaware) compile of the same sheet merges by local name") {
+    import spark.implicits._
+    import graft.operators.Transform
+    val sheet = Transform.compileXsltSheet(nsSheet)
+    assert(sheet.ns.isEmpty)
+    val df = Seq(nsRecord).toDF("xml")
+    val out = df.filter(sheet.keep(col("xml")))
+      .select(to_json(sheet.output(col("xml"))).as("rec"))
+      .head.getString(0)
+    // local-name matching cannot tell the namespaces apart: BOTH
+    // titles land in BOTH fields — the documented approximation the
+    // aware mode exists to close (and the reason the default stays:
+    // per-record prefix drift in OAI feeds needs exactly this)
+    assert(out.contains(""""a_title":["alpha","beta"]"""), out)
+    assert(out.contains(""""b_title":["alpha","beta"]"""), out)
+  }
+
+  test("nsAware=false compiles the reference fixture identically to before") {
+    import graft.operators.Transform
+    def resource(name: String): String = resourceText(name)
+    val src = resource("xsl_sample_simple.xsl")
+    val a = Transform.compileXsltSheet(src)
+    val b = Transform.compileXsltSheet(src, nsAware = false)
+    assert(a == b, "default compile must be unaffected by the nsAware plumb")
+    assert(a.ns.isEmpty)
+  }
+
   test("aware and unaware tables over the same paths never canonicalize equal") {
     val p = Array("//t:title/text()")
     val k = Array(XmlSlots.KindNodes)
