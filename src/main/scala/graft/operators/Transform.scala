@@ -256,6 +256,17 @@ object Transform {
     * single [[ANot]]. */
   final case class AAnyOf(atoms: Seq[XAtom]) extends XAtom
   final case class ANot(atom: XAtom) extends XAtom
+  /** `contains(EXPR, 'lit')` (r17 widening). */
+  final case class AContains(lit: String) extends XAtom
+  /** RAW string non-emptiness — `EXPR != ''` is XPath string
+    * inequality with NO whitespace collapse, unlike [[ANonEmpty]]'s
+    * normalize-space semantics. */
+  case object ARawNonEmpty extends XAtom
+  /** An atom evaluated over a COMPUTED operand instead of the node's
+    * raw text — the compiled form of a test over an `xsl:variable`
+    * (r17): variables inline at reference, so the operand is the
+    * defining [[XVal]] expression. */
+  final case class AOver(v: XVal, atom: XAtom) extends XAtom
 
   /** What a matched case emits for the node. */
   sealed trait XVal
@@ -297,6 +308,18 @@ object Transform {
     * (VText/VNormText/VConst) — nesting stays refused. */
   final case class VParts(parts: Seq[XVal]) extends XVal
 
+  /** A string-function application over in-subset scalar values —
+    * the `xsl:variable` widening (r17): a variable's select compiles
+    * to an XVal and INLINES at each `$name` reference (XSLT
+    * variables are single-assignment, so inlining is semantics-
+    * preserving), so the compiled rule tree never carries an
+    * environment. Grammar: `.`, `$var`, string literals, and
+    * normalize-space / lower-case / upper-case / string /
+    * substring-before / substring-after (literal needle) / translate
+    * (literal maps) / concat over those. substring-before/-after
+    * follow XPath: empty string when the needle is absent. */
+  final case class VFunc(fn: String, args: Seq[XVal]) extends XVal
+
   /** XPath `normalize-space`: collapse whitespace runs, trim. (Not
     * [[normalizeText]] — no lowercasing.) */
   def normalizeSpace(c: Column): Column =
@@ -306,6 +329,9 @@ object Transform {
     case ANonEmpty => length(trim(x)) > 0
     case AMatches(re) => x.rlike(re)
     case AStartsWith(p) => x.startsWith(p)
+    case AContains(s) => x.contains(s)
+    case ARawNonEmpty => length(x) > 0
+    case AOver(v, inner) => atomCond(caseValue(x, v), inner)
     case AAnyOf(atoms) => atoms.map(atomCond(x, _)).reduce(_ || _)
     case ANot(inner) => !atomCond(x, inner)
   }
@@ -315,6 +341,25 @@ object Transform {
     case VNormText => normalizeSpace(x)
     case VConst(s) => lit(s)
     case VParts(ps) => concat(ps.map(caseValue(x, _)): _*)
+    case VFunc("lower-case", Seq(a)) => lower(caseValue(x, a))
+    case VFunc("upper-case", Seq(a)) => upper(caseValue(x, a))
+    case VFunc("normalize-space", Seq(a)) => normalizeSpace(caseValue(x, a))
+    case VFunc("string", Seq(a)) => caseValue(x, a)
+    case VFunc("substring-before", Seq(a, VConst(t))) =>
+      // XPath: text before the FIRST needle occurrence, "" if absent
+      val s = caseValue(x, a)
+      when(instr(s, t) > 0, substr(s, lit(1), instr(s, t) - 1))
+        .otherwise(lit(""))
+    case VFunc("substring-after", Seq(a, VConst(t))) =>
+      val s = caseValue(x, a)
+      when(instr(s, t) > 0,
+        substr(s, instr(s, t) + lit(t.length), length(s)))
+        .otherwise(lit(""))
+    case VFunc("translate", Seq(a, VConst(from), VConst(to))) =>
+      translate(caseValue(x, a), from, to)
+    case VFunc("concat", args) => concat(args.map(caseValue(x, _)): _*)
+    case v: VFunc => throw new IllegalStateException(
+      s"uncompilable VFunc shape $v — the select parser should have refused it")
     case v: VSplit => throw new IllegalStateException(
       s"VSplit must be a dispatch's sole case, got mixed cases ($v)")
     case v: VAttributed => throw new IllegalStateException(
@@ -838,9 +883,19 @@ object Transform {
     * node's (normalized) text, the struct model renders the
     * emission as `{"@name": …, "#text": …}` and the wire form as
     * `<name a="v">text</name>`.
+    * Since r17 string-valued `xsl:variable` is IN subset: a variable
+    * binds with a select from the string-expression grammar (`.`,
+    * `$var`, literals, normalize-space / lower-case / upper-case /
+    * string / substring-before / substring-after / translate /
+    * concat — the [[VFunc]] scaladoc) and may be referenced in
+    * value-ofs, mixed content and guard tests (contains /
+    * starts-with / matches / != '' over a variable); variables
+    * inline at reference, scoping is document-order within one body
+    * (XsltVariableSpec — temple.xsl's commented-out
+    * $objID/$baseURL/$langterm templates are the model shapes).
     * Everything else — dynamic `xsl:attribute`/`xsl:element` names,
-    * attributes on MERGED outputs, `xsl:variable` outside the
-    * splitter idiom, computational tests, nested apply-templates —
+    * attributes on MERGED outputs, content-bodied or node-set
+    * variables, computational tests, nested apply-templates —
     * stays REFUSED: a compiler that silently mis-runs a stylesheet
     * is worse than one that refuses it. */
   /** `nsAware = true` (r17, the r16 known-limits follow-on) compiles
@@ -1101,50 +1156,208 @@ object Transform {
       s"base template match must be absolute, got '$ctxRaw'")
     val ctx = rw(ctxRaw)
 
+    // ---- the select grammar + xsl:variable (r17 widening) ---------
+    // expr := '.' | $name | 'lit' | "lit" | FN '(' [expr {, expr}] ')'
+    // Variables are single-assignment and INLINE at each reference,
+    // so nothing past this parse carries an environment; '.' and
+    // normalize-space(.) normalize to VText/VNormText so every
+    // pre-r17 stylesheet compiles to the IDENTICAL rule tree.
+    def parseSelect(sel: String, env: Map[String, XVal]): XVal = {
+      var i = 0
+      def ws(): Unit = { while (i < sel.length && sel(i).isWhitespace) i += 1 }
+      def fail(msg: String): Nothing = throw new IllegalArgumentException(
+        s"unsupported select '$sel' at offset $i: $msg (subset: '.', " +
+          "$var, string literals, normalize-space/lower-case/upper-case/" +
+          "string/substring-before/substring-after/translate/concat)")
+      def mkFunc(fn: String, args: Seq[XVal]): XVal = fn match {
+        case "normalize-space" => args match {
+          case Seq() | Seq(VText) => VNormText
+          case Seq(a) => VFunc(fn, Seq(a))
+          case _ => fail("normalize-space takes 0 or 1 argument")
+        }
+        case "lower-case" | "upper-case" | "string" => args match {
+          case Seq(a) => VFunc(fn, Seq(a))
+          case _ => fail(s"$fn takes 1 argument")
+        }
+        case "substring-before" | "substring-after" => args match {
+          case Seq(a, VConst(t)) if t.nonEmpty => VFunc(fn, Seq(a, VConst(t)))
+          case _ => fail(s"$fn takes (expr, non-empty string literal)")
+        }
+        case "translate" => args match {
+          case Seq(a, _: VConst, _: VConst) => VFunc(fn, args)
+          case _ => fail("translate takes (expr, literal, literal)")
+        }
+        case "concat" =>
+          if (args.size >= 2) VFunc(fn, args)
+          else fail("concat takes 2+ arguments")
+        case other => fail(s"unknown function $other()")
+      }
+      def expr(): XVal = {
+        ws()
+        if (i >= sel.length) fail("expected an expression")
+        sel(i) match {
+          case '.' => i += 1; VText
+          case '$' =>
+            i += 1
+            val st = i
+            while (i < sel.length && (sel(i).isLetterOrDigit
+              || sel(i) == '_' || sel(i) == '-')) i += 1
+            val nm = sel.substring(st, i)
+            env.getOrElse(nm, fail(s"undefined variable $$$nm " +
+              "(xsl:variable must be defined before use in the same body)"))
+          case q @ ('\'' | '"') =>
+            i += 1
+            val st = i
+            while (i < sel.length && sel(i) != q) i += 1
+            if (i >= sel.length) fail("unterminated string literal")
+            val v = sel.substring(st, i); i += 1
+            VConst(v)
+          case c if c.isLetter =>
+            val st = i
+            while (i < sel.length && (sel(i).isLetterOrDigit
+              || sel(i) == '-')) i += 1
+            val fn = sel.substring(st, i)
+            ws()
+            if (i >= sel.length || sel(i) != '(') fail(s"expected '(' after $fn")
+            i += 1; ws()
+            val args = scala.collection.mutable.ArrayBuffer.empty[XVal]
+            if (i < sel.length && sel(i) != ')') {
+              args += expr(); ws()
+              while (i < sel.length && sel(i) == ',') {
+                i += 1; args += expr(); ws()
+              }
+            }
+            if (i >= sel.length || sel(i) != ')') fail(s"expected ')' closing $fn")
+            i += 1
+            mkFunc(fn, args.toSeq)
+          case c => fail(s"unexpected '$c'")
+        }
+      }
+      val out = expr()
+      ws()
+      if (i != sel.length) fail("trailing input after the expression")
+      out
+    }
+    def bindVar(v: Element, env: Map[String, XVal]): Map[String, XVal] = {
+      val nm = v.getAttribute("name")
+      require(nm.nonEmpty, "xsl:variable needs a name")
+      require(!env.contains(nm),
+        s"xsl:variable '$nm' redefined in one body — out of subset")
+      val sel = v.getAttribute("select")
+      require(sel.trim.nonEmpty && elems(v).isEmpty,
+        s"xsl:variable '$nm' must bind with select= (content-bodied " +
+          "variables are out of subset)")
+      env + (nm -> parseSelect(sel, env))
+    }
+    // top-level-comma split of an argument list (quote- and
+    // paren-aware) — for the variable-operand test forms
+    def splitTopArgs(s: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0
+      var q: Char = 0
+      val cur = new StringBuilder
+      s.foreach { c =>
+        if (q != 0) { cur += c; if (c == q) q = 0 }
+        else c match {
+          case '\'' | '"' => q = c; cur += c
+          case '(' => depth += 1; cur += c
+          case ')' => depth -= 1; cur += c
+          case ',' if depth == 0 => out += cur.toString; cur.clear()
+          case other => cur += other
+        }
+      }
+      out += cur.toString
+      out.toSeq.map(_.trim)
+    }
+
     // ---- per-node tests -------------------------------------------
-    def parseAtomic(t: String): XAtom = {
+    def parseAtomic(t: String, env: Map[String, XVal]): XAtom = {
       val normRe = """normalize-space\(\s*\.\s*\)\s*!=\s*''""".r
       val matchesRe =
         """matches\(\s*\.\s*,\s*'([^']*)'\s*(?:,\s*'([^']*)')?\s*\)""".r
       val startsRe = """starts-with\(\s*\.\s*,\s*'([^']*)'\s*\)""".r
+      def mkMatches(re: String, flags: String): XAtom = {
+        require(flags.forall("ims".contains(_)),
+          s"unsupported matches() flags '$flags'")
+        // XPath 2.0 'i' folds Unicode (as does the RE2 'i' the
+        // DuckDB oracle uses); Java's bare (?i) is ASCII-only, so
+        // bake UNICODE_CASE in alongside it
+        val jf = if (flags.contains('i')) flags + "u" else flags
+        AMatches(if (jf.isEmpty) re else s"(?$jf)$re")
+      }
+      // the r17 variable-operand forms: the same atoms over an
+      // in-subset EXPRESSION (a $variable reference, typically)
+      // instead of the node's raw text. '.' operands collapse to the
+      // plain atom, so the pre-r17 forms stay the canonical compile.
+      def exprTest(t0: String): Option[XAtom] = {
+        val tt = t0.trim
+        def strLit(s: String): Option[String] = {
+          val x = s.trim
+          if (x.length >= 2 && (x.head == '\'' || x.head == '"')
+              && x.last == x.head
+              && !x.substring(1, x.length - 1).contains(x.head))
+            Some(x.substring(1, x.length - 1))
+          else None
+        }
+        def over(e: String, a: XAtom): Option[XAtom] =
+          scala.util.Try(parseSelect(e, env)).toOption.map {
+            case VText => a
+            case v => AOver(v, a)
+          }
+        val neRe = """(?s)(.*\S)\s*!=\s*''""".r
+        val callRe = """(?s)([a-z-]+)\s*\((.*)\)""".r
+        tt match {
+          case neRe(e) =>
+            scala.util.Try(parseSelect(e, env)).toOption.map {
+              // normalize-space(E) != '' keeps the trimmed-emptiness
+              // atom; a bare E != '' is RAW XPath string inequality
+              case VNormText => ANonEmpty
+              case VFunc("normalize-space", Seq(v)) => AOver(v, ANonEmpty)
+              case VText => ARawNonEmpty
+              case v => AOver(v, ARawNonEmpty)
+            }
+          case callRe(fn, inner) =>
+            (fn, splitTopArgs(inner)) match {
+              case ("contains", Seq(e, l)) =>
+                strLit(l).flatMap(s => over(e, AContains(s)))
+              case ("starts-with", Seq(e, l)) =>
+                strLit(l).flatMap(s => over(e, AStartsWith(s)))
+              case ("matches", Seq(e, l)) =>
+                strLit(l).flatMap(s => over(e, mkMatches(s, "")))
+              case ("matches", Seq(e, l, f)) =>
+                for {
+                  re <- strLit(l); fl <- strLit(f)
+                  a <- over(e, mkMatches(re, fl))
+                } yield a
+              case _ => None
+            }
+          case _ => None
+        }
+      }
       t match {
         case normRe() => ANonEmpty
         case matchesRe(re, flags) =>
-          val f = Option(flags).getOrElse("")
-          require(f.forall("ims".contains(_)),
-            s"unsupported matches() flags '$f'")
-          // XPath 2.0 'i' folds Unicode (as does the RE2 'i' the
-          // DuckDB oracle uses); Java's bare (?i) is ASCII-only, so
-          // bake UNICODE_CASE in alongside it
-          val jf = if (f.contains('i')) f + "u" else f
-          AMatches(if (jf.isEmpty) re else s"(?$jf)$re")
+          mkMatches(re, Option(flags).getOrElse(""))
         case startsRe(p) => AStartsWith(p)
-        case _ => throw new IllegalArgumentException(
+        case _ => exprTest(t).getOrElse(throw new IllegalArgumentException(
           s"unsupported test '$t' (subset: normalize-space(.)!='', " +
             "matches(., 're'[, 'flags']), starts-with(., 'p'), " +
-            "or-disjunctions thereof)")
+            "contains/starts-with/matches/!='' over a $variable or " +
+            "in-subset expression, or-disjunctions thereof)"))
       }
     }
-    def parseTest(test: String): XAtom = {
+    def parseTest(test: String, env: Map[String, XVal]): XAtom = {
       // whitespace tolerated OUTSIDE quoted literals only; the 'or'
       // split is token-level, so a literal containing ' or ' refuses
       val parts = test.trim.split("""\s+or\s+""").map(_.trim).toSeq
       parts.foreach(p => require(p.count(_ == '\'') % 2 == 0,
         s"cannot split test '$test' on 'or' — a quoted literal " +
           "contains ' or ' (out of subset)"))
-      if (parts.size == 1) parseAtomic(parts.head)
-      else AAnyOf(parts.map(parseAtomic))
+      if (parts.size == 1) parseAtomic(parts.head, env)
+      else AAnyOf(parts.map(parseAtomic(_, env)))
     }
-    def parseValueOf(vo: Element): XVal = {
-      val sel = vo.getAttribute("select").replaceAll("\\s+", "")
-      sel match {
-        case "." => VText
-        case "normalize-space(.)" => VNormText
-        case other => throw new IllegalArgumentException(
-          s"unsupported value-of select '$other' in a field template " +
-            "(subset: '.' and 'normalize-space(.)')")
-      }
-    }
+    def parseValueOf(vo: Element, env: Map[String, XVal]): XVal =
+      parseSelect(vo.getAttribute("select"), env)
     // ordered mixed-content walk (the r13 VParts widening): literal
     // text, xsl:text and in-subset value-ofs interleave in document
     // order. Whitespace-only bare text nodes drop (XSLT 1.0 §3.4
@@ -1152,16 +1365,21 @@ object Transform {
     // VERBATIM including pure whitespace (that is xsl:text's
     // purpose); nested elements refuse. xsl:attribute children are
     // skipped here — withAttrs consumes them, with the order fence.
-    def parseContent(e: Element, what: String): XVal = {
+    def parseContent(e: Element, what: String,
+        env0: Map[String, XVal]): XVal = {
+      var env = env0 // xsl:variable children bind for FOLLOWING siblings
       val nl = e.getChildNodes
       val parts = (0 until nl.getLength).map(nl.item).flatMap {
         case el: Element if isXsl(el, "attribute") => None
-        case el: Element if isXsl(el, "value-of") => Some(parseValueOf(el))
+        case el: Element if isXsl(el, "variable") =>
+          env = bindVar(el, env); None
+        case el: Element if isXsl(el, "value-of") =>
+          Some(parseValueOf(el, env))
         case el: Element if isXsl(el, "text") =>
           Some(VConst(el.getTextContent): XVal)
         case el: Element => throw new IllegalArgumentException(
-          s"$what may hold only literal text, xsl:text and in-subset " +
-            s"value-ofs — got <${name(el)}>")
+          s"$what may hold only literal text, xsl:text, xsl:variable " +
+            s"and in-subset value-ofs — got <${name(el)}>")
         case t if (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
             t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
             t.getNodeValue.trim.nonEmpty =>
@@ -1178,18 +1396,19 @@ object Transform {
     // aggregator_mdx identifier shape); value = mixed in-subset
     // content like any emitting element — dynamic names and nested
     // constructs refuse
-    def parseAttrEl(a: Element): (String, XVal) = {
+    def parseAttrEl(a: Element, env: Map[String, XVal]): (String, XVal) = {
       val n = a.getAttribute("name")
       require(n.nonEmpty && !n.contains("{"),
         s"xsl:attribute name must be literal, got '$n'")
       require(!elems(a).exists(isXsl(_, "attribute")),
         s"xsl:attribute '$n' may not nest another xsl:attribute")
-      n -> parseContent(a, s"xsl:attribute '$n'")
+      n -> parseContent(a, s"xsl:attribute '$n'", env)
     }
     // split xsl:attribute children off an emitting element's body at
     // the NODE level; any content (element, non-whitespace text,
     // xsl:text) before an xsl:attribute is an XSLT error → refuse
-    def withAttrs(what: String, e: Element)(mkInner: () => XVal): XVal = {
+    def withAttrs(what: String, e: Element,
+        env: Map[String, XVal])(mkInner: () => XVal): XVal = {
       val nl = e.getChildNodes
       var seenContent = false
       val attrEls = scala.collection.mutable.ArrayBuffer[Element]()
@@ -1198,6 +1417,9 @@ object Transform {
           require(!seenContent,
             s"$what: xsl:attribute must precede the element's content")
           attrEls += el
+        // a variable definition is not CONTENT (it emits nothing) —
+        // it may precede xsl:attribute without tripping the fence
+        case el: Element if isXsl(el, "variable") => ()
         case _: Element => seenContent = true
         case t if (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
             t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
@@ -1206,7 +1428,7 @@ object Transform {
       }
       val inner = mkInner()
       if (attrEls.isEmpty) inner
-      else VAttributed(attrEls.toSeq.map(parseAttrEl), inner)
+      else VAttributed(attrEls.toSeq.map(parseAttrEl(_, env)), inner)
     }
     // STATIC attributes written directly on a literal result element
     // (`<identifier type="local">`) — XSLT copies them to the output
@@ -1237,32 +1459,47 @@ object Transform {
         case inner => VAttributed(statics, inner)
       }
     // one EMITTING construct → (output name, value)
-    def parseEmit(e: Element): (String, XVal) =
+    def parseEmit(e: Element, env: Map[String, XVal]): (String, XVal) =
       if (isXsl(e, "element")) {
         val n = e.getAttribute("name")
         require(n.nonEmpty && !n.contains("{"),
           s"xsl:element name must be literal, got '$n'")
-        n -> withAttrs(s"xsl:element '$n'", e)(() =>
-          parseContent(e, s"xsl:element '$n'"))
+        n -> withAttrs(s"xsl:element '$n'", e, env)(() =>
+          parseContent(e, s"xsl:element '$n'", env))
       } else {
         require(e.getNamespaceURI != XslNs,
           s"unsupported xsl:${name(e)} as an emitting construct")
         outName(e) -> mergeStatics(staticAttrs(e),
-          withAttrs(s"<${outName(e)}>", e)(() =>
-            parseContent(e, s"<${outName(e)}>")))
+          withAttrs(s"<${outName(e)}>", e, env)(() =>
+            parseContent(e, s"<${outName(e)}>", env)))
       }
     // template body → ordered (name, guard atoms, value) emissions;
     // choose branches RECURSE (an xsl:if inside xsl:when — the
     // temple.xsl:234 rights shape — is the same walk one level down)
-    def perNode(e: Element, atoms: Seq[XAtom]): Seq[(String, Seq[XAtom], XVal)] =
+    // one emitting construct per body, preceded by any number of
+    // xsl:variable definitions (each binding visible to everything
+    // AFTER it in the same body — document-order scoping, the r17
+    // widening)
+    def walkOne(kids: Seq[Element], atoms: Seq[XAtom],
+        env0: Map[String, XVal], what: String)
+        : Seq[(String, Seq[XAtom], XVal)] = {
+      var env = env0
+      var emits = 0
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Seq[XAtom], XVal)]
+      kids.foreach {
+        case v if isXsl(v, "variable") => env = bindVar(v, env)
+        case e => emits += 1; out ++= perNode(e, atoms, env)
+      }
+      require(emits == 1, s"$what must hold one construct (plus " +
+        s"xsl:variable definitions), got $emits")
+      out.toSeq
+    }
+    def perNode(e: Element, atoms: Seq[XAtom],
+        env: Map[String, XVal]): Seq[(String, Seq[XAtom], XVal)] =
       if (isXsl(e, "if")) {
-        val guard = parseTest(e.getAttribute("test"))
-        elems(e) match {
-          case Seq(inner) => perNode(inner, atoms :+ guard)
-          case other => throw new IllegalArgumentException(
-            "xsl:if in a field template must hold one construct, got " +
-              other.map(name).mkString(","))
-        }
+        val guard = parseTest(e.getAttribute("test"), env)
+        walkOne(elems(e), atoms :+ guard, env, "xsl:if in a field template")
       } else if (isXsl(e, "choose")) {
         val kids = elems(e)
         val whens = kids.filter(isXsl(_, "when"))
@@ -1270,14 +1507,10 @@ object Transform {
         require(whens.nonEmpty
             && kids.size == whens.size + others.size && others.size <= 1,
           "xsl:choose must hold xsl:when branches and at most one otherwise")
-        val tests = whens.map(wn => parseTest(wn.getAttribute("test")))
+        val tests = whens.map(wn => parseTest(wn.getAttribute("test"), env))
         def branch(x: Element, extra: Seq[XAtom],
             what: String): Seq[(String, Seq[XAtom], XVal)] =
-          elems(x) match {
-            case Seq(one) => perNode(one, atoms ++ extra)
-            case other => throw new IllegalArgumentException(
-              s"$what must hold exactly one construct, got ${other.size}")
-          }
+          walkOne(elems(x), atoms ++ extra, env, what)
         whens.zipWithIndex.flatMap { case (wn, i) =>
           branch(wn, tests.take(i).map(ANot(_)) :+ tests(i), "xsl:when")
         } ++ others.flatMap(o =>
@@ -1304,7 +1537,7 @@ object Transform {
         }
         Seq((sp.outName, atoms, VSplit(d1, sp.recDelim)))
       } else {
-        val (n, v) = parseEmit(e)
+        val (n, v) = parseEmit(e, env)
         Seq((n, atoms, v))
       }
 
@@ -1320,7 +1553,16 @@ object Transform {
           && !m.contains("["),
         s"field template match must be one relative QName step, got '$m'")
       val nodesPath = s"$ctx/${rw(m)}/text()"
-      val emissions = elems(t).flatMap(perNode(_, Nil))
+      // template top-level: any number of emitting constructs, with
+      // xsl:variable definitions binding for everything after them
+      val emissions = {
+        var env = Map.empty[String, XVal]
+        elems(t).flatMap {
+          case v if isXsl(v, "variable") =>
+            env = bindVar(v, env); Seq.empty
+          case e => perNode(e, Nil, env)
+        }
+      }
       require(emissions.nonEmpty, s"field template '$m' emits nothing")
       // group by output name, first-appearance order, cases in order
       emissions.map(_._1).distinct.map { n =>
