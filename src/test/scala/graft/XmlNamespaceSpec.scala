@@ -178,6 +178,57 @@ class XmlNamespaceSpec extends AnyFunSuite {
     assert(a.ns.isEmpty)
   }
 
+  test("nsAware module compile + include-decl merging") {
+    import spark.implicits._
+    import graft.operators.Transform
+    // the module declares only b:; its caller-supplied context must
+    // use a prefix the module's own root binds (the Saxon rule —
+    // prefixes resolve against the declaring stylesheet)
+    val module =
+      """<xsl:stylesheet version="1.0"
+        |  xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        |  xmlns:b="urn:ns-b">
+        |  <xsl:template match="b:title">
+        |    <xsl:element name="b_title"><xsl:value-of select="."/></xsl:element>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val sheet = Transform.compileXsltModule(module, "//b:rec", nsAware = true)
+    assert(sheet.ns == Map("b" -> "urn:ns-b"))
+    // record-side prefix spelling is free: r: resolves to urn:ns-b
+    val rec = """<r:rec xmlns:r="urn:ns-b"><r:title>tee</r:title></r:rec>"""
+    val out = Seq(rec).toDF("xml").filter(sheet.keep(col("xml")))
+      .select(to_json(sheet.output(col("xml"))).as("rec"))
+      .head.getString(0)
+    assert(out.contains(""""b_title":["tee"]"""), out)
+    // an include's root declarations merge into the sheet's map (the
+    // main sheet wins a prefix conflict by first-bind order)
+    val main2 =
+      """<xsl:stylesheet version="1.0"
+        |  xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+        |  xmlns:a="urn:ns-a">
+        |  <xsl:include href="m.xsl"/>
+        |  <xsl:template match="text() | @*"/>
+        |  <xsl:template match="//a:rec">
+        |    <record><xsl:apply-templates/></record>
+        |  </xsl:template>
+        |  <xsl:template match="a:title">
+        |    <xsl:element name="a_title"><xsl:value-of select="."/></xsl:element>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val merged = Transform.compileXsltSheet(main2,
+      includes = Map("m.xsl" -> module), nsAware = true)
+    assert(merged.ns == Map("a" -> "urn:ns-a", "b" -> "urn:ns-b"))
+    val both = """<rec xmlns="urn:none" />""" // not in a: — keep drops it
+    val rec2 = """<x:rec xmlns:x="urn:ns-a" xmlns:y="urn:ns-b">""" +
+      "<x:title>alpha</x:title><y:title>beta</y:title></x:rec>"
+    val rows = Seq(rec2, both).toDF("xml").filter(merged.keep(col("xml")))
+      .select(to_json(merged.output(col("xml"))).as("rec"))
+      .collect().map(_.getString(0))
+    assert(rows.length == 1)
+    assert(rows.head.contains(""""a_title":["alpha"]""")
+      && rows.head.contains(""""b_title":["beta"]"""), rows.head)
+  }
+
   test("aware and unaware tables over the same paths never canonicalize equal") {
     val p = Array("//t:title/text()")
     val k = Array(XmlSlots.KindNodes)
