@@ -83,6 +83,26 @@ object Bench {
       "p13_cluster_balanced", "d22_dedup_funnel", "s10_pq", "s11_ivfpq",
       "s12_ivfpq_residual", "x21_boosted_search", "x23_elevation",
       "d26_substring_spans", "d28_substring_strip")
+    // hypervisor CPU steal, self-reported (r18 — the r17 round lost
+    // four of five judge runs to co-tenant steal and adjudicated by
+    // hand-correlating vmstat logs; the bench line now carries the
+    // evidence itself): /proc/stat's steal jiffies sampled around
+    // each query's TIMED window, emitted as a per-query percent of
+    // total jiffies — a flagged query with nonzero steal is a
+    // contended read, not a plan regression (bench_diff.py annotates)
+    def cpuStat(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val f = try src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong) finally src.close()
+        (f.sum, if (f.length > 7) f(7) else 0L)
+      } catch { case _: Throwable => (0L, 0L) }
+    def stealPct(s0: (Long, Long), s1: (Long, Long)): Double = {
+      val dt = s1._1 - s0._1
+      if (dt <= 0) 0.0 else 100.0 * (s1._2 - s0._2) / dt
+    }
+    val runStat0 = cpuStat()
+    val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       if (indexedQueries(name)) {
@@ -90,14 +110,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         builds(name) = (System.nanoTime() - b0) / 1e9
       }
+      val s0 = cpuStat()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      steals(name) = stealPct(s0, cpuStat())
       sweep()
       name -> times.min
     }
+    val runSteal = stealPct(runStat0, cpuStat())
     // ms precision keeps the line short enough for tail-bounded log
     // capture (the r4 driver capture truncated 30 of 97 queries at
     // ns precision); the full line is also persisted to
@@ -113,8 +136,15 @@ object Bench {
     // one-time build — either way the `queries` numbers are probes
     val bs = builds.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // steal: only nonzero entries (the map is empty on a clean run,
+    // keeping the line short for tail-bounded log capture)
+    def f2(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val ss = steals.filter(_._2 >= 0.005)
+      .map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"build":$bs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"build":$bs,"steal":$ss,"run_steal":${f2(runSteal)},"sf":"$sfDir"}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")

@@ -69,6 +69,16 @@ object Soak {
     // and star contraction's pointer doubling needs O(log) rounds.
     // Receipts: router choice at this count, wall, and an exact
     // cluster replay (disjoint copies × 10, + 1 for the path).
+    // disjointness guard (r17 ADVICE): the 10 copies shift by i*1e9
+    // and the planted path starts at 2e10 — if augmented doc ids ever
+    // reached 1e9 the copies would collide and the cc100 cluster
+    // receipt (10*nCc+1) would silently read as a router/CC
+    // regression. One cheap agg on the already-persisted frame makes
+    // an id-range drift fail LOUDLY instead.
+    val maxLshId = lshPairs
+      .agg(greatest(max(col("a_id")), max(col("b_id")))).head.getLong(0)
+    require(maxLshId < 1000000000L,
+      s"cc100 id-shift disjointness broken: max LSH pair id $maxLshId >= 1e9")
     val ccChainN = 2000000L
     val cc100Edges = (0 until 10).map(i => lshPairs.select(
         (col("a_id") + lit(i * 1000000000L)).as("a_id"),
@@ -927,6 +937,8 @@ object Soak {
       .createTempDirectory("graft_soak_ssin").toString
     val ssSoakState = java.nio.file.Files
       .createTempDirectory("graft_soak_ssstate").toString
+    val ssShardState = java.nio.file.Files
+      .createTempDirectory("graft_soak_ssshard").toString
     val ssBatchDocs = (base.count() / 8).toInt
     def ssBatch(i: Int) = substrCorpus(nMaintBatches)
       .filter(pmod(col("doc_id"), lit(nMaintBatches.toLong)) === i)
@@ -950,6 +962,17 @@ object Soak {
           ssSoakState, k = 10, minLen = 20, lineage = "soak")
         try q.processAllAvailable() finally q.stop()
       }
+      // r18 sharded twin: the SAME staged input re-driven through an
+      // 8-way gram-hash-sharded tree at the same step (fresh
+      // checkpoint; earlier batches marker-skip, so this wall is
+      // startup + the one real batch, exactly like `t`)
+      val tSh = timeS {
+        val q = streaming.SubstringStream.substringGate(
+          streaming.BoilerplateStream.readDocs(spark, ssSoakIn),
+          ssShardState, k = 10, minLen = 20, lineage = "soak",
+          nShards = 8)
+        try q.processAllAvailable() finally q.stop()
+      }
       // leak receipt: rebuild this batch's Bloom by the gate's own
       // rule and count state rows it passes — every cross-batch hit
       // is a false positive by the disjoint-gram construction.
@@ -971,13 +994,26 @@ object Soak {
         if (dirsPrior.isEmpty) 0L
         else spark.read.parquet(dirsPrior: _*)
           .filter(streaming.BloomFront.probe(bf, col("g"))).count()
-      (t, nBg, fpRows)
+      (t, nBg, fpRows, tSh)
     }
     val ssTimes = ssCells.map(_._1)
     val ssBatchGrams = ssCells.map(_._2)
     val ssBloomFp = ssCells.map(_._3)
     val ssGramState = streaming.SubstringStream
       .gramState(spark, ssSoakState).count()
+    // r18 sharded-layout receipts (verdict item 2): per-batch walls
+    // in family with the unsharded cell, gram state IDENTICAL by
+    // count (the layout never moved occurrence semantics), and every
+    // shard family's live-partition listing bounded by the cadence —
+    // the per-tree bound the sharded layout exists to give a
+    // deployment whose state outgrows one directory listing.
+    val ssShardTimes = ssCells.map(_._4)
+    val ssShardGramState = streaming.SubstringStream
+      .gramState(spark, ssShardState).count()
+    val ssShardMaxLive =
+      streaming.SubstringStream.shardRoots(s"$ssShardState/grams")
+        .map { case (_, r) => streaming.StatePartitions.liveDirs(r).size }
+        .maxOption.getOrElse(0)
 
     // --- XSLT transform soak (r12 verdict item): the one operator
     // family with no replica-scale measurement before r12. A
@@ -1248,7 +1284,7 @@ object Soak {
     val frontierStateTtl = frontierStateSoak(gapTtlMs, "ttl")
     val frontierStateNoTtl = frontierStateSoak(0L, "nottl")
 
-    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_batch_grams":${fmtL(ssBatchGrams)},"ss_bloom_fp":${fmtL(ssBloomFp)},"ss_gram_state":$ssGramState,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"cc100_edges":$nE100,"cc100_route":"$cc100Route","cc100_chain_nodes":$ccChainN,"cc100_s":${BigDecimal(tCc100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"cc100_clusters":$nCc100,"cc100_clusters_match":${nCc100 == 10L * nCc + 1L},"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
+    println(s"""{"soak":"dedup_10x","docs":$n,"substr_s":${BigDecimal(tSubstr).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr_spans":$nSubstr,"strip28_s":${BigDecimal(tStrip28).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_tokens":$nStrip28,"intrep_s":${BigDecimal(tIntRep).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"intrep_removed":$nIntRep,"gram_state_1x":$gram1,"gram_state_10x":$gram10,"gram_state_30x":$gram30,"gram_state_100x":$gram100,"substr30_s":${BigDecimal(t26_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr30_spans":$spans30,"strip28_30x_s":${BigDecimal(t28_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_30x_tokens":$struck30,"substr100_s":${BigDecimal(t26_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"substr100_spans":$spans100,"d29_10x_s":${BigDecimal(t29_10).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_10x_stripped":$struck29_10,"d29_30x_s":${BigDecimal(t29_30).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"d29_30x_stripped":$struck29_30,"stripgate_10x_s":${BigDecimal(tStripGate).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"stripgate_rows":$sgRows,"stripgate_parity_mismatch":$sgMismatch,"strip28_100x_s":${BigDecimal(t28_100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"strip28_100x_tokens":$struck100,"phash_cand_60":$cand60,"phash_cand_120":$cand120,"phash_pairs_60":$pairsW60,"phash_pairs_120":$pairsW120,"d25_hot_1x":$hot1,"d25_hot_10x":$hot10,"d25_hot_30x":$hot30,"skew_rows":$bigN,"skew_rows_match":${nSkewAqe == nSkewPlain && nSkewPlain == nSkewSalt},"skew_wall_aqe_s":${BigDecimal(tSkewAqe).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_plain_s":${BigDecimal(tSkewPlain).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_wall_salted_s":${BigDecimal(tSkewSalt).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"skew_maxtask_plain_ms":$mtPlain,"skew_maxtask_salted_ms":$mtSalt,"semdedup100_s":${BigDecimal(tSem100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"semdedup100_kept":$keep100,"xslt_rows":$nXml,"xslt_json_s":${BigDecimal(tXsltJson).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_xml_s":${BigDecimal(tXsltXml).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_nparse_baseline_s":${BigDecimal(tXsltNaive).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"xslt_dispatch_paths":${dispatchPaths.size},"xslt_parses":$xsltParses,"gap_ttl_ms":$gapTtlMs,"keyed_state_provider":"rocksdb","gap_state_ttl":${fmtL(gapStateTtl)},"gap_state_nottl":${fmtL(gapStateNoTtl)},"frontier_state_ttl":${fmtL(frontierStateTtl)},"frontier_state_nottl":${fmtL(frontierStateNoTtl)},"ss_batch_s":${fmt(ssTimes)},"ss_batch_grams":${fmtL(ssBatchGrams)},"ss_bloom_fp":${fmtL(ssBloomFp)},"ss_gram_state":$ssGramState,"ss_shard_batch_s":${fmt(ssShardTimes)},"ss_shard_gram_state":$ssShardGramState,"ss_shard_state_match":${ssShardGramState == ssGramState},"ss_shard_max_live":$ssShardMaxLive,"segbm25_batch_s":${fmt(segTimes)},"vocab_batch_s":${fmt(vocTimes)},"ivf_batch_s":${fmt(ivfTimes)},"ivfpq_batch_s":${fmt(ivfpqTimes)},"rank_batch_s":${fmt(rankTimes)},"ann_corpus":$nAnnC,"ann_matrix":$annJson,"srcoverlap_s":$tSrcOv,"srcoverlap_pairs":$nSrcOv,"d16cap_sources":${20 * nReplicas},"d16cap_s":$tCapOv,"d16cap_pairs":$nCapOv,"suggest_s":$tSugg,"suggest_rows":$nSugg,"mlt_cap_base":$capBase,"mlt_cap_replica":$capRep,"mlt_s":$tMlt,"mlt_rows":$nMlt,"containment_s":$tCont,"containment_pairs":$nCont,"phash_s":$tPhash,"phash_pairs":$nPhash,"phrase_s":$tPhrase,"phrase_docs":$nPhrase,"exact_s":$tExact,"exact_groups":$nExact,"lsh_s":$tLsh,"lsh_pairs":$nLsh,"cc_s":$tCc,"cc_clusters":$nCc,"cc_route":"$ccRoute","ccstar_s":$tCcStar,"ccstar_clusters":$nCcStar,"cc100_edges":$nE100,"cc100_route":"$cc100Route","cc100_chain_nodes":$ccChainN,"cc100_s":${BigDecimal(tCc100).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"cc100_clusters":$nCc100,"cc100_clusters_match":${nCc100 == 10L * nCc + 1L},"simhash_s":$tSim,"simhash_pairs":$nSim,"bucketcap_tpl_docs":$nTpl,"bucketcap_cand_uncapped":$candUncapped,"bucketcap_cand_capped":$candCapped,"bucketcap_cand_uncapped_s":${BigDecimal(tCandU).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_cand_capped_s":${BigDecimal(tCandC).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_capped_s":${BigDecimal(tSimCap).setScale(2, BigDecimal.RoundingMode.HALF_UP)},"bucketcap_genuine_pairs_capped":$simCapGenuine,"bucketcap_genuine_pairs_uncapped":$nSim,"bloom_s":$tBloom,"bloom_contaminated":$nBloom,"dupspan_s":$tSpan,"dupspan_shared":$nSpan,"bplate_s":$tBplate,"bplate_removed":$nBplate,"inverted_s":$tInv,"inverted_postings":$nInv,"editdist_replicas":$edReplicas,"editdist_s":$tEd,"editdist_pairs":$nEd,"semdedup_replicas":$semReplicas,"semdedup_vecs":$nEmb,"semdedup_s":$tSem,"semdedup_dropped":$nSem,"mmr_queries":$nQ,"mmr_cands":$nCands,"mmr_s":$tMmr,"mmr_rows":$nMmr,"bm25_build_s":$tBuild,"bm25_probe_s":$tProbe,"bm25_probe_rows":$nProbe,"bm25_adhoc_s":$tAdhoc}""")
     spark.stop()
   }
 }

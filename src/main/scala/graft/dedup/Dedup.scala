@@ -665,8 +665,18 @@ object Dedup {
 
   /** BUMP whenever the gram-index layout or anchor semantics change:
     * persisted indexes under java.io.tmpdir otherwise keep serving
-    * output built by OLD code (the ClusterLabelsAlgoVersion rule). */
-  private val GramIndexAlgoVersion = 1
+    * output built by OLD code (the ClusterLabelsAlgoVersion rule).
+    * v2 (r18): gram-hash-sharded layout ([[GramIndexShards]]). */
+  private val GramIndexAlgoVersion = 2
+
+  /** Shard fan of the persisted gram index (r18, the SubstringStream
+    * sharded-state twin): the table lays out as `shard=<pmod(g,N)>/`
+    * partitions, so no single directory's file listing grows with
+    * the duplicate volume and a consumer probing a KNOWN gram subset
+    * prunes whole shard directories (partition pruning on the shard
+    * column). The full-corpus probes d26/d28 run read every shard —
+    * same bytes as before, now in bounded directories. */
+  private val GramIndexShards = 16
 
   /** The persisted duplicated-gram table d26 and d28 SHARE (the
     * FingerprintCache build-if-absent pattern): one g-keyed
@@ -685,7 +695,9 @@ object Dedup {
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("pos"))).as("first"))
       .filter(col("occ") >= 2)
-    graft.sources.VersionedTable.write(g, dir)
+      .withColumn("shard",
+        pmod(col("g"), lit(GramIndexShards.toLong)).cast("int"))
+    graft.sources.VersionedTable.writePartitioned(g, dir, "shard")
   }
 
   /** Build-if-absent for the shared substring gram index, keyed by

@@ -37,6 +37,35 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** Nearest-centroid assignment as an ARGMIN AGGREGATE (r18): score
+    * every (vector, centroid) pair against the broadcast centroid
+    * frame, then take each id's best as `min(struct(-cos, list_id))`
+    * — (rounded cosine DESC, centroid id ASC), bit-identical to the
+    * row_number-window rank both SemDedup passes used before (the
+    * cosine is rounded to 4 dp BEFORE the comparison, so ties break
+    * on list_id exactly as the window's orderBy did; min over equal
+    * doubles is negation-stable). The window shape shuffled the FULL
+    * |vecs|·k scored fan-out — embedding array included — and sorted
+    * every id-group; the aggregate combines map-side (each id's
+    * fan-out lives in one partition of the broadcast join's streamed
+    * side), so the exchange carries |vecs| rows and no sort runs.
+    * Same rewrite as [[graft.similarity.Ivf.lloydStep]]'s r18 form.
+    * Returns (id, v, cluster_id[, c_cos when keepCos]). */
+  private[graft] def assignNearest(vecs: DataFrame, cents: DataFrame,
+      keepCos: Boolean = false): DataFrame = {
+    val scored = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("v"), col("list_id"),
+        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
+    val best = scored.groupBy(col("id"))
+      .agg(min(struct((-col("c_cos")).as("nc"), col("list_id"))).as("m"),
+        first(col("v")).as("v")) // v is constant per id — deterministic
+    val base = best.select(col("id"), col("v"),
+      col("m.list_id").as("cluster_id"),
+      (-col("m.nc")).as("c_cos"))
+    if (keepCos) base else base.drop("c_cos")
+  }
+
   /** vecs: (id, v, <seedKey>) — seedKey seeds the coarse clusters
     * (any partition works; k-means refinement via Ivf.lloydStep
     * composes in front when no natural key exists).
@@ -45,15 +74,13 @@ object SemDedup {
       centroidScale: Long = 1000000L): DataFrame = {
     val cents = Ivf.centroidsQuantized(vecs, seedKey, "v", centroidScale)
     // nearest-centroid assignment: centroids broadcast (tiny), one
-    // row_number per vector
-    val scored = vecs.select(col("id"), col("v"))
-      .crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("list_id"),
-        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
-    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
-    val assigned = scored.withColumn("p", row_number().over(w))
-      .filter(col("p") === 1)
-      .select(col("id"), col("v"), col("list_id").as("cluster_id"))
+    // argmin aggregate per vector (r18 — was a row_number window:
+    // that shape shuffles |vecs|·k rows INCLUDING the embedding
+    // array and sorts every id-group; the min-struct aggregate
+    // combines map-side, so only |vecs| rows ever shuffle and no
+    // sort runs — the k× fan-out dies in the map stage, which is
+    // also what retired d11's contention sensitivity)
+    val assigned = assignNearest(vecs.select(col("id"), col("v")), cents)
       .localCheckpoint(false) // read 3x: both pair sides + output spine
     val a = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
       col("cluster_id"))
@@ -86,15 +113,8 @@ object SemDedup {
   def semDedupRep(vecs: DataFrame, seedKey: String, tau: Double,
       centroidScale: Long = 1000000L): DataFrame = {
     val cents = Ivf.centroidsQuantized(vecs, seedKey, "v", centroidScale)
-    val scored = vecs.select(col("id"), col("v"))
-      .crossJoin(broadcast(cents))
-      .select(col("id"), col("v"), col("list_id"),
-        Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
-    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
-    val assigned = scored.withColumn("p", row_number().over(w))
-      .filter(col("p") === 1)
-      .select(col("id"), col("v"), col("list_id").as("cluster_id"),
-        col("c_cos"))
+    val assigned = assignNearest(vecs.select(col("id"), col("v")), cents,
+        keepCos = true)
       .localCheckpoint(false) // single plan reads it 3x: pair sides + membership
     val a = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
       col("cluster_id"))

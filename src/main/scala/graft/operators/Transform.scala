@@ -97,6 +97,7 @@ object Transform {
       ()
     }
     def index(path: String, kind: Byte): Int = idx((path, kind))
+    def interned: Seq[(String, Byte)] = order.toSeq
     def toSlots(ns: Map[String, String]): XmlSlots =
       if (ns.isEmpty)
         new XmlSlots(order.map(_._1).toArray, order.map(_._2).toArray)
@@ -326,7 +327,11 @@ object Transform {
     trim(regexp_replace(c, "\\s+", " "))
 
   private def atomCond(x: Column, a: XAtom): Column = a match {
-    case ANonEmpty => length(trim(x)) > 0
+    // normalize-space semantics, NOT trim: Spark trim strips SPACES
+    // only, so tab/newline-only text would pass a guard Saxon/lxml
+    // fail (the r17 ADVICE finding — length(normalizeSpace(x)) drops
+    // ALL whitespace classes exactly like XPath normalize-space)
+    case ANonEmpty => length(normalizeSpace(x)) > 0
     case AMatches(re) => x.rlike(re)
     case AStartsWith(p) => x.startsWith(p)
     case AContains(s) => x.contains(s)
@@ -545,6 +550,16 @@ object Transform {
     *      CASE WHEN with first-match-wins semantics; no match and no
     *      otherwise emits nothing (the null-dropped field).
     *
+    * Since r18 NODE-SET `xsl:variable` is in subset at the template
+    * body's top level: a variable binding a context-relative node
+    * path (`<xsl:variable name="f" select="datafield"/>`) may be
+    * referenced as `$f` (optionally with trailing steps, `$f/@tag`)
+    * in value-of selects, if tests and for-each selects — variables
+    * inline at reference (single-assignment, so semantics-
+    * preserving), scope is document order, redefinition refuses.
+    * String-EXPRESSION variables (normalize-space etc.) live in the
+    * sheet compiler; a computational select refuses here.
+    *
     * Anything outside the subset (apply-templates, call-template,
     * nested for-each, non-path tests, literal text in when branches)
     * throws — a compiler that silently mis-runs a stylesheet is
@@ -565,31 +580,80 @@ object Transform {
       XslNs == e.getNamespaceURI && e.getLocalName == local
     def name(e: Element): String =
       Option(e.getLocalName).getOrElse(e.getTagName)
-    def valuePath(base: String, sel: String): String = {
-      require(!sel.contains("//") && !sel.startsWith("/"),
-        s"unsupported value-of select '$sel' (absolute and // paths " +
-          "are outside the subset)")
+    // r18 (the node-set xsl:variable slice): a `$var` HEAD resolves
+    // to the variable's bound ABSOLUTE node path — XSLT variables
+    // are single-assignment, so inlining the defining select at each
+    // reference is semantics-preserving, exactly the string-variable
+    // rule of the sheet compiler. Returns the resolved absolute path
+    // of the whole select (`.` = the context itself).
+    def resolveSteps(base: String, sel: String,
+        env: Map[String, String]): String = {
+      require(sel.nonEmpty && !sel.contains("//"),
+        s"unsupported select '$sel' (// paths are outside the subset)")
+      if (sel.startsWith("$")) {
+        val nm = sel.drop(1).takeWhile(_ != '/')
+        require(env.contains(nm),
+          s"undefined node-set variable $$$nm in select '$sel'")
+        val rest = sel.drop(1 + nm.length).stripPrefix("/")
+        require(!rest.contains("$"),
+          s"only a leading $$var reference is in subset, got '$sel'")
+        if (rest.isEmpty) env(nm) else s"${env(nm)}/$rest"
+      } else {
+        require(!sel.startsWith("/"),
+          s"unsupported select '$sel' (absolute paths are outside the subset)")
+        if (sel == ".") base else s"$base/$sel"
+      }
+    }
+    def valuePath(base: String, sel: String,
+        env: Map[String, String] = Map.empty): String = {
       if (sel == ".") s"$base/text()"
-      // an attribute FINAL step ("@tag", "subfield/@code") selects the
-      // attribute value itself — appending /text() to it would always
-      // be empty (and misalign a zip's arrays)
-      else if (sel.split("/").last.startsWith("@")) s"$base/$sel"
-      else s"$base/$sel/text()"
+      else {
+        val p = resolveSteps(base, sel, env)
+        // an attribute FINAL step ("@tag", "subfield/@code", a $var
+        // bound to an attribute path) selects the attribute value
+        // itself — appending /text() to it would always be empty
+        // (and misalign a zip's arrays)
+        if (p.split("/").last.startsWith("@")) p else s"$p/text()"
+      }
     }
     // an xsl:if test is an EXISTENCE predicate over a context-relative
-    // node path (the shape the reference's crosswalks use); anything
-    // computational (=, functions, and/or) is out of subset
-    def testPath(base: String, test: String): String = {
+    // node path or $var reference (the shape the reference's
+    // crosswalks use); anything computational (=, functions, and/or)
+    // is out of subset
+    def testPath(base: String, test: String,
+        env: Map[String, String] = Map.empty): String = {
       // operators are checked OUTSIDE [...] predicates: a step filter
       // like [@tag='001'] is still a node-existence path
       val stripped = test.replaceAll("\\[[^\\]]*\\]", "")
-      require(test.nonEmpty && !test.startsWith("/") && !test.contains("//")
+      require(test.nonEmpty
           && !stripped.exists(c => "=<>!|&()".contains(c)),
         s"unsupported xsl:if test '$test' (only context-relative " +
           "node-existence paths are in the subset)")
-      s"$base/$test"
+      resolveSteps(base, test, env)
     }
-    def compileLeafOrNode(e: Element, base: String): XRule = {
+    // node-set variable binding: name → the ABSOLUTE path its select
+    // resolves to at the definition point (document-order scoping;
+    // earlier variables may be referenced). String-expression
+    // variables (normalize-space etc.) live in the SHEET compiler —
+    // here a computational select refuses loudly.
+    def bindNodeVar(v: Element, base: String,
+        env: Map[String, String]): Map[String, String] = {
+      val nm = v.getAttribute("name")
+      require(nm.nonEmpty, "xsl:variable needs a name")
+      require(!env.contains(nm),
+        s"xsl:variable '$nm' redefined in one body — out of subset")
+      val sel = v.getAttribute("select").trim
+      require(sel.nonEmpty && elems(v).isEmpty,
+        s"xsl:variable '$nm' must bind with select= (content-bodied " +
+          "variables are out of subset)")
+      val stripped = sel.replaceAll("\\[[^\\]]*\\]", "")
+      require(!stripped.exists(c => "=<>!|&()'".contains(c)),
+        s"xsl:variable '$nm' select '$sel' is not a node path " +
+          "(string-expression variables live in the stylesheet compiler)")
+      env + (nm -> resolveSteps(base, sel, env))
+    }
+    def compileLeafOrNode(e: Element, base: String,
+        env: Map[String, String]): XRule = {
       require(e.getNamespaceURI == null,
         s"unsupported xsl:${name(e)} here — only value-of/for-each/" +
           "if/literal elements are in the subset")
@@ -613,15 +677,15 @@ object Transform {
       }
       elems(e) match {
         case Seq(vo) if isXsl(vo, "value-of") =>
-          XLeaf(name(e), valuePath(base, vo.getAttribute("select")))
+          XLeaf(name(e), valuePath(base, vo.getAttribute("select"), env))
         case Seq(xif) if isXsl(xif, "if") =>
           val vo = elems(xif) match {
             case Seq(v) if isXsl(v, "value-of") => v
             case _ => throw new IllegalArgumentException(
               s"xsl:if inside <${name(e)}> must hold exactly one value-of")
           }
-          XWhen(testPath(base, xif.getAttribute("test")),
-            XLeaf(name(e), valuePath(base, vo.getAttribute("select"))))
+          XWhen(testPath(base, xif.getAttribute("test"), env),
+            XLeaf(name(e), valuePath(base, vo.getAttribute("select"), env)))
         case Seq(ch) if isXsl(ch, "choose") =>
           def voOf(x: Element, what: String): Element = elems(x) match {
             case Seq(v) if isXsl(v, "value-of") => v
@@ -636,30 +700,30 @@ object Transform {
             s"xsl:choose inside <${name(e)}> must hold xsl:when branches " +
               "and at most one xsl:otherwise")
           XChoose(
-            whens.map(wn => testPath(base, wn.getAttribute("test")) ->
+            whens.map(wn => testPath(base, wn.getAttribute("test"), env) ->
               XLeaf(name(e),
-                valuePath(base, voOf(wn, "xsl:when").getAttribute("select")))),
+                valuePath(base, voOf(wn, "xsl:when").getAttribute("select"), env))),
             others.headOption.map(o => XLeaf(name(e),
-              valuePath(base, voOf(o, "xsl:otherwise").getAttribute("select")))))
+              valuePath(base, voOf(o, "xsl:otherwise").getAttribute("select"), env))))
         case Seq(fe) if isXsl(fe, "for-each")
             && elems(fe).forall(isXsl(_, "value-of")) =>
           val sel = fe.getAttribute("select")
-          require(sel.nonEmpty && !sel.startsWith("/"),
-            s"for-each select must be context-relative, got '$sel'")
+          val fBase = resolveSteps(base, sel, env)
           val vo = elems(fe) match {
             case Seq(v) => v
             case other => throw new IllegalArgumentException(
               s"bare for-each under <${name(e)}> must hold exactly one " +
                 s"value-of, got ${other.size}")
           }
-          XAll(name(e), valuePath(s"$base/$sel", vo.getAttribute("select")))
+          XAll(name(e), valuePath(fBase, vo.getAttribute("select"), env))
         case kids if kids.nonEmpty =>
-          XNode(name(e), kids.map(compileTop(_, base)))
+          XNode(name(e), kids.map(compileTop(_, base, env)))
         case _ => throw new IllegalArgumentException(
           s"empty literal element <${name(e)}> — nothing to compile")
       }
     }
-    def compileTop(e: Element, base: String): XRule =
+    def compileTop(e: Element, base: String,
+        env: Map[String, String]): XRule =
       if (isXsl(e, "if")) {
         val inner = elems(e) match {
           case Seq(one) if one.getNamespaceURI == null => one
@@ -667,29 +731,29 @@ object Transform {
             "xsl:if body must be one literal element, got " +
               other.map(name).mkString(","))
         }
-        XWhen(testPath(base, e.getAttribute("test")),
-          compileTop(inner, base))
+        XWhen(testPath(base, e.getAttribute("test"), env),
+          compileTop(inner, base, env))
       } else if (isXsl(e, "for-each")) {
-        val sel = e.getAttribute("select")
-        require(sel.nonEmpty && !sel.startsWith("/"),
-          s"for-each select must be context-relative, got '$sel'")
+        // the select is a context-relative path OR a $var reference
+        // to a node-set variable (r18) — either way fBase is the
+        // resolved absolute path of the repeated node
+        val fBase = resolveSteps(base, e.getAttribute("select"), env)
         val inner = elems(e) match {
           case Seq(one) if one.getNamespaceURI == null => one
           case other => throw new IllegalArgumentException(
             "for-each body must be one literal element, got " +
               other.map(name).mkString(","))
         }
-        val fBase = s"$base/$sel"
         val fields = elems(inner).map { f =>
           val vo = elems(f) match {
             case Seq(v) if isXsl(v, "value-of") => v
             case _ => throw new IllegalArgumentException(
               s"for-each field <${name(f)}> must hold exactly one value-of")
           }
-          name(f) -> valuePath(fBase, vo.getAttribute("select"))
+          name(f) -> valuePath(fBase, vo.getAttribute("select"), env)
         }
         XZip(name(inner), fields)
-      } else compileLeafOrNode(e, base)
+      } else compileLeafOrNode(e, base, env)
     val template = elems(doc.getDocumentElement)
       .find(isXsl(_, "template")).getOrElse(throw
         new IllegalArgumentException("stylesheet has no xsl:template"))
@@ -702,7 +766,18 @@ object Transform {
         "template body must be one literal result element, got " +
           other.map(name).mkString(","))
     }
-    elems(wrapper).map(compileTop(_, ctx))
+    // template-body top level: node-set xsl:variable definitions
+    // bind in DOCUMENT ORDER for everything after them (r18); each
+    // emitting child compiles under the bindings visible at its
+    // position
+    locally {
+      var env = Map.empty[String, String]
+      elems(wrapper).flatMap {
+        case v if isXsl(v, "variable") =>
+          env = bindNodeVar(v, ctx, env); Seq.empty
+        case e => Seq(compileTop(e, ctx, env))
+      }
+    }
   }
 
   /** A MULTI-TEMPLATE stylesheet compiled to the engine's terms: the
@@ -724,10 +799,15 @@ object Transform {
       * the same composed expression through an aware [[XmlSlots]]
       * bool slot instead (Spark's xpath_boolean cannot resolve
       * prefixes); null XML evaluates null either way. */
-    def keep(xml: Column): Column = {
-      val expr = exclusionPaths.foldLeft(s"($contextPath)") {
+    /** The one composed boolean XPath [[keep]] evaluates (exposed so
+      * sheet compilation can validate it compiles — see
+      * [[Transform.requireNsCompilable]]). */
+    def composedKeepExpr: String =
+      exclusionPaths.foldLeft(s"($contextPath)") {
         (acc, ex) => s"$acc and not(($ex))"
       }
+    def keep(xml: Column): Column = {
+      val expr = composedKeepExpr
       if (ns.isEmpty) xpath_boolean(xml, lit(expr))
       else element_at(element_at(XmlExpr.xpathSlots(xml,
         XmlSlots.withNamespaces(Array(expr),
@@ -1411,15 +1491,22 @@ object Transform {
         env: Map[String, XVal])(mkInner: () => XVal): XVal = {
       val nl = e.getChildNodes
       var seenContent = false
-      val attrEls = scala.collection.mutable.ArrayBuffer[Element]()
+      // xsl:variable children bind in DOCUMENT ORDER for the walk —
+      // a variable defined before an xsl:attribute is visible to the
+      // attribute's content (XSLT scoping: following siblings see it;
+      // the r17 ADVICE finding — parseAttrEl previously got the
+      // OUTER env and refused with 'undefined variable')
+      var aEnv = env
+      val attrs = scala.collection.mutable.ArrayBuffer[(String, XVal)]()
       (0 until nl.getLength).map(nl.item).foreach {
         case el: Element if isXsl(el, "attribute") =>
           require(!seenContent,
             s"$what: xsl:attribute must precede the element's content")
-          attrEls += el
+          attrs += parseAttrEl(el, aEnv)
         // a variable definition is not CONTENT (it emits nothing) —
         // it may precede xsl:attribute without tripping the fence
-        case el: Element if isXsl(el, "variable") => ()
+        case el: Element if isXsl(el, "variable") =>
+          aEnv = bindVar(el, aEnv)
         case _: Element => seenContent = true
         case t if (t.getNodeType == org.w3c.dom.Node.TEXT_NODE ||
             t.getNodeType == org.w3c.dom.Node.CDATA_SECTION_NODE) &&
@@ -1427,8 +1514,8 @@ object Transform {
         case _ => ()
       }
       val inner = mkInner()
-      if (attrEls.isEmpty) inner
-      else VAttributed(attrEls.toSeq.map(parseAttrEl(_, env)), inner)
+      if (attrs.isEmpty) inner
+      else VAttributed(attrs.toSeq, inner)
     }
     // STATIC attributes written directly on a literal result element
     // (`<identifier type="local">`) — XSLT copies them to the output
@@ -1591,8 +1678,52 @@ object Transform {
     }
     val wrapper = bases.headOption.map(b => elems(b).head.getTagName)
       .getOrElse(moduleWrapper)
-    XsltSheet(ctx, exclusions, merged, wrapper,
+    val sheet = XsltSheet(ctx, exclusions, merged, wrapper,
       ns = if (nsAware) nsDecls.toMap else Map.empty)
+    // nsAware FAIL-FAST (r17 ADVICE): an aware XPath that fails
+    // xp.compile under the sheet's namespace context yields a NULL
+    // slot at runtime — the keep filter would silently drop EVERY
+    // row (a typo'd prefixless pattern reads as an empty corpus) and
+    // a rule's fields would silently vanish from the output. Compile
+    // every path the sheet will evaluate ONCE here, so a bad pattern
+    // throws at sheet-compile time (the loud-refusal posture),
+    // exactly like an out-of-subset construct does.
+    if (nsAware) {
+      val reg = new SlotReg
+      sheet.rules.foreach(collectSlots(_, reg))
+      requireNsCompilable(
+        sheet.composedKeepExpr +: reg.interned.map(_._1),
+        sheet.ns, "namespace-aware sheet")
+    }
+    sheet
+  }
+
+  /** Throw unless every XPath compiles under the given prefix→URI
+    * namespace context — the driver-side mirror of the per-thread
+    * compile [[graft.plans.XmlSlots]] does (whose failure mode is a
+    * silent null slot). Used by nsAware sheet compilation. */
+  private[operators] def requireNsCompilable(paths: Seq[String],
+      ns: Map[String, String], what: String): Unit = {
+    val xp = javax.xml.xpath.XPathFactory.newInstance().newXPath()
+    xp.setNamespaceContext(new javax.xml.namespace.NamespaceContext {
+      override def getNamespaceURI(prefix: String): String =
+        ns.getOrElse(prefix, javax.xml.XMLConstants.NULL_NS_URI)
+      override def getPrefix(uri: String): String =
+        ns.collectFirst { case (p, u) if u == uri => p }.orNull
+      override def getPrefixes(uri: String): java.util.Iterator[String] = {
+        val l = new java.util.ArrayList[String]()
+        ns.foreach { case (p, u) => if (u == uri) l.add(p) }
+        l.iterator()
+      }
+    })
+    paths.foreach { p =>
+      try { xp.compile(p); () } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$what: XPath '$p' does not compile under the declared " +
+            s"namespace context (prefixes ${ns.keys.toSeq.sorted.mkString(",")})" +
+            s" — ${e.getMessage}", e)
+      }
+    }
   }
 
 

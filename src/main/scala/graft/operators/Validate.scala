@@ -132,8 +132,24 @@ object Validate {
     * declaration order with pattern ids carried, ready for
     * [[schematronReport]] (phases: the fixture declares none —
     * pass an empty phase list and Schematron's #ALL default
-    * applies). */
-  def compileSchematron(sch: String, xml: Column): Seq[SchRule] = {
+    * applies).
+    *
+    * `nsAware = true` (r18, the Transform.compileXsltSheet r17
+    * playbook applied to the validation door) compiles NAMESPACE-
+    * AWARE, exactly lxml.isoschematron (validate.py:33-35): context
+    * and test prefixes resolve through the schema's OWN `<sch:ns
+    * prefix uri>` declarations — ISO Schematron's prefix-binding
+    * mechanism, the one lxml honors — with the schema root's
+    * `xmlns:` declarations as a fallback for undeclared prefixes
+    * (`sch:ns` wins a conflict), so colliding local names across
+    * namespaces stay distinct and an unprefixed step matches only
+    * no-namespace nodes. Every composed probe is compile-validated
+    * under the declared context at schema-compile time (the loud-
+    * refusal posture — an aware probe that fails xp.compile would
+    * otherwise be a silent null slot, a wrong-side verdict on every
+    * record). The default (false) is byte-identical to before. */
+  def compileSchematron(sch: String, xml: Column,
+      nsAware: Boolean = false): Seq[SchRule] = {
     import org.w3c.dom.Element
     val SchNs = "http://purl.oclc.org/dsdl/schematron"
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -148,6 +164,25 @@ object Validate {
       SchNs == e.getNamespaceURI && e.getLocalName == local
     require(doc.getDocumentElement.getNamespaceURI == SchNs,
       "not a Schematron schema (wrong root namespace)")
+    // the schema's own prefix bindings: <sch:ns prefix uri> (the ISO
+    // mechanism lxml resolves against) over root xmlns: declarations
+    val nsMap: Map[String, String] = if (!nsAware) Map.empty else {
+      val root = doc.getDocumentElement
+      val fromAttrs = {
+        val am = root.getAttributes
+        (0 until am.getLength).map(am.item).collect {
+          case a if a.getNodeName.startsWith("xmlns:")
+              && a.getNodeValue != SchNs =>
+            a.getNodeName.stripPrefix("xmlns:") -> a.getNodeValue
+        }.toMap
+      }
+      val fromNsEls = elems(root).filter(isSch(_, "ns")).map { n =>
+        val p = n.getAttribute("prefix"); val u = n.getAttribute("uri")
+        require(p.nonEmpty && u.nonEmpty, "sch:ns needs prefix and uri")
+        p -> u
+      }.toMap
+      fromAttrs ++ fromNsEls // sch:ns wins a prefix conflict
+    }
     val specs = elems(doc.getDocumentElement).filter(isSch(_, "pattern"))
       .flatMap { p =>
         val pid = Option(p.getAttribute("id")).filter(_.nonEmpty)
@@ -165,8 +200,14 @@ object Validate {
               val id = Option(a.getAttribute("id")).filter(_.nonEmpty)
                 .getOrElse(s"$pid-$i")
               val msg = a.getTextContent.trim.replaceAll("\\s+", " ")
-              val probe = graft.operators.Transform.rewriteQNames(
-                if (isReport) s"$abs[$test]" else s"$abs[not($test)]")
+              val composed =
+                if (isReport) s"$abs[$test]" else s"$abs[not($test)]"
+              // aware mode keeps QNames verbatim (prefixes resolve
+              // through the declared bindings); default rewrites to
+              // the local-name probe — same switch as the sheet
+              // compiler
+              val probe = if (nsAware) composed
+                else graft.operators.Transform.rewriteQNames(composed)
               (id, msg, isReport, pid, probe)
             }
         }
@@ -181,8 +222,17 @@ object Validate {
     // consumers (schAsRules → an AND chain in a Filter) short-circuit
     // exactly as before: each evaluated conjunct costs one parse,
     // the same count the per-rule form paid.
-    val slots = new graft.plans.XmlSlots(specs.map(_._5).toArray,
-      Array.fill(specs.size)(graft.plans.XmlSlots.KindBool))
+    val slots =
+      if (nsAware) {
+        // fail-fast: an aware probe that cannot compile under the
+        // declared context would be a SILENT null slot — every
+        // element_at null, a wrong-side verdict on every record
+        graft.operators.Transform.requireNsCompilable(
+          specs.map(_._5), nsMap, "namespace-aware Schematron")
+        graft.plans.XmlSlots.withNamespaces(specs.map(_._5).toArray,
+          Array.fill(specs.size)(graft.plans.XmlSlots.KindBool), nsMap)
+      } else new graft.plans.XmlSlots(specs.map(_._5).toArray,
+        Array.fill(specs.size)(graft.plans.XmlSlots.KindBool))
     val slotsCol = graft.plans.XmlExpr.xpathSlots(xml, slots)
     specs.zipWithIndex.map { case ((id, msg, isReport, pid, _), i) =>
       val fired = element_at(element_at(slotsCol, i + 1), 1) === "true"

@@ -643,6 +643,151 @@ object Xml {
       .orderBy("id")
   }
 
+  /** documents → a COLLIDING-NAMESPACE record (local name `title` in
+    * both urn:ns-a and urn:ns-b), prefix spelling varying per arm so
+    * namespace-matching (not prefix-matching) is what the queries
+    * prove. %4 arms: 0 = both titles; 1 = only the ns-a title under a
+    * DIFFERENT prefix, with collapsible whitespace; 2 = only the
+    * ns-b title (the arm a local-name engine cannot tell apart);
+    * 3 = tab/newline-only ns-a title (the normalize-space guard's
+    * whitespace classes beyond space) + a ns-b title. */
+  private def nsXml: Column = {
+    val m = col("doc_id") % 4
+    when(m === 0, concat(
+        lit("""<r:rec xmlns:r="urn:ns-a" xmlns:s="urn:ns-b"><r:title>A """),
+        col("source"), lit("</r:title><s:title>B "), col("lang"),
+        lit("</s:title></r:rec>")))
+      .when(m === 1, concat(
+        lit("""<q:rec xmlns:q="urn:ns-a"><q:title>  A  """),
+        col("source"), lit(" </q:title></q:rec>")))
+      .when(m === 2, concat(
+        lit("""<x:rec xmlns:x="urn:ns-a" xmlns:z="urn:ns-b"><z:title>B """),
+        col("lang"), lit("</z:title></x:rec>")))
+      .otherwise(concat(
+        lit("""<x:rec xmlns:x="urn:ns-a" xmlns:z="urn:ns-b"><x:title>"""),
+        lit("\t  \n"), lit("</x:title><z:title>B "), col("lang"),
+        lit("</z:title></x:rec>")))
+  }
+
+  /** The t12 stylesheet: namespace-aware dispatch of the colliding
+    * local name — `a:title` and `b:title` land in DIFFERENT output
+    * fields, which only a namespace-aware engine can do (the
+    * local-name approximation routes both titles into both fields —
+    * the arm-2 records make that divergence data-live at every SF). */
+  private val t12Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="1.0"
+      |    xmlns:xsl="http://www.w3.org/1999/XSL/Transform"
+      |    xmlns:a="urn:ns-a" xmlns:b="urn:ns-b">
+      |  <xsl:template match="text() | @*"/>
+      |  <xsl:template match="//a:rec">
+      |    <record><xsl:apply-templates/></record>
+      |  </xsl:template>
+      |  <xsl:template match="a:title">
+      |    <xsl:if test="normalize-space(.)!=''">
+      |      <ta><xsl:value-of select="normalize-space(.)"/></ta>
+      |    </xsl:if>
+      |  </xsl:template>
+      |  <xsl:template match="b:title">
+      |    <tb><xsl:value-of select="."/></tb>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t12: namespace-AWARE XSLT through the compiled sheet under the
+    * driver oracle (the r17 verdict's d30 playbook — the spec-only
+    * nsAware surface gets a CORRECTNESS entry): stylesheet prefixes
+    * resolve through the sheet's own xmlns declarations, record-side
+    * prefix spelling is free (arm 1), colliding local names stay
+    * distinct (arm 2 — the oracle states the namespace-true output,
+    * so a regression to local-name matching hash-fails), and the
+    * normalize-space guard drops a tab/newline-only title (arm 3 —
+    * the r18 ANonEmpty whitespace-class fix made live). Same plan
+    * shape as t8: one keep-filter + one codegen'd projection, one
+    * DOM parse per row. */
+  def t12XsltNsAware(spark: SparkSession, dir: String): DataFrame = {
+    val sheet = Transform.compileXsltSheet(t12Stylesheet, nsAware = true)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nsXml.as("xml"))
+      .filter(sheet.keep(col("xml")))
+      .select(col("doc_id"), to_json(sheet.output(col("xml"))).as("rec"))
+      .orderBy("doc_id")
+  }
+
+  /** The t13 stylesheet — NODE-SET `xsl:variable` (the r18 subset
+    * slice): variables bind node paths at the template body's top
+    * level and are referenced in an `xsl:if` existence test, a
+    * value-of, a value-of with trailing steps, and a for-each — the
+    * aggregator idiom of factoring a repeated select into one
+    * variable. Inlining makes this compile to EXACTLY the t5/t6
+    * plan shape: one projection, one DOM parse per row. */
+  private val t13Stylesheet =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |  <xsl:template match="/record">
+      |    <doc>
+      |      <xsl:variable name="cf" select="controlfield[@tag='001']"/>
+      |      <xsl:variable name="dfs" select="datafield"/>
+      |      <xsl:if test="$cf">
+      |        <id><xsl:value-of select="$cf"/></id>
+      |      </xsl:if>
+      |      <xsl:for-each select="$dfs">
+      |        <field>
+      |          <tag><xsl:value-of select="@tag"/></tag>
+      |          <val><xsl:value-of select="subfield"/></val>
+      |        </field>
+      |      </xsl:for-each>
+      |    </doc>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  /** t13: node-set variables end-to-end under the driver oracle —
+    * `$cf` guards and emits the 001 (absent on the %7==3 records:
+    * the guard's element-absent output is data-live at every SF,
+    * first-of-two on the %7==5 records), `$dfs` drives the repeated
+    * field emission. The oracle rebuilds the JSON from its own
+    * regexp extraction, so the inlined paths are independently
+    * checked. */
+  def t13XsltNodeset(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Transform.compileXslt(t13Stylesheet)
+    marcXml(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        to_json(Transform.structuralCrosswalk(col("xml"), rules)).as("rec"))
+      .orderBy("doc_id")
+  }
+
+  /** The v14 schema: prefixes bound by `<sch:ns>` — ISO Schematron's
+    * binding mechanism, the one lxml.isoschematron honors. */
+  private val v14Schema =
+    """<?xml version="1.0"?>
+      |<schema xmlns="http://purl.oclc.org/dsdl/schematron">
+      |  <ns prefix="a" uri="urn:ns-a"/>
+      |  <ns prefix="b" uri="urn:ns-b"/>
+      |  <pattern id="titles">
+      |    <rule context="a:rec">
+      |      <assert test="a:title[normalize-space(.) != '']" id="R1" role="error">record needs a nonblank ns-a title</assert>
+      |      <report test="b:title" id="A1" role="info">record carries a ns-b title</report>
+      |    </rule>
+      |  </pattern>
+      |</schema>""".stripMargin
+
+  /** v14: namespace-AWARE Schematron through the compiled `.sch`
+    * under the driver oracle — context/test prefixes resolve through
+    * the schema's own `<sch:ns>` declarations (validate.py:33-35's
+    * lxml.isoschematron semantics). Every verdict arm is data-live
+    * at every SF: arm 0 report-only, arm 1 all-quiet, arm 2 BOTH
+    * (the assert can only fail here under namespace matching — a
+    * local-name engine sees the ns-b title and wrongly passes, so
+    * the oracle pins aware semantics), arm 3 both via the engine's
+    * own XPath normalize-space over tab/newline-only text. */
+  def v14SchNsAware(spark: SparkSession, dir: String): DataFrame = {
+    val rules = Validate.compileSchematron(v14Schema, col("xml"),
+      nsAware = true)
+    Validate.schematronReport(
+        Tables.documents(spark, dir).select(col("doc_id"), nsXml.as("xml")),
+        rules, phases = Seq.empty, phase = "#ALL", idCol = col("doc_id"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r4_xml_001" -> (r4Xml001 _),
     "r5_bw_parent" -> (r5BwParent _),
@@ -658,9 +803,49 @@ object Xml {
     "t9_xslt_module" -> (t9XsltModule _),
     "v9_schematron" -> (v9Schematron _),
     "v13_sch_file" -> (v13SchFile _),
+    "t12_xslt_nsaware" -> (t12XsltNsAware _),
+    "v14_sch_nsaware" -> (v14SchNsAware _),
+    "t13_xslt_nodeset" -> (t13XsltNodeset _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t12: the oracle states the NAMESPACE-TRUE output per arm as
+    // independent ground truth (a local-name engine would also route
+    // the arm-0/2 ns-b titles into ta → hash-fail); arm 1's
+    // whitespace collapses, arm 3's guard kills ta
+    "t12_xslt_nsaware" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN '{"ta":["A ' || source || '"],"tb":["B ' || lang || '"]}'
+             WHEN 1 THEN '{"ta":["A ' || source || '"]}'
+             WHEN 2 THEN '{"tb":["B ' || lang || '"]}'
+             ELSE '{"tb":["B ' || lang || '"]}'
+           END AS rec
+         FROM documents ORDER BY doc_id""",
+    // t13: the guarded id segment (omitted when no 001 — the %7==3
+    // arm), then the unconditional field array from the two
+    // datafields, rebuilt from the oracle's own regexp extraction
+    "t13_xslt_nodeset" ->
+      s"""WITH marc AS ($marcXmlSql),
+         ex AS (SELECT doc_id, lang, source, $idsSql AS ids FROM marc)
+         SELECT doc_id, concat('{',
+           CASE WHEN len(ids) > 0
+                THEN concat('"id":"', ids[1], '",') ELSE '' END,
+           '"field":[{"tag":"041","val":"', lang,
+           '"},{"tag":"856","val":"', source, '"}]}') AS rec
+         FROM ex ORDER BY doc_id""",
+    // v14: verdicts per arm as independent ground truth — the assert
+    // fails exactly when no NONBLANK ns-a title exists (arms 2 and
+    // 3), the report fires exactly when a ns-b title exists (arms
+    // 0, 2, 3); findings follow rule declaration order
+    "v14_sch_nsaware" ->
+      """SELECT doc_id AS id,
+           CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END AS n_failed,
+           CASE WHEN doc_id % 4 IN (0, 2, 3) THEN 1 ELSE 0 END AS n_reported,
+           concat_ws(chr(10),
+             CASE WHEN doc_id % 4 IN (2, 3) THEN 'record needs a nonblank ns-a title' END,
+             CASE WHEN doc_id % 4 IN (0, 2, 3) THEN 'record carries a ns-b title' END) AS findings
+         FROM documents ORDER BY id""",
     "r4_xml_001" ->
       s"""WITH marc AS ($marcXmlSql),
          ex AS (SELECT doc_id, $idsSql AS ids FROM marc)

@@ -54,13 +54,15 @@ object Ivf {
     * tiny) plus one (list, dim) shuffle, so an iteration costs the
     * same at any corpus size per pass. */
   def lloydStep(data: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
-    val scored = data.crossJoin(broadcast(cents))
-      .select(col("id"), col(vecCol).as("v"), col("list_id"),
-        Vectors.cosine4(col(vecCol), col("centroid")).as("c_cos"))
-    val w = Window.partitionBy("id").orderBy(col("c_cos").desc, col("list_id").asc)
-    val assigned = scored.withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("id"), col("v"), col("list_id"))
+    // argmin aggregate, not a row_number window (r18): the window
+    // shuffled the FULL |vecs|·k scored fan-out (vector array
+    // included) and sorted every id-group; min(struct(-cos, list))
+    // combines map-side so only |vecs| rows shuffle — bit-identical
+    // assignment (cosine rounded to 4 dp before comparison, ties on
+    // list_id asc). Shared with graft.dedup.SemDedup.assignNearest.
+    val assigned = graft.dedup.SemDedup.assignNearest(
+        data.select(col("id"), col(vecCol).as("v")), cents)
+      .select(col("id"), col("v"), col("cluster_id").as("list_id"))
     centroids(assigned, "list_id", "v")
   }
 

@@ -77,12 +77,18 @@ object StatePartitions {
     * metadata-only count optimization uses. Exactly equals
     * `read(spark, rootDir).count()` by parquet's row-count contract
     * (spec-pinned, including across a compaction fold). */
-  def rowCount(spark: SparkSession, rootDir: String): Long = {
+  def rowCount(spark: SparkSession, rootDir: String): Long =
+    rowCountDirs(spark, liveDirs(rootDir))
+
+  /** [[rowCount]] over an EXPLICIT partition-dir list — what the
+    * sharded gram layout probes (only the batch's shard families,
+    * each its own [[liveDirs]] tree). */
+  def rowCountDirs(spark: SparkSession, dirs: Seq[String]): Long = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    liveDirs(rootDir).iterator.flatMap { d =>
+    dirs.iterator.flatMap { d =>
       val p = new HPath(d)
       val fs = FileSystem.get(p.toUri, conf)
       fs.listStatus(p).iterator

@@ -59,25 +59,100 @@ object SubstringStream {
   private def anchors(docs: DataFrame, k: Int): DataFrame =
     Dedup.substringAnchors(docs, k)
 
+  /** Gram-hash shard id — pmod of the (already-hashed) gram value,
+    * the "prefix" of the sharded state layout. */
+  private def shardOf(g: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(g, lit(nShards.toLong)).cast("int")
+
+  /** The live shard roots of a SHARDED gram tree (`shard=<s>/`
+    * under `grams/`), or Nil for the unsharded layout. */
+  private[graft] def shardRoots(gramsDir: String): Seq[(Int, String)] = {
+    val d = new java.io.File(gramsDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map(f => f.getName.stripPrefix("shard=").toInt -> f.getPath)
+      .sortBy(_._1)
+  }
+
+  /** Every live state partition dir, across both layouts. */
+  private def allLiveDirs(gramsDir: String): Seq[String] = {
+    val sh = shardRoots(gramsDir)
+    if (sh.isEmpty) StatePartitions.liveDirs(gramsDir)
+    else sh.flatMap { case (_, root) => StatePartitions.liveDirs(root) }
+  }
+
   /** Accumulated per-gram state: (g, occ, first{bid, doc_id, pos}),
-    * aggregated over the LIVE partitions (compaction-aware read). */
-  def gramState(spark: SparkSession, stateDir: String): DataFrame =
-    StatePartitions.read(spark, s"$stateDir/grams")
+    * aggregated over the LIVE partitions (compaction-aware read;
+    * layout-agnostic — a sharded tree reads as the union of its
+    * shard families). */
+  def gramState(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = allLiveDirs(s"$stateDir/grams")
+    require(dirs.nonEmpty, s"no live state partitions under $stateDir/grams")
+    spark.read.parquet(dirs: _*)
       .groupBy("g").agg(sum("cnt").as("occ"), min("first").as("first"))
+  }
 
   /** Cleaned output rows (doc_id, n_tokens, n_stripped, clean_text). */
   def cleaned(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/clean").drop("batch")
 
+  /** One layout per stateDir, fixed at first batch: a tree written
+    * unsharded cannot be resumed sharded (and vice versa) — the
+    * probe/compaction walks would silently miss state. */
+  private def requireLayout(stateDir: String, nShards: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val want = s"nshards=${math.max(nShards, 1)}"
+    val p = Paths.get(stateDir, "_layout")
+    if (Files.exists(p)) {
+      val have = Files.readString(p).trim
+      if (have != want) throw new IllegalStateException(
+        s"stateDir $stateDir carries gram layout '$have'; refusing " +
+          s"'$want' — the shard layout is fixed at the first batch")
+    } else {
+      val tmp = Paths.get(stateDir, "_layout.tmp")
+      Files.writeString(tmp, want)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.toSeq.reverse
+          .foreach(q => java.nio.file.Files.deleteIfExists(q))
+      }
+  }
+
+  /** `nShards > 1` (r18, SURVEY's documented next step for the
+    * corpus-proportional state): the gram tree becomes one
+    * INDEPENDENT [[StatePartitions]] family per gram-hash shard —
+    * `grams/shard=<s>/batch=…` — so (a) no directory tree's listing
+    * ever exceeds one shard's live partitions, (b) each compaction
+    * tick folds nShards bounded, independent jobs (each 1/nShards of
+    * the state — parallelizable across a cluster) instead of one
+    * state-sized fold, and (c) the per-batch probe reads ONLY the
+    * shard families the batch's grams hash into — pruning by
+    * construction (an explicit dir list), which a routed deployment
+    * (per-source streams) turns into probe-one-family-per-batch.
+    * The batch's shard split is ONE partitioned write (no per-shard
+    * jobs) staged then renamed into the per-shard trees; occurrence
+    * semantics, the Bloom front and the strip operators are
+    * byte-identical to the unsharded gate (spec-pinned). */
   def substringGate(docs: DataFrame, stateDir: String,
       k: Int = 10, minLen: Int = 20,
       lineage: String = "run0", compactEvery: Int = 8,
-      bloomFpp: Double = 0.01): StreamingQuery =
+      bloomFpp: Double = 0.01, nShards: Int = 1): StreamingQuery =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         import java.nio.file.{Files, Paths}
         Files.createDirectories(Paths.get(stateDir))
         StatePartitions.requireLineage(stateDir, lineage)
+        requireLayout(stateDir, nShards)
+        val sharded = nShards > 1
+        val gramsRoot = s"$stateDir/grams"
         val marker = Paths.get(stateDir, s"_batch-$lineage-$batchId")
         if (!Files.exists(marker)) {
           val spark = batch.sparkSession
@@ -86,16 +161,44 @@ object SubstringStream {
           // the strip join that reads the directory this batch
           // appends to (the CLAUDE.md crosses-executions rule)
           val ex = anchors(batch.toDF(), k).localCheckpoint()
-          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-            StatePartitions.compact(spark, s"$stateDir/grams",
-              s"$lineage-$batchId", sub,
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            val fold: DataFrame => DataFrame =
               st => st.groupBy("g")
-                .agg(sum("cnt").as("cnt"), min("first").as("first")))
-          ex.groupBy("g")
+                .agg(sum("cnt").as("cnt"), min("first").as("first"))
+            if (!sharded)
+              StatePartitions.compact(spark, gramsRoot,
+                s"$lineage-$batchId", sub, fold)
+            else shardRoots(gramsRoot).foreach { case (_, root) =>
+              StatePartitions.compact(spark, root,
+                s"$lineage-$batchId", sub, fold)
+            }
+          }
+          val gagg = ex.groupBy("g")
             .agg(count(lit(1)).as("cnt"),
               min(struct(lit(batchId).as("bid"), col("doc_id"),
                 col("pos"))).as("first"))
-            .write.mode("overwrite").parquet(s"$stateDir/grams/$sub")
+          if (!sharded)
+            gagg.write.mode("overwrite").parquet(s"$gramsRoot/$sub")
+          else {
+            // one partitioned write into a staging dir, then a
+            // rename per shard into `shard=<s>/batch=…` — replay
+            // (marker absent) deletes each target first, keeping
+            // the overwrite-own-partition exactly-once contract
+            val staging = s"$stateDir/_staging-$lineage-$batchId"
+            gagg.withColumn("shard", shardOf(col("g"), nShards))
+              .write.mode("overwrite").partitionBy("shard")
+              .parquet(staging)
+            new java.io.File(staging).listFiles()
+              .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+              .foreach { sd =>
+                val target = Paths.get(gramsRoot, sd.getName, sub)
+                Files.createDirectories(target.getParent)
+                deleteTree(target)
+                Files.move(sd.toPath, target)
+                ()
+              }
+            deleteTree(Paths.get(staging))
+          }
           val bg = ex.select("g").distinct()
           val nBg = bg.count()
           val spans =
@@ -117,12 +220,25 @@ object SubstringStream {
               // false positives die in the anchor join below. The
               // state row count reads parquet footers only —
               // driver-side since r17, no Spark job (the r16
-              // known-limits item; StatePartitions.rowCount).
-              val stateRows =
-                StatePartitions.rowCount(spark, s"$stateDir/grams")
+              // known-limits item; StatePartitions.rowCount). A
+              // sharded tree lists/counts/scans ONLY the batch's
+              // shard families (fpp scales against the probed state
+              // — the false-positive bound is per probed row).
+              val probeDirs =
+                if (!sharded) StatePartitions.liveDirs(gramsRoot)
+                else {
+                  val batchShards = bg
+                    .select(shardOf(col("g"), nShards).as("s"))
+                    .distinct().collect().map(_.getInt(0)).toSet
+                  shardRoots(gramsRoot)
+                    .filter { case (s, _) => batchShards(s) }
+                    .flatMap { case (_, root) =>
+                      StatePartitions.liveDirs(root) }
+                }
+              val stateRows = StatePartitions.rowCountDirs(spark, probeDirs)
               val fpp = BloomFront.scaledFpp(bloomFpp, nBg, stateRows)
               val bf = BloomFront.build(bg, col("g"), nBg, fpp)
-              val st = StatePartitions.read(spark, s"$stateDir/grams")
+              val st = spark.read.parquet(probeDirs: _*)
                 .filter(BloomFront.probe(bf, col("g")))
                 .groupBy("g")
                 .agg(sum("cnt").as("occ"), min("first").as("first"))

@@ -73,7 +73,12 @@ class Round15OpsSpec extends AnyFunSuite {
     Dedup.writeGramIndex(docs, tmp, 10)
     val grams = graft.sources.VersionedTable.readLatest(spark, tmp)
     assert(grams.filter(col("occ") < 2).count() == 0)
-    assert(grams.columns.toSet == Set("g", "occ", "first"))
+    // r18: the table lays out gram-hash-sharded (shard=pmod(g,16)
+    // partition dirs — bounded listings, prunable subset probes);
+    // the data columns are unchanged and the shard key round-trips
+    assert(grams.columns.toSet == Set("g", "occ", "first", "shard"))
+    assert(grams.filter(
+      col("shard") =!= pmod(col("g"), lit(16L)).cast("int")).count() == 0)
   }
 
   // ---- d29: cross-corpus exact-substring decontamination ----

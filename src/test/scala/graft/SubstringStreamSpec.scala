@@ -148,6 +148,118 @@ class SubstringStreamSpec extends AnyFunSuite {
     }
   }
 
+  // --- r18: gram-hash-sharded state layout ------------------------
+
+  private def driveSharded(inDir: String, stateDir: String,
+      lineage: String, nShards: Int, compactEvery: Int = 8,
+      minLen: Int = 20): Unit = {
+    val q = SubstringStream.substringGate(
+      BoilerplateStream.readDocs(spark, inDir), stateDir,
+      k = 10, minLen = minLen, lineage = lineage,
+      compactEvery = compactEvery, nShards = nShards)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("sharded gate is bit-identical to the unsharded gate, per-shard partitions bounded") {
+    val runA = (0 until 30).map(i => s"sa$i").mkString(" ")
+    val runB = (0 until 25).map(i => s"sb$i").mkString(" ")
+    val batches = Seq(
+      Seq((1L, runA)), Seq((2L, runB)), Seq((3L, runA)),
+      Seq((4L, runB + " " + runA)), Seq((5L, "v1 v2 v3 v4 v5")),
+      Seq((6L, runB)))
+    def driveAll(nShards: Int): String = {
+      val inDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ss6_$nShards").toString
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ss6s_$nShards").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        stage(inDir, f"b$i%03d", docsDf(b))
+        if (nShards <= 1) drive(inDir, stateDir, "ss_shard", 2)
+        else driveSharded(inDir, stateDir, "ss_shard", nShards, 2)
+      }
+      stateDir
+    }
+    val plain = driveAll(1)
+    val sharded = driveAll(4)
+    // cleaned output and aggregated gram state are BIT-IDENTICAL —
+    // occurrence semantics never moved, only the directory layout
+    val a = SubstringStream.cleaned(spark, plain)
+    val b = SubstringStream.cleaned(spark, sharded)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val sa = SubstringStream.gramState(spark, plain)
+    val sb = SubstringStream.gramState(spark, sharded)
+    assert(sa.exceptAll(sb).count() == 0 && sb.exceptAll(sa).count() == 0)
+    assert(a.filter(col("n_stripped") > 0).count() >= 1,
+      "the sharded-parity corpus must carry live strips")
+    // the sharded tree is one StatePartitions family per shard: each
+    // family compacted independently, each listing bounded by the
+    // cadence (compactEvery=2 → folds fired), none exceeding the
+    // UNSHARDED tree's live count
+    val roots = SubstringStream.shardRoots(s"$sharded/grams")
+    assert(roots.nonEmpty && roots.size <= 4, s"shard roots: $roots")
+    val plainLive =
+      graft.streaming.StatePartitions.liveDirs(s"$plain/grams").size
+    roots.foreach { case (s, root) =>
+      val live = graft.streaming.StatePartitions.liveDirs(root)
+      assert(live.size <= plainLive,
+        s"shard $s live partitions ${live.size} exceed unsharded $plainLive")
+      assert(live.exists(_.contains("compact=")),
+        s"shard $s never compacted: $live")
+    }
+    // footer row count over the whole sharded tree == job count
+    val allDirs = roots.flatMap { case (_, r) =>
+      graft.streaming.StatePartitions.liveDirs(r) }
+    assert(graft.streaming.StatePartitions.rowCountDirs(spark, allDirs) ==
+      spark.read.parquet(allDirs: _*).count())
+  }
+
+  test("sharded probe: a one-gram batch maps to ONE shard family and still strips cross-batch") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss7").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss7s").toString
+    val text = (0 until 10).map(i => s"pg$i").mkString(" ") // exactly 1 gram
+    stage(inDir, "b1", docsDf(Seq((1L, text))))
+    driveSharded(inDir, stateDir, "ss_one_shard", nShards = 8, minLen = 5)
+    stage(inDir, "b2", docsDf(Seq((2L, text))))
+    driveSharded(inDir, stateDir, "ss_one_shard", nShards = 8, minLen = 5)
+    // the batch's single gram hashes into exactly one shard family —
+    // the probe's dir list is that family alone (pruning by
+    // construction); cross-batch occurrence still resolves: doc 2
+    // strips to empty against doc 1's history in that shard
+    val shardSet = Dedup.substringAnchors(
+        docsDf(Seq((2L, text))).select("doc_id", "text"), 10)
+      .select(pmod(col("g"), lit(8L)).cast("int").as("s"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(shardSet.size == 1, s"one gram must map to one shard: $shardSet")
+    val roots = SubstringStream.shardRoots(s"$stateDir/grams").map(_._1).toSet
+    assert(roots == shardSet, s"state families $roots vs batch shards $shardSet")
+    val got = SubstringStream.cleaned(spark, stateDir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((1L, 0L, text), (2L, 10L, "")), s"got $got")
+  }
+
+  test("sharded replay is marker-skipped; the layout locks at first batch") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss8").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ss8s").toString
+    val run = (0 until 24).map(i => s"sr$i")
+    stage(inDir, "b1", docsDf(Seq((1L, run.mkString(" ")))))
+    driveSharded(inDir, stateDir, "ss_lay", nShards = 4)
+    val once = SubstringStream.gramState(spark, stateDir)
+      .agg(sum("occ")).head.getLong(0)
+    driveSharded(inDir, stateDir, "ss_lay", nShards = 4) // fresh checkpoint
+    val twice = SubstringStream.gramState(spark, stateDir)
+      .agg(sum("occ")).head.getLong(0)
+    assert(once == twice, s"sharded replay double-added state: $once -> $twice")
+    // resuming the tree under a DIFFERENT layout refuses loudly
+    stage(inDir, "b2", docsDf(Seq((2L, "x1 x2 x3"))))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drive(inDir, stateDir, "ss_lay")
+    }
+    assert(ex.getMessage.contains("layout")
+      || Option(ex.getCause).exists(_.getMessage.contains("layout")))
+  }
+
   test("a stateDir is locked to its first lineage") {
     val inDir = java.nio.file.Files.createTempDirectory("graft_ss5").toString
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ss5s").toString

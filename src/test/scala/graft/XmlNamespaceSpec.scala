@@ -229,6 +229,95 @@ class XmlNamespaceSpec extends AnyFunSuite {
       && rows.head.contains(""""b_title":["beta"]"""), rows.head)
   }
 
+  // --- the Schematron door (r18): nsAware compileSchematron --------
+
+  // colliding local name `title` across two vocabularies; prefixes
+  // bound by <sch:ns> — ISO Schematron's mechanism, the one
+  // lxml.isoschematron resolves against (validate.py:33-35)
+  private val collidingSch =
+    """<?xml version="1.0"?>
+      |<schema xmlns="http://purl.oclc.org/dsdl/schematron">
+      |  <ns prefix="a" uri="urn:ns-a"/>
+      |  <ns prefix="b" uri="urn:ns-b"/>
+      |  <pattern id="p">
+      |    <rule context="a:rec">
+      |      <assert test="a:title" id="A">ns-a title required</assert>
+      |      <report test="b:title" id="B">carries a ns-b title</report>
+      |    </rule>
+      |  </pattern>
+      |</schema>""".stripMargin
+
+  // only a ns-B title: the aware assert must FAIL (no a:title) and
+  // the aware report must FIRE; only a ns-A title: assert passes,
+  // report silent. The local-name rewrite gets one side of each wrong.
+  private val onlyB = """<x:rec xmlns:x="urn:ns-a" xmlns:y="urn:ns-b">""" +
+    "<y:title>beta</y:title></x:rec>"
+  private val onlyA = """<x:rec xmlns:x="urn:ns-a">""" +
+    "<x:title>alpha</x:title></x:rec>"
+
+  private def schVerdicts(nsAware: Boolean): Map[String, (Int, Int)] = {
+    import spark.implicits._
+    import graft.operators.Validate
+    val df = Seq(("onlyB", onlyB), ("onlyA", onlyA)).toDF("k", "xml")
+    val rules = Validate.compileSchematron(collidingSch, col("xml"),
+      nsAware = nsAware)
+    Validate.schematronReport(df, rules, Seq.empty, "#ALL", col("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1) -> r.getInt(2))).toMap
+  }
+
+  test("nsAware Schematron: colliding local names judged by NAMESPACE") {
+    val v = schVerdicts(nsAware = true)
+    // onlyB: the a:title assert fails, the b:title report fires
+    assert(v("onlyB") == (1 -> 1), s"onlyB verdicts: ${v("onlyB")}")
+    // onlyA: assert passes, report silent
+    assert(v("onlyA") == (0 -> 0), s"onlyA verdicts: ${v("onlyA")}")
+  }
+
+  test("default Schematron compile keeps the local-name approximation (both wrong sides shown)") {
+    val v = schVerdicts(nsAware = false)
+    // onlyB: local-name `title` exists → assert WRONGLY passes
+    assert(v("onlyB")._1 == 0,
+      "the unaware rewrite cannot see the namespace difference — " +
+        "if this starts failing the default path changed")
+    // onlyA: local-name `title` exists → report WRONGLY fires
+    assert(v("onlyA")._2 == 1)
+  }
+
+  test("nsAware Schematron with an undeclared prefix fails at compile time") {
+    import graft.operators.Validate
+    val bad = collidingSch.replace("a:title", "zz:title")
+    val e = intercept[IllegalArgumentException] {
+      Validate.compileSchematron(bad, col("xml"), nsAware = true)
+    }
+    assert(e.getMessage.contains("does not compile"), e.getMessage)
+  }
+
+  test("sch:ns wins a prefix conflict with a root xmlns declaration") {
+    import spark.implicits._
+    import graft.operators.Validate
+    // root binds a: to ns-b, sch:ns rebinds it to ns-a — lxml honors
+    // the sch:ns binding, so the assert must see the ns-a title
+    val conflicted =
+      """<?xml version="1.0"?>
+        |<schema xmlns="http://purl.oclc.org/dsdl/schematron"
+        |    xmlns:a="urn:ns-b">
+        |  <ns prefix="a" uri="urn:ns-a"/>
+        |  <pattern id="p">
+        |    <rule context="a:rec">
+        |      <assert test="a:title" id="A">ns-a title required</assert>
+        |    </rule>
+        |  </pattern>
+        |</schema>""".stripMargin
+    val rules = Validate.compileSchematron(conflicted, col("xml"),
+      nsAware = true)
+    val df = Seq(("onlyA", onlyA)).toDF("k", "xml")
+    val out = Validate.schematronReport(df, rules, Seq.empty, "#ALL",
+      col("k")).head
+    assert(out.getInt(1) == 0,
+      "sch:ns must rebind a: to urn:ns-a (assert passes on onlyA)")
+  }
+
   test("aware and unaware tables over the same paths never canonicalize equal") {
     val p = Array("//t:title/text()")
     val k = Array(XmlSlots.KindNodes)

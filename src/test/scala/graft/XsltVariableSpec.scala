@@ -140,6 +140,92 @@ class XsltVariableSpec extends AnyFunSuite {
     }
   }
 
+  // --- r18: NODE-SET variables (the structural compiler) ----------
+
+  private def runStructural(xslt: String, xml: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.to_json
+    val rules = Transform.compileXslt(xslt)
+    Seq(xml).toDF("xml")
+      .select(to_json(Transform.structuralCrosswalk(col("xml"), rules)).as("r"))
+      .head.getString(0)
+  }
+
+  private val nodesetXslt =
+    """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |  <xsl:template match="/r">
+      |    <doc>
+      |      <xsl:variable name="items" select="item[@kind='a']"/>
+      |      <xsl:variable name="first" select="$items"/>
+      |      <xsl:if test="$items">
+      |        <head><xsl:value-of select="$first"/></head>
+      |      </xsl:if>
+      |      <kinds>
+      |        <xsl:for-each select="$items">
+      |          <xsl:value-of select="@n"/>
+      |        </xsl:for-each>
+      |      </kinds>
+      |      <xsl:for-each select="$items">
+      |        <it>
+      |          <n><xsl:value-of select="@n"/></n>
+      |          <v><xsl:value-of select="."/></v>
+      |        </it>
+      |      </xsl:for-each>
+      |    </doc>
+      |  </xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  test("node-set variables: if/value-of/for-each references inline the bound path") {
+    val out = runStructural(nodesetXslt,
+      """<r><item kind="a" n="1">one</item><item kind="b" n="2">two</item>""" +
+        """<item kind="a" n="3">three</item></r>""")
+    // $items = item[@kind='a'] only; $first string-values the FIRST
+    // match; the bare for-each zips @n; the full for-each zips pairs
+    assert(out ==
+      """{"head":"one","kinds":["1","3"],""" +
+        """"it":[{"n":"1","v":"one"},{"n":"3","v":"three"}]}""", out)
+    // guard arm: no kind='a' items → head omitted, arrays empty
+    val none = runStructural(nodesetXslt,
+      """<r><item kind="b" n="9">nine</item></r>""")
+    assert(none == """{"kinds":[],"it":[]}""", none)
+  }
+
+  test("node-set variable with trailing steps: $v/@attr and $v/child") {
+    val xslt =
+      """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+        |  <xsl:template match="/r">
+        |    <doc>
+        |      <xsl:variable name="df" select="df"/>
+        |      <tag><xsl:value-of select="$df/@tag"/></tag>
+        |      <sub><xsl:value-of select="$df/sf"/></sub>
+        |    </doc>
+        |  </xsl:template>
+        |</xsl:stylesheet>""".stripMargin
+    val out = runStructural(xslt,
+      """<r><df tag="041"><sf>en</sf></df></r>""")
+    assert(out == """{"tag":"041","sub":"en"}""", out)
+  }
+
+  test("node-set refusals: undefined ref, redefinition, computational select") {
+    def x(body: String) =
+      s"""<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+         |  <xsl:template match="/r"><doc>$body</doc></xsl:template>
+         |</xsl:stylesheet>""".stripMargin
+    intercept[IllegalArgumentException] {
+      Transform.compileXslt(x("""<a><xsl:value-of select="$nope"/></a>"""))
+    }
+    intercept[IllegalArgumentException] {
+      Transform.compileXslt(x(
+        """<xsl:variable name="v" select="a"/>""" +
+          """<xsl:variable name="v" select="b"/><a><xsl:value-of select="$v"/></a>"""))
+    }
+    intercept[IllegalArgumentException] {
+      Transform.compileXslt(x(
+        """<xsl:variable name="v" select="normalize-space(.)"/>""" +
+          """<a><xsl:value-of select="$v"/></a>"""))
+    }
+  }
+
   test("variables ride the XML wire form too") {
     import spark.implicits._
     val sheet = Transform.compileXsltSheet(sheetSrc)
