@@ -113,6 +113,27 @@ object GraftExtensions {
     if (!cur.contains(graft.plans.SimplifyBothWaysNullChecks))
       spark.experimental.extraOptimizations =
         cur :+ graft.plans.SimplifyBothWaysNullChecks
+    // r18: InferFiltersFromGenerate injects `size(e) > 0 AND
+    // isnotnull(e)` below every non-outer Generate, and filter
+    // pushdown-through-project then INLINES the generator child's
+    // whole expression chain into that filter — for the chunk/shingle
+    // fan-outs this re-evaluates the tokenize+chunk pipeline per row
+    // a second (and, via the x25 outer-expression-in-HOF-lambda trap,
+    // per-ELEMENT: split() lands inside the pushed lambda) time.
+    // Measured on d25's docChunks fan-out: 1.6 s → 0.31 s at sf0.1
+    // with the rule excluded; d27 1.5 → 0.47 s. The filter's only
+    // benefit is pruning empty-generator rows early, which the
+    // Generate does anyway in the same stage in every graft fan-out
+    // (scan → project → generate, no intervening shuffle). Rule
+    // exclusion is semantics-preserving by construction; the tax it
+    // removes grows with document length, so this holds at 100 TB.
+    val excludeRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val existing = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!existing.exists(_.split(',').contains(excludeRule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (existing.toSeq :+ excludeRule).mkString(","))
   }
 
   /** Register on an already-built session. */

@@ -118,13 +118,20 @@ object Dedup {
     * distributes over (lang × chunk), not 5 skewed lang keys.
     * A size-ratio prefilter (|A|/|B| ≥ τ, necessary for J ≥ τ)
     * drops most pairs before any set op. */
-  def ngramJaccard(docs: DataFrame, threshold: Double, charWindow: Int): DataFrame = {
-    val chunkW = charWindow + 1
+  def ngramJaccard(docs: DataFrame, threshold: Double, charWindow: Int): DataFrame =
     // lazy local checkpoint: both join branches read one materialized
     // copy of the shingled corpus instead of re-running the shingle
     // UDF per branch (Spark has no cross-branch CSE) — ~40% of the
     // operator's cost at sf0.1
-    val s = withHashedShingles(docs).localCheckpoint(false)
+    ngramJaccardShingled(withHashedShingles(docs).localCheckpoint(false),
+      threshold, charWindow)
+
+  /** [[ngramJaccard]] over a PRE-shingled (materialized) frame —
+    * see [[minhashLshShingled]] for why the shingle pass is hoisted
+    * to the caller (d21 shares one pass across three pipelines). */
+  def ngramJaccardShingled(s: DataFrame, threshold: Double,
+      charWindow: Int): DataFrame = {
+    val chunkW = charWindow + 1
     val a = s.select(col("doc_id").as("a_id"), col("lang").as("a_lang"),
       col("n_chars").as("a_n"), col("sh").as("a_sh"),
       floor(col("n_chars") / chunkW).as("a_chunk"))
@@ -304,11 +311,26 @@ object Dedup {
   }
 
   def minhashLsh(docs: DataFrame, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
     // one shingle pass total: signatures AND both verify sides read
     // the same materialized hashed-shingle corpus
-    val s = withHashedShingles(docs).localCheckpoint(false)
-    val banded = bandedSignatures(s, k, bands)
+    minhashLshShingled(withHashedShingles(docs).localCheckpoint(false),
+      k, bands, threshold)
+
+  /** [[minhashLsh]] over a PRE-shingled (materialized) frame
+    * (doc_id, lang, n_chars, sh) — the entry point when the caller
+    * already holds the hashed-shingle corpus (d21's recall gate runs
+    * three pipelines off ONE shingle pass; before r18 each config
+    * re-shingled the corpus). The banded self-join is
+    * shuffle_hash-hinted (the d4/m5 rule, extended here r18): both
+    * sides are the SAME corpus-proportional banded frame, so the
+    * un-hinted broadcast at small SF double-computes the
+    * minhash+band map stage and cannot exist at 100 TB — the hinted
+    * shuffle join is the at-scale plan and AQE's exchange reuse
+    * collapses the two identical sides to one map stage. */
+  def minhashLshShingled(s: DataFrame, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val banded = bandedSignatures(s, k, bands).hint("shuffle_hash")
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv")
           && col("x.doc_id") < col("y.doc_id"))
@@ -1075,13 +1097,20 @@ object Dedup {
     * candidate machinery unchanged. */
   def lshRecallGate(docs: DataFrame, k: Int, bandConfigs: Seq[Int],
       threshold: Double, charWindow: Int): DataFrame = {
+    // ONE shingle pass for the whole gate (r18): the truth pipeline
+    // and every band config read the same materialized hashed-shingle
+    // corpus — before, each of the three pipelines re-shingled the
+    // corpus into its own checkpoint. All branches belong to the
+    // SINGLE final union plan, so the lazy checkpoint is safe per the
+    // crosses-executions rule.
+    val s = withHashedShingles(docs).localCheckpoint(false)
     // one truth frame read once per config branch of the SINGLE
     // final union plan — safe lazy per the crosses-executions rule
-    val truth = ngramJaccard(docs, threshold, charWindow)
+    val truth = ngramJaccardShingled(s, threshold, charWindow)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint(false)
     bandConfigs.map { b =>
-      val found = minhashLsh(docs, k, b, threshold)
+      val found = minhashLshShingled(s, k, b, threshold)
         .select(col("a_id"), col("b_id"), lit(1).as("hit"))
       truth.join(found, Seq("a_id", "b_id"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
