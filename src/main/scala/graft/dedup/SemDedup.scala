@@ -82,10 +82,17 @@ object SemDedup {
     // also what retired d11's contention sensitivity)
     val assigned = assignNearest(vecs.select(col("id"), col("v")), cents)
       .localCheckpoint(false) // read 3x: both pair sides + output spine
+    // shuffle_hash, deliberately (the d4/m5 pigeonhole rule, r18):
+    // both pair sides are the SAME corpus-proportional membership
+    // frame — a broadcast is a small-corpus artifact that cannot
+    // exist at 100 TB (it would ship every embedding to every
+    // executor); the hinted cluster-keyed shuffle join is the
+    // at-scale plan and AQE's exchange reuse collapses the two
+    // identical sides to one exchange.
     val a = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
-      col("cluster_id"))
+      col("cluster_id")).hint("shuffle_hash")
     val b = assigned.select(col("id").as("b_id"), col("v").as("b_v"),
-      col("cluster_id"))
+      col("cluster_id")).hint("shuffle_hash")
     val dropped = a.join(b,
         Seq("cluster_id"))
       .filter(col("a_id") < col("b_id")
@@ -116,10 +123,12 @@ object SemDedup {
     val assigned = assignNearest(vecs.select(col("id"), col("v")), cents,
         keepCos = true)
       .localCheckpoint(false) // single plan reads it 3x: pair sides + membership
+    // shuffle_hash on both pair sides — see semDedup above (the
+    // d4/m5 rule: corpus-proportional self-join sides never broadcast)
     val a = assigned.select(col("id").as("a_id"), col("v").as("a_v"),
-      col("cluster_id"))
+      col("cluster_id")).hint("shuffle_hash")
     val b = assigned.select(col("id").as("b_id"), col("v").as("b_v"),
-      col("cluster_id"))
+      col("cluster_id")).hint("shuffle_hash")
     val dropped = a.join(b, Seq("cluster_id"))
       .filter(col("a_id") < col("b_id")
         && Vectors.cosine4(col("a_v"), col("b_v")) >= tau)

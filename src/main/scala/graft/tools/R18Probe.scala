@@ -133,6 +133,33 @@ object R18Probe {
         graft.multimodal.Multimodal.blockHash60(col("text").cast("binary"))
           .as("phash")).agg(sum("phash")).count()
     }
+    bench("m5 hash+chunks fanout") {
+      val h = m5hashed.select(col("id"),
+        graft.multimodal.Multimodal.blockHash60(col("text").cast("binary"))
+          .as("phash"))
+      h.select(col("id"), col("phash"),
+          posexplode(array((0 until 6).map(c =>
+            shiftrightunsigned(col("phash"), c * 10)
+              .bitwiseAND(lit((1L << 10) - 1))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        .count()
+    }
+    bench("m5 candidates (pre-filter)") {
+      val h = m5hashed.select(col("id"),
+        graft.multimodal.Multimodal.blockHash60(col("text").cast("binary"))
+          .as("phash"))
+      val chunks = h.select(col("id"), col("phash"),
+          posexplode(array((0 until 6).map(c =>
+            shiftrightunsigned(col("phash"), c * 10)
+              .bitwiseAND(lit((1L << 10) - 1))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
+        .hint("shuffle_hash")
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.id") < col("b.id"))
+        .count()
+    }
     bench("m5 full") {
       graft.SparkEntry.queries("m5_phash_dedup")(spark, dir).count()
     }
