@@ -33,27 +33,38 @@ object Graph {
     * Output: (source, wdeg, rank_i3). */
   def weightedPageRank(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 3): DataFrame = {
+    // single-plan multi-read checkpoints (r18): the unrolled
+    // iterations reference nodes/edges/wdeg once per round and nest
+    // each round's rank frame inside the next — un-checkpointed, the
+    // g1/g2/g3 plans re-expanded the whole upstream per reference
+    // (g3's dumped plan carried 92 parquet scans of `documents` at
+    // iters=2). Every read is a branch of the ONE final plan, so the
+    // lazy checkpoints are safe per the crosses-executions rule.
+    val n = nodes.localCheckpoint(false)
     val edges = pairs
       .select(col("source_a").as("u"), col("source_b").as("v"), col("w"))
       .unionByName(pairs
         .select(col("source_b").as("u"), col("source_a").as("v"), col("w")))
-    val wdeg = nodes
+      .localCheckpoint(false)
+    val wdeg = n
       .join(edges.groupBy("u").agg(sum("w").as("wd"))
           .withColumnRenamed("u", "source"),
         Seq("source"), "left")
       .select(col("source"), coalesce(col("wd"), lit(0L)).as("wdeg"))
-    var r = nodes.withColumn("r", lit(1000000L))
+      .localCheckpoint(false)
+    var r = n.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(r.select(col("source").as("u"), col("r")), Seq("u"))
         .join(wdeg.select(col("source").as("u"), col("wdeg")), Seq("u"))
         .select(col("v"), expr("(r * w) DIV wdeg").as("c"))
         .groupBy("v").agg(sum("c").as("m"))
-      r = nodes
+      r = n
         .join(contrib.withColumnRenamed("v", "source"), Seq("source"), "left")
         .select(col("source"),
           expr("CAST(150000 AS BIGINT)"
             + " + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100").as("r"))
+        .localCheckpoint(false)
     }
     r.join(wdeg, Seq("source"))
       .select(col("source"), col("wdeg"), col("r").as("rank_i3"))
@@ -81,17 +92,27 @@ object Graph {
     * Output: (source, hub, auth) after `iters` full iterations;
     * isolated nodes hold 0 on both scores. */
   def hits(nodes: DataFrame, pairs: DataFrame, iters: Int = 2): DataFrame = {
+    // single-plan multi-read checkpoints (r18) — see
+    // [[weightedPageRank]]: each rescale reads its raw frame twice
+    // (phase total + join), every phase re-reads nodes/edges, and
+    // the hub/auth recursion nests phase plans inside each other
+    // (g3's dumped plan carried 92 parquet scans at iters=2); the
+    // checkpoints flatten that to one materialization per frame
+    // within the ONE final plan.
+    val n = nodes.localCheckpoint(false)
     val edges = pairs.select(col("source_b").as("u"),
-      col("source_a").as("v"), col("w"))
-    def rescale(raw: DataFrame, out: String): DataFrame = {
+      col("source_a").as("v"), col("w")).localCheckpoint(false)
+    def rescale(raw0: DataFrame, out: String): DataFrame = {
+      val raw = raw0.localCheckpoint(false)
       val tot = raw.agg(greatest(sum("m"), lit(1L)).as("s"))
-      nodes.join(raw, Seq("source"), "left")
+      n.join(raw, Seq("source"), "left")
         .crossJoin(broadcast(tot))
         .select(col("source"),
           expr("(coalesce(m, CAST(0 AS BIGINT)) * 1000000) DIV s").as(out))
+        .localCheckpoint(false)
     }
-    var hub = nodes.withColumn("h", lit(1000000L))
-    var auth = nodes.withColumn("a", lit(0L))
+    var hub = n.withColumn("h", lit(1000000L))
+    var auth = n.withColumn("a", lit(0L))
     for (_ <- 1 to iters) {
       auth = rescale(
         edges.join(hub.select(col("source").as("u"), col("h")), Seq("u"))
