@@ -180,7 +180,15 @@ object Dedup {
     val posts = s.select(col("doc_id"), explode(col("sh")).as("h"))
     val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
+    // single-plan checkpoint + shuffle_hash (r18): rp fed BOTH sides
+    // of the candidate self-join, so the posts-explode + df-count +
+    // thin join ran twice; the checkpoint materializes the (small,
+    // df-capped) discriminative postings once and the d4/m5 hint
+    // keeps the self-join the at-scale shuffle plan (the postings
+    // table is corpus-proportional — a broadcast cannot exist at
+    // 100 TB; AQE exchange reuse collapses the two identical sides).
     val rp = posts.join(rare.select("h"), "h")
+      .localCheckpoint(false).hint("shuffle_hash")
     val cand = rp.as("a").join(rp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -229,7 +237,9 @@ object Dedup {
     val posts = s.select(col("doc_id"), explode(col("sh")).as("h"))
     val rare = posts.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
+    // checkpoint + hint: see containmentPairs (same shape, r18)
     val rp = posts.join(rare.select("h"), "h")
+      .localCheckpoint(false).hint("shuffle_hash")
     val cand = rp.as("a").join(rp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -1268,8 +1278,15 @@ object Dedup {
     * the native DotProduct expression (graft.plans.VectorExpr). */
   def embeddingCosinePairs(embeddings: DataFrame, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // single-plan checkpoint + shuffle_hash (r18, the d4/m5 rule):
+    // both self-join sides are the same corpus-proportional embedding
+    // frame — un-checkpointed the scan + vector decode ran twice, and
+    // the small-SF broadcast of a corpus side cannot exist at 100 TB;
+    // the block-keyed shuffle join with AQE exchange reuse is the
+    // at-scale plan.
     val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),
-      graft.functions.Vectors.toDouble(col(vecCol)).as("v"))
+        graft.functions.Vectors.toDouble(col(vecCol)).as("v"))
+      .localCheckpoint(false).hint("shuffle_hash")
     val a = e.select(col("vec_id").as("a_id"), col("block").as("a_block"), col("v").as("a_v"))
     val b = e.select(col("vec_id").as("b_id"), col("block").as("b_block"), col("v").as("b_v"))
     a.join(b, col("a_block") === col("b_block") && col("a_id") < col("b_id"))

@@ -339,10 +339,16 @@ object Corpus {
       s"orderedPrefixCut: input already has reserved column(s) ${clash.mkString(", ")}")
     val span = df.groupBy(groupCol)
       .agg(min(orderCol).as("__omin"), max(orderCol).as("__omax"))
+    // single-plan checkpoints (r18): b feeds the bucket-sum branch
+    // AND the row-level join, and withOff feeds the full-bucket and
+    // boundary-bucket branches — un-checkpointed, the upstream
+    // (including the caller's token-count pipeline) re-ran once per
+    // reference within the one final plan.
     val b = df.join(broadcast(span), Seq(groupCol))
       .withColumn("__bkt", expr(
         s"(`$orderCol` - __omin) DIV ((__omax - __omin) DIV $buckets + 1)"))
       .drop("__omin", "__omax")
+      .localCheckpoint(false)
     val sums = b.groupBy(col(groupCol), col("__bkt"))
       .agg(sum(weightCol).as("__bsum"))
     val wOff = Window.partitionBy(groupCol).orderBy("__bkt")
@@ -350,6 +356,7 @@ object Corpus {
     val offs = sums.withColumn("__boff",
       coalesce(sum("__bsum").over(wOff), lit(0L)))
     val withOff = b.join(broadcast(offs), Seq(groupCol, "__bkt"))
+      .localCheckpoint(false)
     val fullIn = withOff
       .filter(col("__boff") + col("__bsum") <= col(budgetCol))
     val wLoc = Window.partitionBy(col(groupCol), col("__bkt"))

@@ -34,12 +34,16 @@ object Graph {
   def weightedPageRank(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 3): DataFrame = {
     // single-plan multi-read checkpoints (r18): the unrolled
-    // iterations reference nodes/edges/wdeg once per round and nest
-    // each round's rank frame inside the next — un-checkpointed, the
-    // g1/g2/g3 plans re-expanded the whole upstream per reference
-    // (g3's dumped plan carried 92 parquet scans of `documents` at
-    // iters=2). Every read is a branch of the ONE final plan, so the
-    // lazy checkpoints are safe per the crosses-executions rule.
+    // iterations reference nodes/edges/wdeg once per round — un-
+    // checkpointed, each reference re-expanded its whole upstream
+    // (the pairs pipeline per round). Every read is a branch of the
+    // ONE final plan, so the lazy checkpoints are safe per the
+    // crosses-executions rule. The per-round RANK frame is
+    // deliberately NOT checkpointed: it is |sources| rows and its
+    // chain is linear (not the hits nesting), and checkpointing it
+    // measured WORSE (g1 1.10 vs 0.73 s, g2 1.49 vs 0.86 s at sf0.1
+    // reps=8) — block-manager materialization of a 20-row frame
+    // costs more than recomputing the tiny join chain.
     val n = nodes.localCheckpoint(false)
     val edges = pairs
       .select(col("source_a").as("u"), col("source_b").as("v"), col("w"))
@@ -64,7 +68,6 @@ object Graph {
         .select(col("source"),
           expr("CAST(150000 AS BIGINT)"
             + " + (85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100").as("r"))
-        .localCheckpoint(false)
     }
     r.join(wdeg, Seq("source"))
       .select(col("source"), col("wdeg"), col("r").as("rank_i3"))

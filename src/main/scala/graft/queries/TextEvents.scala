@@ -223,7 +223,11 @@ object TextEvents {
     val nDocs = docs.count()
     val toks = docs.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    // single-plan checkpoint (r18): tf feeds BOTH the broadcast df
+    // table and the scored join — un-checkpointed, the explode +
+    // (doc, tok) aggregate ran twice per execution
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "tok")
       .select(col("doc_id"), col("tok"),
