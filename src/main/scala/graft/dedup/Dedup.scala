@@ -1086,8 +1086,13 @@ object Dedup {
 
   def connectedComponentsAdaptive(pairs: DataFrame, aCol: String,
       bCol: String, crossover: Long = 1000000L): DataFrame = {
+    // lazy checkpoint + immediate count (r18): the count action
+    // materializes the blocks in the same job (the CC loop's audited
+    // checkpoint-then-immediate-aggregate pattern) — the former
+    // EAGER checkpoint ran the candidate pipeline as one job and
+    // then re-scanned the blocks in a second for the count
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     if (ccRouteForCount(p.count(), crossover) == "minlabel")
       connectedComponents(p, "a", "b")
     else connectedComponentsStar(p, "a", "b")
