@@ -23,6 +23,9 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // runtime confs + rule exclusion (InferFiltersFromGenerate — see
+    // installNullCheckSimplifier) that the builder route cannot set
+    GraftExtensions.register(spark)
     spark
   }
 

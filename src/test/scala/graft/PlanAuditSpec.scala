@@ -161,8 +161,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // twice (the builder's r15 A/B read ~2× of d4's wall there). Reuse
   // is decided at execution, so the assertion runs the query and
   // reads the FINAL adaptive plan.
+  // r18 extends the tier to every corpus-proportional self-join that
+  // gained the hint this round: the LSH banded join (d3 — and through
+  // it d8/d18/d21 and the label builds), SemDedup's cluster-pair join
+  // (d11), and the containment postings join (d14).
   test("banded self-joins reuse one exchange for both sides (d4/m5)") {
-    val failures = Seq("d4_simhash", "m5_phash_dedup").flatMap { name =>
+    val failures = Seq("d4_simhash", "m5_phash_dedup", "d3_minhash_lsh",
+      "d11_semdedup", "d14_containment").flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect() // materializes stages; AQE finalizes the plan
       val plan = df.queryExecution.executedPlan.toString
