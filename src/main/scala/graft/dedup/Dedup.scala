@@ -1076,9 +1076,16 @@ object Dedup {
     * 4.7 vs 6.6 s at 243k edges, star 14.6 vs 17.7 s at 2.16M —
     * min-label's per-round edges⋈labels join grows with edge volume,
     * star contraction amortizes it above ~1M edges). The pair frame
-    * is eagerly checkpointed once — the count that steers and every
-    * iteration read the materialized blocks, so the (possibly
-    * expensive) candidate pipeline runs exactly once. */
+    * is LAZILY checkpointed and materialized by the routing count in
+    * the same job (r18) — the (possibly expensive) candidate pipeline
+    * runs exactly once and the CC loop reads the materialized blocks.
+    * Why this lazy frame is exempt from the eager-checkpoint rule
+    * (CLAUDE.md): the count() action runs IMMEDIATELY after the
+    * checkpoint with no intervening plan, so the blocks exist before
+    * any later execution could observe an empty replay — the same
+    * audited checkpoint-then-immediate-aggregate shape as the loop's
+    * own per-round labelSum. If a future Spark/AQE bump perturbs
+    * this, revert to localCheckpoint(eager = true) and re-measure. */
   /** The routing rule, exposed so callers (Soak's router line, specs)
     * can observe which algorithm a given edge count selects. */
   def ccRouteForCount(nEdges: Long, crossover: Long = 1000000L): String =

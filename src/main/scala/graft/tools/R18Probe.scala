@@ -22,7 +22,19 @@ object R18Probe {
         sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", ""))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.GraftExtensions.installNullCheckSimplifier(spark)
+    // A/B knob integrity (r18 ADVICE): when SPARK_GRAFT_EXCLUDE is
+    // explicitly set, the probe must honor it VERBATIM — the full
+    // installer would unconditionally append the
+    // InferFiltersFromGenerate exclusion and neutralize the
+    // pre-exclusion baseline this probe exists to measure. The
+    // expression-level null-check simplifier is orthogonal to rule
+    // exclusion and installs on both arms.
+    if (sys.env.contains("SPARK_GRAFT_EXCLUDE")) {
+      val cur = spark.experimental.extraOptimizations
+      if (!cur.contains(graft.plans.SimplifyBothWaysNullChecks))
+        spark.experimental.extraOptimizations =
+          cur :+ graft.plans.SimplifyBothWaysNullChecks
+    } else graft.GraftExtensions.installNullCheckSimplifier(spark)
     def bench(label: String)(f: => Long): Unit = {
       val times = (0 to reps).map { _ =>
         val t0 = System.nanoTime(); val n = f

@@ -165,7 +165,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // gained the hint this round: the LSH banded join (d3 — and through
   // it d8/d18/d21 and the label builds), SemDedup's cluster-pair join
   // (d11), and the containment postings join (d14).
-  test("banded self-joins reuse one exchange for both sides (d4/m5)") {
+  test("corpus-proportional self-joins reuse one exchange for both sides (d3/d4/d11/d14/m5)") {
     val failures = Seq("d4_simhash", "m5_phash_dedup", "d3_minhash_lsh",
       "d11_semdedup", "d14_containment").flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
