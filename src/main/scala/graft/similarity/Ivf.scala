@@ -150,7 +150,12 @@ object Ivf {
           .agg(max("seg_id")).head.getLong(0)
       case None => ()
     }
-    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    // centroid/manifest reads on this path use the per-version LOCAL
+    // cache (r19): both tables are metadata-class (bounded by the
+    // list-count knob / the maintain() cadence), immutable per
+    // version, and were paying a parquet scan job per execution
+    val cents = graft.sources.VersionedTable
+      .readLatestLocal(spark, s"$dir/centroids")
     val scored = delta.select(col("id"), col("v")).crossJoin(broadcast(cents))
       .select(col("id"), col("v"), col("list_id"),
         Vectors.cosine4(col("v"), col("centroid")).as("c_cos"))
@@ -159,7 +164,7 @@ object Ivf {
       .filter(col("r") === 1).select("id", "v", "list_id")
     val manifestDir = s"$dir/segmanifest"
     val prior: Seq[Long] = graft.sources.VersionedTable.latestVersion(manifestDir)
-      .map(_ => graft.sources.VersionedTable.readLatest(spark, manifestDir)
+      .map(_ => graft.sources.VersionedTable.readLatestLocal(spark, manifestDir)
         .collect().map(_.getLong(0)).toSeq)
       .getOrElse(Seq.empty)
     // skip past orphan seg dirs from crashed appends too (mirrors
@@ -195,7 +200,8 @@ object Ivf {
       maxSegments: Int = 8): Option[Long] = {
     val manifestDir = s"$dir/segmanifest"
     graft.sources.VersionedTable.latestVersion(manifestDir).flatMap { _ =>
-      val n = graft.sources.VersionedTable.readLatest(spark, manifestDir).count()
+      val n = graft.sources.VersionedTable
+        .readLatestLocal(spark, manifestDir).count()
       if (n > maxSegments) Some(compactSegments(spark, dir)) else None
     }
   }
@@ -217,7 +223,7 @@ object Ivf {
     * never. */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
     val segs = graft.sources.VersionedTable
-      .readLatest(spark, s"$dir/segmanifest")
+      .readLatestLocal(spark, s"$dir/segmanifest")
       .collect().map(_.getLong(0)).toSeq.sorted
     val tag = "compact:" + segs.mkString(",")
     val listsDir = s"$dir/lists"
@@ -268,7 +274,7 @@ object Ivf {
       case Some(_) =>
         val folded = foldedSegIds(s"$dir/lists")
         val segs = graft.sources.VersionedTable
-          .readLatest(spark, s"$dir/segmanifest")
+          .readLatestLocal(spark, s"$dir/segmanifest")
           .collect().map(_.getLong(0)).toSeq
           .filterNot(folded)
         if (segs.isEmpty) base
@@ -302,7 +308,11 @@ object Ivf {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, k: Int, nProbe: Int,
       maxInFilterLists: Int = 1000): DataFrame = {
-    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    // per-version LOCAL centroid read (r19): bounded by the list
+    // count, immutable per version — no scan job per probe; the
+    // broadcast in probeLists builds from the local relation
+    val cents = graft.sources.VersionedTable
+      .readLatestLocal(spark, s"$dir/centroids")
     val lists = liveLists(spark, dir)
     val probes = probeLists(queries, cents, nProbe).localCheckpoint()
     val probedIds = probes.select("list_id").distinct()

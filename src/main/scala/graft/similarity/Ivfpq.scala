@@ -150,7 +150,11 @@ object Ivfpq {
           .agg(max("seg_id")).head.getLong(0)
       case None => ()
     }
-    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    // metadata-class reads (centroids/cb/icent/manifest) use the
+    // per-version LOCAL cache (r19) — bounded by design knobs,
+    // immutable per version, previously one scan job each per call
+    val cents = graft.sources.VersionedTable
+      .readLatestLocal(spark, s"$dir/centroids")
     val scored = delta
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cents))
@@ -160,21 +164,22 @@ object Ivfpq {
     val assigned = scored.withColumn("r", row_number().over(w))
       .filter(col("r") === 1).select("id", "v", "list_id")
       .localCheckpoint() // EAGER: feeds the codes write AND the sidecar write
-    val cb = graft.sources.VersionedTable.readLatest(spark, s"$dir/cb")
+    val cb = graft.sources.VersionedTable.readLatestLocal(spark, s"$dir/cb")
     // residual index (icent present): encode x − c(list) against the
     // frozen codebook, same contract as the raw path
     val codes =
       (if (graft.sources.VersionedTable.latestVersion(s"$dir/icent").isEmpty)
         Pq.encode(assigned.select("id", "v"), cb, "id", "v", dsub, scale)
       else {
-        val icent = graft.sources.VersionedTable.readLatest(spark, s"$dir/icent")
+        val icent = graft.sources.VersionedTable
+          .readLatestLocal(spark, s"$dir/icent")
         val wq = assigned.select(col("id"), col("list_id"),
           Pq.quantize(col("v"), scale).as("w"))
         Pq.encode(residuals(wq, icent).select("id", "rv"), cb,
           "id", "rv", dsub, 1L)
       }).join(assigned.select("id", "list_id"), "id")
     val prior: Seq[Long] = graft.sources.VersionedTable.latestVersion(manifestDir)
-      .map(_ => graft.sources.VersionedTable.readLatest(spark, manifestDir)
+      .map(_ => graft.sources.VersionedTable.readLatestLocal(spark, manifestDir)
         .collect().map(_.getLong(0)).toSeq)
       .getOrElse(Seq.empty)
     // skip past orphan seg dirs from crashed appends (the Ivf lesson:
@@ -207,7 +212,8 @@ object Ivfpq {
       maxSegments: Int = 8): Option[Long] = {
     val manifestDir = s"$dir/segmanifest"
     graft.sources.VersionedTable.latestVersion(manifestDir).flatMap { _ =>
-      val n = graft.sources.VersionedTable.readLatest(spark, manifestDir).count()
+      val n = graft.sources.VersionedTable
+        .readLatestLocal(spark, manifestDir).count()
       if (n > maxSegments) Some(compactSegments(spark, dir)) else None
     }
   }
@@ -231,7 +237,7 @@ object Ivfpq {
     * crashed fold, both read exactly base ∪ unfolded segments. */
   def compactSegments(spark: SparkSession, dir: String): Long = {
     val segs = graft.sources.VersionedTable
-      .readLatest(spark, s"$dir/segmanifest")
+      .readLatestLocal(spark, s"$dir/segmanifest")
       .collect().map(_.getLong(0)).toSeq.sorted
     val tag = "compact:" + segs.mkString(",")
     def foldOnce(tableDir: String, fold: => Long): Long =
@@ -259,7 +265,7 @@ object Ivfpq {
     graft.sources.VersionedTable.latestVersion(s"$dir/segmanifest") match {
       case None => Seq.empty
       case Some(_) => graft.sources.VersionedTable
-        .readLatest(spark, s"$dir/segmanifest")
+        .readLatestLocal(spark, s"$dir/segmanifest")
         .collect().map(_.getLong(0)).toSeq
     }
 
@@ -297,13 +303,17 @@ object Ivfpq {
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
       rerank: Int = 0, dsub: Int = 8, scale: Long = 10000L,
       maxInFilterLists: Int = 1000): DataFrame = {
-    val cents = graft.sources.VersionedTable.readLatest(spark, s"$dir/centroids")
+    // per-version LOCAL metadata reads (r19): centroids/cb/icent are
+    // bounded by design knobs (nLists, 256·m codebook rows) and
+    // immutable per version — each was a parquet scan job per probe
+    val cents = graft.sources.VersionedTable
+      .readLatestLocal(spark, s"$dir/centroids")
     val probes = Ivf.probeLists(
       queries.select(col(idCol).as("id"), col(vecCol).as("v")),
       cents, nProbe).localCheckpoint()
     val probedIds = probes.select("list_id").distinct()
       .collect().map(_.get(0))
-    val cb = graft.sources.VersionedTable.readLatest(spark, s"$dir/cb")
+    val cb = graft.sources.VersionedTable.readLatestLocal(spark, s"$dir/cb")
     // per-(query, probed-list) distance tables: |q|·nProbe·m·|cb|
     // rows, broadcast-by-contract. Raw indexes share one table per
     // query across its probed lists; residual indexes genuinely need
@@ -315,7 +325,8 @@ object Ivfpq {
           .select(col("id").as("q_id"), col("sub"), col("code"), col("d2"))
         qd.join(probes.select("q_id", "list_id"), "q_id")
       } else {
-        val icent = graft.sources.VersionedTable.readLatest(spark, s"$dir/icent")
+        val icent = graft.sources.VersionedTable
+          .readLatestLocal(spark, s"$dir/icent")
         val qw = queries.select(col(idCol).as("id"),
           Pq.quantize(col(vecCol), scale).as("w"))
         val qr = probes.select(col("q_id").as("id"), col("list_id"))

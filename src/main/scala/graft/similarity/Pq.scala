@@ -232,7 +232,10 @@ object Pq {
   def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       rerank: Int = 0, dsub: Int = 8, scale: Long = 10000L): DataFrame = {
-    val cb = graft.sources.VersionedTable.readLatest(spark, s"$dir/cb")
+    // codebook via the per-version LOCAL cache (r19): 256·m rows by
+    // construction, immutable per version — was a scan job per probe;
+    // codes/wvecs are corpus-proportional and stay parquet scans
+    val cb = graft.sources.VersionedTable.readLatestLocal(spark, s"$dir/cb")
     val codes = graft.sources.VersionedTable.readLatest(spark, s"$dir/codes")
     val qd = subDistances(queries, cb, idCol, vecCol, dsub, scale)
       .select(col("id").as("q_id"), col("sub"), col("code"), col("d2"))

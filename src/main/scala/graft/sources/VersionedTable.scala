@@ -102,6 +102,52 @@ object VersionedTable {
     spark.read.parquet(s"$dir/v=$v")
   }
 
+  /** Per-(dir, version) cache of SMALL versioned-table reads, served
+    * as a local relation (r19, the metadata-read item of the r18
+    * verdict — the x7 statsCache pattern generalized). For
+    * metadata-class tables — IVF/PQ centroids and codebooks, segment
+    * manifests, one-row stats — every probe re-ran a parquet scan job
+    * (driver file listing + footer decode + a task wave) per query
+    * execution even though a published version is IMMUTABLE by the
+    * table contract. Caching the collected rows once per version and
+    * rebuilding a LocalRelation per call removes that scan job from
+    * every probe while keeping the serving semantics exactly:
+    * `latestVersion` re-reads the pointer file on EVERY call, so a
+    * compaction/publish flip — which always lands as a NEW version +
+    * atomic pointer swap, never an in-place mutation — is seen by the
+    * very next read (the versioned-consistency contract; spec-pinned).
+    *
+    * DRIVER-SAFETY: callers must only point this at tables bounded by
+    * a design knob (list/codebook/manifest cardinality), never at
+    * corpus-proportional tables — `maxRows` is the guard rail and the
+    * call throws rather than silently collecting a corpus. The cached
+    * rows are plain JVM data, shared across sessions; the returned
+    * frame is bound to the calling session. Entries for superseded
+    * versions of the same dir are dropped on insert, so a long-lived
+    * maintainer holds O(live tables) rows, not O(history). */
+  private val localCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long),
+    (Seq[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+
+  def readLatestLocal(spark: SparkSession, dir: String,
+      maxRows: Int = 1 << 20): DataFrame = {
+    val v = latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no serving version under $dir"))
+    val (rows, schema) = localCache.computeIfAbsent((dir, v), { _ =>
+      val df = spark.read.parquet(s"$dir/v=$v")
+      val collected = df.collect().toSeq
+      require(collected.length <= maxRows,
+        s"readLatestLocal($dir): ${collected.length} rows exceeds the " +
+          s"metadata bound $maxRows — this table is not metadata-class; " +
+          "read it with readLatest instead")
+      (collected, df.schema)
+    })
+    // drop superseded versions of this dir (bounded memory)
+    localCache.keySet.removeIf(k => k._1 == dir && k._2 < v)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Bounded-history maintenance: delete all but the newest `keep`
     * versions, never the serving one — the cadence contract every
     * long-lived maintainer needs so a year of micro-batches can't

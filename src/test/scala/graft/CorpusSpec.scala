@@ -39,6 +39,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(star == prop)
   }
 
+  test("RDD min-label loop keeps the maxIters refusal and rejects non-integral keys") {
+    // r19: the loop runs on hash-partitioned pair RDDs. Contract
+    // parity with the retired DataFrame loop: refuses (not silently
+    // truncates) when the diameter exceeds maxIters, and refuses
+    // non-integral id columns up front (the old loop's decimal
+    // label-sum also rejected them, but only at runtime mid-job).
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a_id", "b_id", maxIters = 2).count()
+    }
+    val strings = Seq(("a", "b")).toDF("a_id", "b_id")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strings, "a_id", "b_id").count()
+    }
+  }
+
   test("both CC variants return empty labels on an empty pair set") {
     // a corpus/SF with zero near-dup pairs must label-propagate to
     // nothing, not NPE on the null label sum (ADVICE r3)
